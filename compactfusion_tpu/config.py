@@ -1,0 +1,243 @@
+"""Frozen configuration tree.
+
+TPU-native analog of the reference's config layer
+(``xfuser/config/config.py:187-234`` — ``EngineConfig``,
+``{Model,Runtime,Parallel,FastAttn}Config``, ``InputConfig``) and of the
+compression policy object (``xfuser/compact/utils.py:31-117`` —
+``CompactConfig``).  Unlike the reference (mutable objects consulted through
+module globals), everything here is a frozen, hashable dataclass so that it
+can be closed over by ``jax.jit`` as a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Callable, Optional, Tuple
+
+
+class CompressType(enum.Enum):
+    """Compression codec selector.
+
+    Mirrors the reference enum ``COMPACT_COMPRESS_TYPE``
+    (``xfuser/compact/utils.py:10-29``).
+    """
+
+    WARMUP = "warmup"
+    SPARSE = "sparse"
+    BINARY = "binary"
+    INT2 = "int2"
+    INT2_MINMAX = "int2-minmax"
+    INT4 = "int4"
+    INT8 = "int8"
+    IDENTITY = "identity"
+    LOW_RANK = "low-rank"
+    LOW_RANK_Q = "low-rank-int4"
+
+
+@dataclasses.dataclass(frozen=True)
+class CompactConfig:
+    """Residual-compression policy.
+
+    Reference: ``CompactConfig`` (``xfuser/compact/utils.py:31-117``).  The
+    reference takes an arbitrary Python callable ``compress_func(layer, step)``;
+    for a compiled TPU program the schedule must be static, so we expose
+    ``warmup_steps`` + a single steady-state ``compress_type`` (the policy used
+    by every published config: warmup steps send raw, later steps compressed —
+    reference ``examples/configs.py:39-49``).  A custom callable can still be
+    supplied for host-side planning; it is resolved to a static per-step
+    schedule at trace time.
+    """
+
+    enabled: bool = False
+    compress_type: CompressType = CompressType.BINARY
+    warmup_steps: int = 4
+    #: rank of the low-rank scale model (-1 = mean scale) — `comp_rank`.
+    comp_rank: int = -1
+    #: residual order: 0 = raw, 1 = delta, 2 = delta-of-delta.
+    residual: int = 1
+    #: error feedback: base <- base + dequant(quant(delta)) on both ends.
+    error_feedback: bool = True
+    #: simulate: compress->decompress locally, exchange uncompressed tensors.
+    simulate: bool = False
+    #: 1:M structured sparsity ratio for SPARSE.
+    sparse_ratio: int = 8
+    #: decay on the second-order delta base.
+    delta_decay_factor: float = 0.9
+    #: run the all-reduce cache-consistency oracle every forward (debug).
+    check_consistency: bool = False
+    #: use fused Pallas quant/dequant kernels where available.
+    fastpath: bool = True
+    #: log per-(layer, step) compression stats (host callback; debug only).
+    log_stats: bool = False
+    #: override ring attention with patch-parallel gather forward.
+    patch_gather: bool = False
+    #: DistriFusion-style one-step-stale async gather (patch_gather mode).
+    patch_async: bool = False
+
+    def __post_init__(self):
+        if self.residual not in (0, 1, 2):
+            raise ValueError(f"residual must be 0/1/2, got {self.residual}")
+        if self.residual == 0 and self.error_feedback:
+            raise ValueError("residual=0 does not support error feedback")
+        if self.residual == 2 and not self.error_feedback:
+            raise ValueError("residual=2 requires error feedback")
+        if self.comp_rank == 0 or self.comp_rank < -1:
+            raise ValueError("comp_rank must be >= 1 or -1 (mean scale)")
+
+    def type_at(self, layer: int, step: int) -> CompressType:
+        """Static compression schedule: warmup then steady-state codec."""
+        del layer
+        if not self.enabled:
+            return CompressType.IDENTITY
+        if step < self.warmup_steps:
+            return CompressType.WARMUP
+        return self.compress_type
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Degrees of each mesh axis.
+
+    Reference: ``ParallelConfig`` (``xfuser/config/config.py``) +
+    ``initialize_model_parallel`` (``parallel_state.py:310``).  The rank
+    factorization order "tp-sp-pp-cfg-dp" becomes mesh-axis order
+    ``(dp, cfg, pp, ring, ulysses, tp)`` — the last axes are fastest-varying,
+    so ulysses/tp neighbours land on adjacent devices (ICI), matching the
+    reference's intent of keeping high-traffic groups local.
+    """
+
+    dp_degree: int = 1
+    cfg_degree: int = 1
+    pp_degree: int = 1
+    ulysses_degree: int = 1
+    ring_degree: int = 1
+    tp_degree: int = 1
+    #: number of devices dedicated to parallel VAE decode (0 = decode in-mesh).
+    vae_parallel_size: int = 0
+
+    @property
+    def sp_degree(self) -> int:
+        return self.ulysses_degree * self.ring_degree
+
+    @property
+    def world_size(self) -> int:
+        return (
+            self.dp_degree
+            * self.cfg_degree
+            * self.pp_degree
+            * self.sp_degree
+            * self.tp_degree
+        )
+
+    def __post_init__(self):
+        for name in (
+            "dp_degree",
+            "cfg_degree",
+            "pp_degree",
+            "ulysses_degree",
+            "ring_degree",
+            "tp_degree",
+        ):
+            v = getattr(self, name)
+            if v < 1:
+                raise ValueError(f"{name} must be >= 1, got {v}")
+        if self.cfg_degree not in (1, 2):
+            raise ValueError("cfg_degree (classifier-free guidance) must be 1 or 2")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Which model to run (reference: ``ModelConfig``, ``config/config.py``)."""
+
+    model: str = "pixart-alpha"
+    pretrained_model_name_or_path: Optional[str] = None
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Runtime toggles (reference: ``RuntimeConfig``, ``config/config.py``)."""
+
+    warmup_steps: int = 1
+    use_parallel_vae: bool = False
+    use_torch_compile: bool = False  # accepted for CLI parity; XLA always jits
+    use_teacache: bool = False
+    use_fbcache: bool = False
+    use_fast_attn: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class FastAttnConfig:
+    """DiTFastAttn calibration settings (reference ``config/config.py``)."""
+
+    use_fast_attn: bool = False
+    n_step: int = 20
+    n_calib: int = 8
+    threshold: float = 0.5
+    window_size: int = 64
+    coco_path: Optional[str] = None
+    use_cache: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class InputConfig:
+    """Generation request shape (reference: ``InputConfig``)."""
+
+    height: int = 512
+    width: int = 512
+    num_frames: int = 1
+    batch_size: int = 1
+    num_inference_steps: int = 20
+    guidance_scale: float = 4.5
+    seed: int = 42
+    max_sequence_length: int = 120
+    prompt: Tuple[str, ...] = ("",)
+    negative_prompt: Tuple[str, ...] = ("",)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level config tree (reference: ``EngineConfig``)."""
+
+    model_config: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    runtime_config: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+    parallel_config: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    fast_attn_config: FastAttnConfig = dataclasses.field(default_factory=FastAttnConfig)
+    compact_config: CompactConfig = dataclasses.field(default_factory=CompactConfig)
+
+
+def resolve_compress_schedule(
+    cfg: CompactConfig,
+    num_steps: int,
+    compress_func: Optional[Callable[[int, int], CompressType]] = None,
+) -> Tuple[CompressType, ...]:
+    """Resolve a (possibly callable) policy to a static per-step schedule.
+
+    The reference calls ``compress_func(layer_idx, step)`` dynamically per
+    forward (``compact/ring.py:180-181``); under XLA the schedule must be
+    trace-static, so we evaluate it for every step up front (layer-uniform —
+    all published reference configs are layer-uniform).
+    """
+    if compress_func is None:
+        return tuple(cfg.type_at(0, s) for s in range(num_steps))
+    return tuple(compress_func(0, s) for s in range(num_steps))
+
+
+def validate_against_device_count(parallel: ParallelConfig, n_devices: int) -> None:
+    total = parallel.world_size + parallel.vae_parallel_size
+    if total > n_devices:
+        raise ValueError(
+            f"parallel config needs {total} devices "
+            f"(dit {parallel.world_size} + vae {parallel.vae_parallel_size}) "
+            f"but only {n_devices} are available"
+        )
+    if n_devices % parallel.world_size != 0 and parallel.vae_parallel_size == 0:
+        raise ValueError(
+            f"world size {parallel.world_size} does not divide device count {n_devices}"
+        )
+
+
+def round_up(x: int, m: int) -> int:
+    return int(math.ceil(x / m) * m)
