@@ -1,0 +1,183 @@
+"""Residual / error-feedback compression engine as pure state transitions.
+
+Reference semantics: ``compact_compress`` / ``compact_decompress``
+(``xfuser/compact/main.py:168-388``) — the CompactFusion algorithm:
+
+  1. delta = x - base               (residual order 1; order 2 uses
+                                     delta_delta = x - base - delta_base)
+  2. payload = quantize(delta)
+  3. receiver: x_hat = base + dequant(payload)
+  4. BOTH sender and receiver set base <- x_hat (error feedback), so the two
+     caches stay bit-identical and quantization error is compensated at the
+     next step instead of accumulating.
+
+The reference implements this against a process-global mutable ``CompactCache``
+keyed by ``f"{layer}-{rank}-{k|v}"``; here the cache is an explicit
+:class:`EFState` pytree that the caller threads through ``lax.scan`` —
+this is what makes error feedback jit-compatible on TPU.
+
+Sender-side ``ef_compress`` and receiver-side ``ef_decompress`` compute the
+*same* new base from the *same* payload; :func:`tests.compact.test_engine`
+asserts this equivalence (the reference's ``CompactCache.check_consistency``
+oracle, ``compact/utils.py:164-196``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from compactfusion_tpu.config import CompactConfig, CompressType
+from compactfusion_tpu.compact import codecs
+
+
+class EFState(NamedTuple):
+    """Per-tensor compression state (the reference's base / delta_base pair)."""
+
+    base: jax.Array  # (N, C)
+    delta_base: jax.Array  # (N, C); all-zeros when residual < 2
+
+
+def init_ef_state(shape: Tuple[int, int], dtype=jnp.bfloat16) -> EFState:
+    z = jnp.zeros(shape, dtype)
+    return EFState(base=z, delta_base=z)
+
+
+def _encode(x, cfg: CompactConfig, method: CompressType):
+    if cfg.simulate:
+        # simulate mode sends the dense roundtripped tensor (main.py:117-121)
+        return codecs.sim_roundtrip(
+            x, method, rank=cfg.comp_rank, sparse_ratio=cfg.sparse_ratio
+        )
+    return codecs.encode(x, method, rank=cfg.comp_rank, sparse_ratio=cfg.sparse_ratio)
+
+
+def _decode(payload, cfg: CompactConfig, method: CompressType, dtype):
+    if cfg.simulate:
+        return payload.astype(dtype)
+    return codecs.decode(payload, method, dtype=dtype, sparse_ratio=cfg.sparse_ratio)
+
+
+def ef_compress(
+    x: jax.Array,
+    state: EFState,
+    cfg: CompactConfig,
+    method: CompressType,
+    update_cache: bool = True,
+):
+    """Sender side: compress ``x`` against ``state``.
+
+    Returns ``(payload, new_state)``.  ``payload`` shape depends only on the
+    *static* ``method``; for ``WARMUP``/``IDENTITY`` it is the raw tensor.
+
+    Mirrors ``compact_compress`` (``main.py:168-270``).
+    """
+    dtype = state.base.dtype
+    x = x.astype(dtype)
+
+    if method == CompressType.WARMUP:
+        # Warmup steps send the raw activation and prime the caches.  With
+        # residual=2 the reference sets delta_base = x - previous_base once a
+        # base exists (main.py:180-192); our state starts at base=0, so the
+        # first warmup step writes delta_base = x, which the second warmup
+        # step overwrites — published configs always use >= 2 warmup steps.
+        if update_cache:
+            delta_base = x - state.base if cfg.residual == 2 else state.delta_base
+            state = EFState(base=x, delta_base=delta_base)
+        return x, state
+
+    if method == CompressType.IDENTITY or not cfg.enabled:
+        return x, state
+
+    if cfg.residual == 0:
+        payload = _encode(x, cfg, method)
+        return payload, state
+
+    if cfg.residual == 1:
+        delta = x - state.base
+        payload = _encode(delta, cfg, method)
+        recv_delta = _decode(payload, cfg, method, dtype)
+        reconstructed = state.base + recv_delta
+        if update_cache:
+            new_base = reconstructed if cfg.error_feedback else x
+            state = EFState(base=new_base, delta_base=state.delta_base)
+        return payload, state
+
+    # residual == 2: second-order delta with decay (main.py:244-266)
+    delta_delta = x - state.base - state.delta_base
+    payload = _encode(delta_delta, cfg, method)
+    rdd = _decode(payload, cfg, method, dtype)
+    new_base = state.base + state.delta_base + rdd
+    new_delta_base = (state.delta_base + rdd) * jnp.asarray(
+        cfg.delta_decay_factor, dtype
+    )
+    if update_cache:
+        state = EFState(base=new_base, delta_base=new_delta_base)
+    return payload, state
+
+
+def ef_decompress(
+    payload,
+    state: EFState,
+    cfg: CompactConfig,
+    method: CompressType,
+    update_cache: bool = True,
+):
+    """Receiver side: reconstruct the activation from ``payload``.
+
+    Returns ``(x_hat, new_state)`` with ``new_state`` identical to the
+    sender's (error-feedback consistency invariant).
+
+    Mirrors ``compact_decompress`` (``main.py:321-388``).
+    """
+    dtype = state.base.dtype
+
+    if method == CompressType.WARMUP:
+        x = payload.astype(dtype)
+        if update_cache:
+            delta_base = x - state.base if cfg.residual == 2 else state.delta_base
+            state = EFState(base=x, delta_base=delta_base)
+        return x, state
+
+    if method == CompressType.IDENTITY or not cfg.enabled:
+        return payload.astype(dtype), state
+
+    if cfg.residual == 0:
+        return _decode(payload, cfg, method, dtype), state
+
+    if cfg.residual == 1:
+        recv_delta = _decode(payload, cfg, method, dtype)
+        reconstructed = state.base + recv_delta
+        if update_cache:
+            state = EFState(base=reconstructed, delta_base=state.delta_base)
+        return reconstructed, state
+
+    rdd = _decode(payload, cfg, method, dtype)
+    reconstructed = state.base + state.delta_base + rdd
+    new_delta_base = (state.delta_base + rdd) * jnp.asarray(
+        cfg.delta_decay_factor, dtype
+    )
+    if update_cache:
+        state = EFState(base=reconstructed, delta_base=new_delta_base)
+    return reconstructed, state
+
+
+def check_consistency(state: EFState, axis_name: str, atol: float = 1e-2):
+    """Distributed invariant oracle (reference ``CompactCache.check_consistency``).
+
+    Inside ``shard_map``: all-reduce-mean every cache entry over ``axis_name``
+    and return the max abs deviation of the local copy from the mean.  The
+    caller asserts it is < ``atol``.  Catches sender/receiver error-feedback
+    divergence — the algorithm's main correctness hazard.
+    """
+    n = jax.lax.psum(1, axis_name)
+
+    def dev(x):
+        x32 = x.astype(jnp.float32)
+        mean = jax.lax.psum(x32, axis_name) / n
+        return jnp.max(jnp.abs(x32 - mean))
+
+    devs = [dev(x) for x in jax.tree_util.tree_leaves(state)]
+    return jnp.max(jnp.stack(devs))

@@ -1,0 +1,153 @@
+"""Codec tests: packed encode/decode vs sim twin, compression ratios.
+
+Mirrors the reference's kernel-vs-sim test matrix
+(``tests/compact/compress_fastpath_test.py``, ``compress_slowpath_test.py``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactfusion_tpu.compact import codecs
+from compactfusion_tpu.config import CompressType
+
+
+def _rand(shape, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal(shape), dtype=dtype)
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+
+SHAPES = [(64, 128), (256, 512), (100, 256)]
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+@pytest.mark.parametrize("rank", [-1, 1, 4])
+def test_binary_packed_matches_sim(shape, rank):
+    x = _rand(shape, seed=shape[0] + rank)
+    sim = codecs.sim_binary(x, rank)
+    out = codecs.decode_binary(codecs.encode_binary(x, rank))
+    # scales travel as bf16 in the packed payload, sim keeps fp32
+    assert rel_err(out, sim) < 2e-2
+    # signs must agree exactly
+    np.testing.assert_array_equal(np.sign(np.asarray(out)), np.sign(np.asarray(sim)))
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_int2_packed_matches_sim(shape):
+    x = _rand(shape, seed=3)
+    sim = codecs.sim_int2(x)
+    out = codecs.decode_int2(codecs.encode_int2(x))
+    assert rel_err(out, sim) < 2e-2
+
+
+def test_int2_levels():
+    # every output element must be one of the 4 levels +-0.5*s, +-2*s where
+    # s = chan_mean * normalized tok_mean (reference sim_int2 semantics)
+    x = _rand((128, 256), seed=4)
+    x32 = np.asarray(x, np.float64)
+    a = np.abs(x32)
+    chan = a.mean(0, keepdims=True)
+    tok = a.mean(1, keepdims=True)
+    tok = tok / (tok.mean() + 1e-6)
+    s = chan * tok
+    out = np.asarray(codecs.sim_int2(x), np.float64)
+    ratio = out / s
+    levels = np.array([-2.0, -0.5, 0.5, 2.0])
+    dist = np.min(np.abs(ratio[..., None] - levels[None, None, :]), axis=-1)
+    assert dist.max() < 1e-3
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_int2_minmax_packed_matches_sim(shape):
+    x = _rand(shape, seed=5)
+    sim = codecs.sim_int2_minmax(x)
+    out = codecs.decode_int2_minmax(codecs.encode_int2_minmax(x))
+    assert rel_err(out, sim) < 2e-2
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_int4_packed_matches_sim(shape):
+    x = _rand(shape, seed=6)
+    sim = codecs.sim_int4(x)
+    out = codecs.decode_int4(codecs.encode_int4(x))
+    assert rel_err(out, sim) < 2e-2
+    assert rel_err(out, x) < 0.15  # int4 should reconstruct reasonably
+
+
+def test_int8_roundtrip():
+    x = _rand((128, 256), seed=7)
+    out = codecs.decode_int8(codecs.encode_int8(x))
+    assert rel_err(out, x) < 1e-2
+
+
+@pytest.mark.parametrize("rank", [1, 4, 16])
+def test_low_rank_exact_on_low_rank_input(rank):
+    rng = np.random.default_rng(8)
+    u = rng.standard_normal((128, rank))
+    v = rng.standard_normal((rank, 256))
+    x = jnp.asarray(u @ v, jnp.float32)
+    out = codecs.decode_low_rank(codecs.encode_low_rank(x, rank))
+    assert rel_err(out, x) < 2e-2
+
+
+def test_low_rank_q_matches_sim():
+    x = _rand((128, 256), seed=9)
+    sim = codecs.sim_low_rank_q(x, 4)
+    out = codecs.decode_low_rank_q(codecs.encode_low_rank_q(x, 4))
+    assert rel_err(out, sim) < 5e-2
+
+
+@pytest.mark.parametrize("m", [4, 8, 16])
+def test_sparse_keeps_group_max(m):
+    x = _rand((32, 128), seed=10)
+    out = np.asarray(codecs.sim_sparse(x, m))
+    xr = np.asarray(x).reshape(32, 128 // m, m)
+    outr = out.reshape(32, 128 // m, m)
+    # exactly one nonzero per group, equal to the max-|.| element
+    assert (np.count_nonzero(outr, axis=-1) == 1).all()
+    np.testing.assert_allclose(
+        np.abs(outr).max(-1), np.abs(xr).max(-1), rtol=1e-2, atol=1e-3
+    )
+
+
+def test_compression_ratios():
+    """Bytes-on-wire accounting: BINARY ~ 16x less than bf16 raw (plus scales)."""
+    x = _rand((4096, 3072), seed=11, dtype=jnp.bfloat16)
+    raw = x.size * x.dtype.itemsize
+    nb_bin = codecs.payload_nbytes(codecs.encode_binary(x, -1))
+    nb_int2 = codecs.payload_nbytes(codecs.encode_int2(x))
+    nb_int4 = codecs.payload_nbytes(codecs.encode_int4(x))
+    assert raw / nb_bin > 15.0
+    assert raw / nb_int2 > 7.5
+    assert raw / nb_int4 > 3.8
+
+
+@pytest.mark.parametrize(
+    "method",
+    [
+        CompressType.BINARY,
+        CompressType.INT2,
+        CompressType.INT2_MINMAX,
+        CompressType.INT4,
+        CompressType.LOW_RANK,
+        CompressType.SPARSE,
+    ],
+)
+def test_dispatch_roundtrip_jit(method):
+    x = _rand((64, 128), seed=12)
+
+    @jax.jit
+    def f(x):
+        p = codecs.encode(x, method, rank=2, sparse_ratio=8)
+        return codecs.decode(p, method, sparse_ratio=8)
+
+    out = f(x)
+    sim = codecs.sim_roundtrip(x, method, rank=2, sparse_ratio=8)
+    assert rel_err(out, sim) < 5e-2

@@ -1,0 +1,162 @@
+"""Error-feedback engine tests.
+
+Key invariants (reference: compact/main.py algorithm docstring + the
+check_consistency oracle in compact/utils.py:164-196):
+  1. sender and receiver caches stay identical after every exchange;
+  2. with error feedback, reconstruction error does not accumulate over steps
+     for a slowly-drifting activation sequence;
+  3. warmup transmits exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactfusion_tpu.compact.engine import (
+    EFState,
+    ef_compress,
+    ef_decompress,
+    init_ef_state,
+)
+from compactfusion_tpu.config import CompactConfig, CompressType
+
+
+def _drifting_sequence(n_steps, shape, drift=0.05, seed=0):
+    """Simulates diffusion activations: large initial value, small deltas."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(shape)
+    seq = []
+    for _ in range(n_steps):
+        x = x + drift * rng.standard_normal(shape)
+        seq.append(jnp.asarray(x, jnp.float32))
+    return seq
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+
+@pytest.mark.parametrize("method", [CompressType.BINARY, CompressType.INT2])
+@pytest.mark.parametrize("residual", [1, 2])
+@pytest.mark.parametrize("simulate", [False, True])
+def test_sender_receiver_cache_consistency(method, residual, simulate):
+    cfg = CompactConfig(
+        enabled=True,
+        compress_type=method,
+        residual=residual,
+        error_feedback=True,
+        simulate=simulate,
+        warmup_steps=2,
+    )
+    shape = (64, 128)
+    tx, rx = init_ef_state(shape, jnp.float32), init_ef_state(shape, jnp.float32)
+    for step, x in enumerate(_drifting_sequence(8, shape)):
+        m = cfg.type_at(0, step)
+        payload, tx = ef_compress(x, tx, cfg, m)
+        x_hat, rx = ef_decompress(payload, rx, cfg, m)
+        for a, b in zip(jax.tree_util.tree_leaves(tx), jax.tree_util.tree_leaves(rx)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # receiver reconstruction equals sender's new base (EF invariant)
+        np.testing.assert_allclose(
+            np.asarray(x_hat), np.asarray(tx.base), rtol=0, atol=0
+        )
+
+
+def test_warmup_is_lossless():
+    cfg = CompactConfig(enabled=True, warmup_steps=4)
+    shape = (32, 64)
+    tx, rx = init_ef_state(shape, jnp.float32), init_ef_state(shape, jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(shape), jnp.float32)
+    payload, tx = ef_compress(x, tx, cfg, CompressType.WARMUP)
+    x_hat, rx = ef_decompress(payload, rx, cfg, CompressType.WARMUP)
+    np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x))
+
+
+@pytest.mark.parametrize("method", [CompressType.BINARY, CompressType.INT2])
+def test_error_feedback_bounds_error(method):
+    """With EF the error stays bounded; without EF (residual=1, ef=False) the
+    per-step error is strictly worse on a drifting sequence."""
+    shape = (128, 256)
+    seq = _drifting_sequence(24, shape, drift=0.03)
+
+    def run(ef):
+        cfg = CompactConfig(
+            enabled=True,
+            compress_type=method,
+            residual=1,
+            error_feedback=ef,
+            warmup_steps=2,
+        )
+        tx, rx = init_ef_state(shape, jnp.float32), init_ef_state(shape, jnp.float32)
+        errs = []
+        for step, x in enumerate(seq):
+            m = cfg.type_at(0, step)
+            payload, tx = ef_compress(x, tx, cfg, m)
+            x_hat, rx = ef_decompress(payload, rx, cfg, m)
+            if m != CompressType.WARMUP:
+                errs.append(rel_err(x_hat, x))
+        return errs
+
+    errs_ef = run(True)
+    errs_no = run(False)
+    # EF reconstruction error must stay small and not blow up
+    assert errs_ef[-1] < 0.1
+    assert np.mean(errs_ef[-5:]) <= np.mean(errs_ef[:5]) * 2.0
+    # and beat the no-EF variant on average at steady state
+    assert np.mean(errs_ef[-8:]) < np.mean(errs_no[-8:])
+
+
+def test_second_order_residual_tracks_linear_drift():
+    """residual=2 predicts base + delta_base: on a linearly drifting signal the
+    delta-delta is ~0, so reconstruction should be near-exact."""
+    shape = (64, 128)
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal(shape)
+    v = rng.standard_normal(shape) * 0.1
+    seq = [jnp.asarray(x0 + i * v, jnp.float32) for i in range(10)]
+
+    cfg = CompactConfig(
+        enabled=True,
+        compress_type=CompressType.BINARY,
+        residual=2,
+        error_feedback=True,
+        warmup_steps=2,
+        delta_decay_factor=1.0,
+    )
+    tx, rx = init_ef_state(shape, jnp.float32), init_ef_state(shape, jnp.float32)
+    errs = []
+    for step, x in enumerate(seq):
+        m = cfg.type_at(0, step)
+        payload, tx = ef_compress(x, tx, cfg, m)
+        x_hat, rx = ef_decompress(payload, rx, cfg, m)
+        if m != CompressType.WARMUP:
+            errs.append(rel_err(x_hat, x))
+    assert errs[-1] < 0.02
+
+
+def test_engine_inside_scan():
+    """The whole EF loop must compile into a single lax.scan."""
+    shape = (32, 64)
+    cfg = CompactConfig(
+        enabled=True, compress_type=CompressType.INT2, residual=1, error_feedback=True
+    )
+    xs = jnp.stack(_drifting_sequence(6, shape))
+
+    @jax.jit
+    def run(xs):
+        def body(carry, x):
+            tx, rx = carry
+            payload, tx = ef_compress(x, tx, cfg, CompressType.INT2)
+            x_hat, rx = ef_decompress(payload, rx, cfg, CompressType.INT2)
+            return (tx, rx), x_hat
+
+        init = (init_ef_state(shape, jnp.float32), init_ef_state(shape, jnp.float32))
+        _, outs = jax.lax.scan(body, init, xs)
+        return outs
+
+    outs = run(xs)
+    assert outs.shape == xs.shape
+    assert rel_err(outs[-1], xs[-1]) < 0.5
