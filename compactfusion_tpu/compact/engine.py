@@ -24,7 +24,7 @@ oracle, ``compact/utils.py:164-196``).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,12 +37,14 @@ class EFState(NamedTuple):
     """Per-tensor compression state (the reference's base / delta_base pair)."""
 
     base: jax.Array  # (N, C)
-    delta_base: jax.Array  # (N, C); all-zeros when residual < 2
+    delta_base: Optional[jax.Array]  # (N, C) when residual == 2, else None
 
 
-def init_ef_state(shape: Tuple[int, int], dtype=jnp.bfloat16) -> EFState:
+def init_ef_state(
+    shape: Tuple[int, int], dtype=jnp.bfloat16, residual: int = 2
+) -> EFState:
     z = jnp.zeros(shape, dtype)
-    return EFState(base=z, delta_base=z)
+    return EFState(base=z, delta_base=z if residual == 2 else None)
 
 
 def _encode(x, cfg: CompactConfig, method: CompressType):

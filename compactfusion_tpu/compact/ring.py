@@ -1,0 +1,211 @@
+"""Compressed ring attention: the CompactFusion hot path.
+
+Reference semantics: ``_compact_ring_fwd`` (``xfuser/compact/ring.py:119-275``):
+each rank compresses its own K/V once (updating its base cache), the
+*compressed payload* circulates around the ring, and every hop decompresses
+against a per-(layer, source-rank) base cache — so each device keeps R base
+pairs per layer, all bit-identical across devices (the error-feedback
+consistency invariant).
+
+TPU-native re-design:
+  * yunchang RingComm send/recv of a flat fp16 buffer -> ``lax.ppermute`` of a
+    static-shape payload *pytree* (packed uint8 words + bf16 scales).  On the
+    wire this is exactly the compressed byte volume; XLA overlaps the permute
+    with the flash-attention partial of the current block.
+  * the ``CompactCache`` dict keyed ``f"{layer}-{rank}-{k|v}"`` becomes a
+    :class:`CompactRingState` pytree with a leading ring-slot axis, threaded
+    through the denoise scan by the caller.
+  * ``compress_func(layer, step)`` is resolved to a static method per denoise
+    step (warmup steps compile as a separate loop segment with raw payloads).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from compactfusion_tpu.compact.engine import (
+    EFState,
+    ef_compress,
+    ef_decompress,
+)
+from compactfusion_tpu.config import CompactConfig, CompressType
+from compactfusion_tpu.ops.attention import attn_with_lse
+from compactfusion_tpu.ops.merge import merge_out_lse
+from compactfusion_tpu.parallel import ulysses as uly
+from compactfusion_tpu.parallel.mesh import AXIS_RING, AXIS_ULYSSES
+from compactfusion_tpu.parallel.ring import _shift_perm, _with_joint
+
+
+class CompactRingState(NamedTuple):
+    """Per-layer EF caches for every ring source (leading axis = ring slot)."""
+
+    k: EFState  # leaves (R, N, C)
+    v: EFState  # leaves (R, N, C)
+
+
+def init_ring_state(
+    ring_size: int,
+    tokens: int,
+    channels: int,
+    dtype=jnp.bfloat16,
+    residual: int = 1,
+) -> CompactRingState:
+    def mk():
+        z = jnp.zeros((ring_size, tokens, channels), dtype)
+        return EFState(base=z, delta_base=z if residual == 2 else None)
+
+    return CompactRingState(k=mk(), v=mk())
+
+
+def _slot(state: EFState, i) -> EFState:
+    """Dynamic-index ring slot i out of the stacked EF state."""
+    return jax.tree_util.tree_map(
+        lambda a: lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False), state
+    )
+
+
+def _set_slot(state: EFState, i, new: EFState) -> EFState:
+    return jax.tree_util.tree_map(
+        lambda a, n: lax.dynamic_update_index_in_dim(a, n.astype(a.dtype), i, axis=0),
+        state,
+        new,
+    )
+
+
+def _as_nc(x: jax.Array) -> jax.Array:
+    """(B, S, H, D) -> (B*S, H*D) — the (token, channel) codec layout
+    (reference ``compact_compress`` reshape, ``main.py:176-183``)."""
+    b, s, h, d = x.shape
+    return x.reshape(b * s, h * d)
+
+
+def compact_ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    state: CompactRingState,
+    *,
+    cfg: CompactConfig,
+    method: CompressType,
+    axis_name: str = AXIS_RING,
+    ring_size: int,
+    scale: Optional[float] = None,
+    joint_k: Optional[jax.Array] = None,
+    joint_v: Optional[jax.Array] = None,
+    joint_strategy: str = "none",
+) -> Tuple[jax.Array, CompactRingState]:
+    """Ring attention exchanging compressed K/V deltas.
+
+    Per-device views inside shard_map; q/k/v (B, S_local, H, D).  ``method``
+    is the static codec for this denoise step (WARMUP -> raw payload).
+
+    Returns (out, new_state); out in q.dtype, state updated in every slot
+    (own slot at compress time, each source slot at decompress time) exactly
+    like the reference cache (``ring.py:184-206``).
+    """
+    b, s, h, d = k.shape
+    kv_shape = (b, s, h, d)
+    my = lax.axis_index(axis_name)
+
+    # --- sender: compress own K/V against own base slot (update_cache=True)
+    k_own, v_own = _slot(state.k, my), _slot(state.v, my)
+    payload_k, k_own = ef_compress(_as_nc(k), k_own, cfg, method)
+    payload_v, v_own = ef_compress(_as_nc(v), v_own, cfg, method)
+    state = CompactRingState(
+        k=_set_slot(state.k, my, k_own), v=_set_slot(state.v, my, v_own)
+    )
+
+    if ring_size == 1:
+        kk, vv = _with_joint(k, v, joint_k, joint_v, joint_strategy, 0, 1)
+        out, _ = attn_with_lse(q, kk, vv, scale=scale)
+        return out.astype(q.dtype), state
+
+    perm = _shift_perm(ring_size)
+    out = lse = None
+    payload = (payload_k, payload_v)
+    for step in range(ring_size):
+        if step > 0:
+            payload = lax.ppermute(payload, axis_name, perm)
+            src = (my - step) % ring_size
+            k_src, v_src = _slot(state.k, src), _slot(state.v, src)
+            x_k, k_src = ef_decompress(payload[0], k_src, cfg, method)
+            x_v, v_src = ef_decompress(payload[1], v_src, cfg, method)
+            state = CompactRingState(
+                k=_set_slot(state.k, src, k_src), v=_set_slot(state.v, src, v_src)
+            )
+            blk_k = x_k.reshape(kv_shape).astype(k.dtype)
+            blk_v = x_v.reshape(kv_shape).astype(v.dtype)
+        else:
+            # step 0 attends over the local *exact* K/V (reference ring.py:207)
+            blk_k, blk_v = k, v
+
+        kk, vv = _with_joint(
+            blk_k, blk_v, joint_k, joint_v, joint_strategy, step, ring_size
+        )
+        block_out, block_lse = attn_with_lse(q, kk, vv, scale=scale)
+        out, lse = merge_out_lse(out, lse, block_out, block_lse)
+
+    return out.astype(q.dtype), state
+
+
+def compact_usp_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    state: CompactRingState,
+    *,
+    cfg: CompactConfig,
+    method: CompressType,
+    ulysses_size: int,
+    ring_size: int,
+    ulysses_axis: str = AXIS_ULYSSES,
+    ring_axis: str = AXIS_RING,
+    scale: Optional[float] = None,
+    joint_q: Optional[jax.Array] = None,
+    joint_k: Optional[jax.Array] = None,
+    joint_v: Optional[jax.Array] = None,
+    joint_strategy: str = "none",
+) -> Tuple[jax.Array, CompactRingState]:
+    """USP (ulysses x ring) with the compressed ring inner loop.
+
+    Mirrors ``xFuserLongContextAttention.forward`` with compact enabled
+    (``hybrid/attn_layer.py:59-64,190-210``).
+    """
+    if joint_q is not None:
+        if joint_strategy == "front":
+            q = jnp.concatenate([joint_q, q], axis=1)
+        elif joint_strategy == "rear":
+            q = jnp.concatenate([q, joint_q], axis=1)
+        else:
+            raise ValueError(f"joint_strategy {joint_strategy!r} with joint_q")
+
+    if ulysses_size > 1:
+        q = uly.scatter_heads_gather_seq(q, ulysses_axis)
+        k = uly.scatter_heads_gather_seq(k, ulysses_axis)
+        v = uly.scatter_heads_gather_seq(v, ulysses_axis)
+        if joint_k is not None:
+            joint_k = uly.slice_joint_heads(joint_k, ulysses_axis, ulysses_size)
+            joint_v = uly.slice_joint_heads(joint_v, ulysses_axis, ulysses_size)
+
+    out, state = compact_ring_attention(
+        q,
+        k,
+        v,
+        state,
+        cfg=cfg,
+        method=method,
+        axis_name=ring_axis,
+        ring_size=ring_size,
+        scale=scale,
+        joint_k=joint_k,
+        joint_v=joint_v,
+        joint_strategy=joint_strategy,
+    )
+
+    if ulysses_size > 1:
+        out = uly.scatter_seq_gather_heads(out, ulysses_axis)
+    return out, state

@@ -1,0 +1,75 @@
+"""Attention with log-sum-exp output.
+
+The building block that replaces flash-attn's ``_flash_attn_forward`` in the
+reference ring loops (``xfuser/compact/ring.py:236-262``): computes exact
+attention AND the per-query log-sum-exp so partial results can be merged
+across ring steps with :func:`compactfusion_tpu.ops.merge.merge_out_lse`.
+
+This module holds the portable XLA implementation (softmax math in fp32, the
+two matmuls hit the MXU and XLA fuses the rest); a Pallas flash kernel with
+identical signature lives in ``compactfusion_tpu.ops.flash_pallas`` and is
+selected automatically on TPU for long sequences.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def attn_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scaled dot-product attention returning (out, lse).
+
+    Args:
+      q: (B, Sq, H, D)
+      k, v: (B, Sk, H, D)
+      scale: softmax scale; defaults to 1/sqrt(D).
+      causal: apply a causal mask (diffusion uses False; parity only).
+      mask: optional (Sq, Sk) boolean mask (True = attend).
+
+    Returns:
+      out: (B, Sq, H, D) in q.dtype
+      lse: (B, H, Sq) fp32
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+
+    qf = q.astype(jnp.float32) * scale
+    # (B, H, Sq, Sk)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+    if causal:
+        causal_mask = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=sk - sq)
+        scores = jnp.where(causal_mask[None, None], scores, NEG_INF)
+    if mask is not None:
+        scores = jnp.where(mask[None, None], scores, NEG_INF)
+
+    lse = jax.nn.logsumexp(scores, axis=-1)  # (B, H, Sq)
+    p = jnp.exp(scores - lse[..., None])
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype), lse
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Plain attention (no lse) for single-device paths."""
+    out, _ = attn_with_lse(q, k, v, scale=scale, causal=causal, mask=mask)
+    return out
