@@ -1,0 +1,113 @@
+"""Pluggable self-attention strategies for DiT backbones.
+
+The reference routes attention through per-model ``AttnProcessor`` subclasses
+that consult global parallel state (``xfuser/model_executor/layers/
+attention_processor.py:181-391``); here the strategy is an explicit static
+object passed to the model forward.  Every strategy has the same call shape
+
+    out, new_state = impl(q, k, v, state_slice)
+
+so backbones can ``lax.scan`` over layers with the (possibly empty) per-layer
+compression state threaded as scan xs/ys.  State pytrees are empty tuples for
+stateless strategies — they contribute no arrays to the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from compactfusion_tpu.compact.ring import (
+    compact_usp_attention,
+    init_ring_state,
+)
+from compactfusion_tpu.config import CompactConfig, CompressType
+from compactfusion_tpu.ops.attention import sdpa
+from compactfusion_tpu.parallel.mesh import AXIS_RING, AXIS_ULYSSES
+from compactfusion_tpu.parallel.usp import usp_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class SingleDeviceAttn:
+    """Plain attention — the no-parallelism baseline."""
+
+    def init_state(self, n_layers, batch, seq_local, heads, head_dim, dtype):
+        del n_layers, batch, seq_local, heads, head_dim, dtype
+        return ()
+
+    def __call__(self, q, k, v, state):
+        return sdpa(q, k, v), state
+
+
+@dataclasses.dataclass(frozen=True)
+class USPAttn:
+    """Uncompressed hybrid ulysses x ring sequence parallelism."""
+
+    ulysses_size: int = 1
+    ring_size: int = 1
+    ulysses_axis: str = AXIS_ULYSSES
+    ring_axis: str = AXIS_RING
+
+    def init_state(self, n_layers, batch, seq_local, heads, head_dim, dtype):
+        del n_layers, batch, seq_local, heads, head_dim, dtype
+        return ()
+
+    def __call__(self, q, k, v, state):
+        out = usp_attention(
+            q,
+            k,
+            v,
+            ulysses_size=self.ulysses_size,
+            ring_size=self.ring_size,
+            ulysses_axis=self.ulysses_axis,
+            ring_axis=self.ring_axis,
+        )
+        return out, state
+
+
+@dataclasses.dataclass(frozen=True)
+class CompactUSPAttn:
+    """CompactFusion: USP with the compressed ring and EF state threading.
+
+    ``method`` is the static codec for the current denoise step; the pipeline
+    rebuilds the step function when the schedule switches segment (warmup ->
+    compressed), exactly once per segment.
+    """
+
+    cfg: CompactConfig
+    method: CompressType
+    ulysses_size: int = 1
+    ring_size: int = 1
+    ulysses_axis: str = AXIS_ULYSSES
+    ring_axis: str = AXIS_RING
+
+    def init_state(self, n_layers, batch, seq_local, heads, head_dim, dtype):
+        """Stacked per-layer ring caches: leaves (L, R, N, C).
+
+        ``seq_local``/``heads`` are the PER-DEVICE values seen by the ring
+        loop (after the ulysses all-to-all): N = batch * seq_local * ulysses,
+        C = heads * head_dim / ulysses.
+        """
+        n = batch * seq_local * self.ulysses_size
+        c = (heads // self.ulysses_size) * head_dim
+        one = init_ring_state(self.ring_size, n, c, dtype, self.cfg.residual)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (n_layers,) + a.shape), one
+        )
+
+    def __call__(self, q, k, v, state):
+        return compact_usp_attention(
+            q,
+            k,
+            v,
+            state,
+            cfg=self.cfg,
+            method=self.method,
+            ulysses_size=self.ulysses_size,
+            ring_size=self.ring_size,
+            ulysses_axis=self.ulysses_axis,
+            ring_axis=self.ring_axis,
+        )

@@ -1,0 +1,229 @@
+"""Functional building blocks shared by every DiT backbone.
+
+The reference wraps diffusers ``nn.Module`` graphs
+(``xfuser/model_executor/models/transformers/*``); here each layer is a pure
+function over an explicit parameter pytree (nested dicts of arrays) so the
+whole denoise step jits into one XLA program and parameters can be sharded
+with ``PartitionSpec`` trees.  bfloat16 params / fp32 norm+softmax accumulation
+— the TPU-native precision recipe.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+
+def init_linear(key, d_in: int, d_out: int, bias: bool = True, dtype=jnp.bfloat16):
+    w = jax.random.truncated_normal(key, -2, 2, (d_in, d_out), jnp.float32)
+    w = (w * 0.02).astype(dtype)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_layernorm(dim: int, affine: bool = True, dtype=jnp.bfloat16):
+    if not affine:
+        return {}
+    return {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)}
+
+
+def init_rmsnorm(dim: int, dtype=jnp.bfloat16):
+    return {"g": jnp.ones((dim,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def linear(p, x):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def layernorm(p, x, eps: float = 1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    if "g" in p:
+        y = y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rmsnorm(p, x, eps: float = 1e-6):
+    x32 = x.astype(jnp.float32)
+    y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    if p and "g" in p:
+        y = y * p["g"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+# ---------------------------------------------------------------------------
+# timestep / positional embeddings
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_embedding(
+    t: jax.Array, dim: int, max_period: float = 10000.0, flip_sin_to_cos: bool = True
+) -> jax.Array:
+    """Standard DDPM sinusoidal timestep embedding -> (B, dim) fp32."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def init_timestep_embedder(key, dim: int, hidden: int, dtype=jnp.bfloat16):
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": init_linear(k1, dim, hidden, dtype=dtype),
+        "fc2": init_linear(k2, hidden, hidden, dtype=dtype),
+    }
+
+
+def timestep_embedder(p, t, dim: int):
+    """sinusoidal -> MLP (the diffusers ``TimestepEmbedding`` shape)."""
+    emb = sinusoidal_embedding(t, dim).astype(p["fc1"]["w"].dtype)
+    return linear(p["fc2"], silu(linear(p["fc1"], emb)))
+
+
+def patch_positions_2d(h_patches: int, w_patches: int) -> jax.Array:
+    """(H*W, 2) row/col indices in raster order."""
+    rows = jnp.repeat(jnp.arange(h_patches), w_patches)
+    cols = jnp.tile(jnp.arange(w_patches), h_patches)
+    return jnp.stack([rows, cols], axis=-1)
+
+
+def sincos_pos_embed_2d(
+    dim: int, h_patches: int, w_patches: int, base_size: Optional[int] = None
+) -> jax.Array:
+    """2D sin-cos positional embedding (H*W, dim), fp32 (DiT/PixArt style)."""
+    pos = patch_positions_2d(h_patches, w_patches).astype(jnp.float32)
+    if base_size is not None:
+        # PixArt interpolation: scale positions to the training base grid
+        pos = pos * (base_size / h_patches)
+    half = dim // 2
+
+    def embed_1d(x, d):
+        omega = jnp.arange(d // 2, dtype=jnp.float32) / (d // 2)
+        omega = 1.0 / (10000.0**omega)
+        out = x[:, None] * omega[None, :]
+        return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=-1)
+
+    return jnp.concatenate(
+        [embed_1d(pos[:, 0], half), embed_1d(pos[:, 1], half)], axis=-1
+    )
+
+
+# ---------------------------------------------------------------------------
+# RoPE (FLUX / HunyuanVideo style, axis-split rotary)
+# ---------------------------------------------------------------------------
+
+
+def rope_frequencies(
+    positions: jax.Array, axes_dim: Tuple[int, ...], theta: float = 10000.0
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-axis RoPE tables.
+
+    Args:
+      positions: (S, n_axes) integer coordinates per token (FLUX: [t, h, w]).
+      axes_dim: head-dim split per axis, sums to head_dim (FLUX: (16, 56, 56)).
+
+    Returns:
+      (cos, sin): (S, head_dim/2) fp32 tables.
+    """
+    cos_parts, sin_parts = [], []
+    for i, d in enumerate(axes_dim):
+        pos = positions[:, i].astype(jnp.float32)
+        freqs = 1.0 / (
+            theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+        )  # (d/2,)
+        angles = pos[:, None] * freqs[None, :]
+        cos_parts.append(jnp.cos(angles))
+        sin_parts.append(jnp.sin(angles))
+    return jnp.concatenate(cos_parts, -1), jnp.concatenate(sin_parts, -1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate (B, S, H, D) by per-token tables (S, D/2), interleaved pairs."""
+    x32 = x.astype(jnp.float32)
+    xr = x32.reshape(*x.shape[:-1], -1, 2)
+    x0, x1 = xr[..., 0], xr[..., 1]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out = jnp.stack([x0 * c - x1 * s, x0 * s + x1 * c], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# patchify / unpatchify
+# ---------------------------------------------------------------------------
+
+
+def patchify(x: jax.Array, patch: int) -> jax.Array:
+    """(B, H, W, C) -> (B, H/p * W/p, p*p*C) raster order."""
+    b, h, w, c = x.shape
+    hp, wp = h // patch, w // patch
+    x = x.reshape(b, hp, patch, wp, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, hp * wp, patch * patch * c)
+
+
+def unpatchify(x: jax.Array, patch: int, hp: int, wp: int, channels: int) -> jax.Array:
+    """(B, hp*wp, p*p*C) -> (B, hp*p, wp*p, C)."""
+    b = x.shape[0]
+    x = x.reshape(b, hp, wp, patch, patch, channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, hp * patch, wp * patch, channels)
+
+
+# ---------------------------------------------------------------------------
+# feed-forward (optionally tensor-parallel)
+# ---------------------------------------------------------------------------
+
+
+def init_ffn(key, dim: int, hidden: int, dtype=jnp.bfloat16):
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": init_linear(k1, dim, hidden, dtype=dtype),
+        "fc2": init_linear(k2, hidden, dim, dtype=dtype),
+    }
+
+
+def ffn(p, x, act=gelu, tp_axis: Optional[str] = None):
+    """GELU MLP.  With ``tp_axis``: fc1 column-parallel, fc2 row-parallel,
+    psum over tp (Megatron split, reference ``layers/feedforward.py:15-69``);
+    params must then be pre-sharded on the hidden axis."""
+    h = act(linear(p["fc1"], x))
+    if tp_axis is None:
+        return linear(p["fc2"], h)
+    y = h @ p["fc2"]["w"]
+    y = jax.lax.psum(y, tp_axis)
+    if "b" in p["fc2"]:
+        y = y + p["fc2"]["b"]
+    return y

@@ -1,0 +1,204 @@
+"""PixArt-α/Σ DiT backbone (cross-attention DiT with AdaLN-single).
+
+TPU-native re-implementation of the model behind the reference's
+``xfuser/model_executor/models/transformers/pixart_transformer_2d.py``
+(a diffusers ``PixArtTransformer2DModel`` wrapper): patch embed + T5 caption
+projection, N identical blocks of [AdaLN-single self-attention, cross-
+attention to text, AdaLN-single GELU MLP], AdaLN final norm, linear head
+predicting (noise, variance) per patch.
+
+Layout: parameters for the N blocks are *stacked* (leading layer axis) and the
+forward is a single ``lax.scan`` — one compiled block body regardless of
+depth, with per-layer compression state threaded as scan xs/ys.  The sequence
+axis may be sharded over (ring, ulysses) outside this function; everything
+here is token-parallel except the self-attention, which goes through the
+pluggable ``attn`` strategy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.attn_impl import SingleDeviceAttn
+from compactfusion_tpu.ops.attention import sdpa
+
+
+@dataclasses.dataclass(frozen=True)
+class PixArtConfig:
+    dim: int = 1152
+    depth: int = 28
+    heads: int = 16
+    patch: int = 2
+    in_channels: int = 4
+    out_channels: int = 8  # 4 noise + 4 learned-variance
+    text_dim: int = 4096  # T5-XXL
+    ffn_mult: int = 4
+    sample_size: int = 64  # latent H=W for 512px
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self):
+        return self.dim // self.heads
+
+
+def pixart_alpha_512() -> PixArtConfig:
+    return PixArtConfig()
+
+
+def pixart_sigma_1024() -> PixArtConfig:
+    return PixArtConfig(sample_size=128)
+
+
+def pixart_tiny() -> PixArtConfig:
+    """Scaled-down config for tests."""
+    return PixArtConfig(dim=64, depth=2, heads=4, text_dim=32, sample_size=8)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_block(key, cfg: PixArtConfig):
+    ks = jax.random.split(key, 12)
+    d, dt = cfg.dim, cfg.dtype
+    return {
+        "scale_shift_table": jnp.zeros((6, d), dt),
+        "attn_qkv": cm.init_linear(ks[0], d, 3 * d, dtype=dt),
+        "attn_out": cm.init_linear(ks[1], d, d, dtype=dt),
+        "cross_q": cm.init_linear(ks[2], d, d, dtype=dt),
+        "cross_kv": cm.init_linear(ks[3], d, 2 * d, dtype=dt),
+        "cross_out": cm.init_linear(ks[4], d, d, dtype=dt),
+        "ffn": cm.init_ffn(ks[5], d, cfg.ffn_mult * d, dtype=dt),
+    }
+
+
+def init_pixart(key, cfg: PixArtConfig):
+    ks = jax.random.split(key, 8)
+    d, dt = cfg.dim, cfg.dtype
+    blocks = [init_block(k, cfg) for k in jax.random.split(ks[0], cfg.depth)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    return {
+        "patch_embed": cm.init_linear(
+            ks[1], cfg.patch * cfg.patch * cfg.in_channels, d, dtype=dt
+        ),
+        "t_embed": cm.init_timestep_embedder(ks[2], 256, d, dtype=dt),
+        "adaln_single": cm.init_linear(ks[3], d, 6 * d, dtype=dt),
+        "caption_fc1": cm.init_linear(ks[4], cfg.text_dim, d, dtype=dt),
+        "caption_fc2": cm.init_linear(ks[5], d, d, dtype=dt),
+        "blocks": stacked,
+        "final_scale_shift": jnp.zeros((2, d), dt),
+        "proj_out": cm.init_linear(
+            ks[6], d, cfg.patch * cfg.patch * cfg.out_channels, dtype=dt
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _heads(x, h):
+    b, s, d = x.shape
+    return x.reshape(b, s, h, d // h)
+
+
+def _unheads(x):
+    b, s, h, dh = x.shape
+    return x.reshape(b, s, h * dh)
+
+
+def pixart_forward(
+    params,
+    x: jax.Array,
+    t: jax.Array,
+    text: jax.Array,
+    cfg: PixArtConfig,
+    *,
+    pos_embed: jax.Array,
+    attn=SingleDeviceAttn(),
+    attn_state=(),
+    text_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Any]:
+    """Denoiser forward on (already patchified-shard) latent tokens.
+
+    Args:
+      x: (B, S_local, p*p*C) patchified latent tokens (local shard).
+      t: (B,) timesteps in [0, 1000).
+      text: (B, S_text, text_dim) T5 states, replicated across SP ranks.
+      pos_embed: (S_local, dim) positional table for the local tokens.
+      attn: self-attention strategy (see ``models/attn_impl.py``).
+      attn_state: per-layer stacked compression state (leaves (L, ...)).
+      text_mask: optional (B, S_text) bool; True = valid token.
+
+    Returns:
+      (out, new_attn_state): out (B, S_local, p*p*out_channels).
+    """
+    d, h = cfg.dim, cfg.heads
+
+    x = cm.linear(params["patch_embed"], x) + pos_embed.astype(cfg.dtype)[None]
+
+    temb = cm.timestep_embedder(params["t_embed"], t, 256)  # (B, d)
+    mod6 = cm.linear(params["adaln_single"], cm.silu(temb))  # (B, 6d)
+    mod6 = mod6.reshape(-1, 6, d)
+
+    text = cm.linear(
+        params["caption_fc2"], cm.gelu(cm.linear(params["caption_fc1"], text))
+    )
+    kv_mask = None
+    if text_mask is not None:
+        kv_mask = text_mask[:, None, None, :]  # (B,1,1,St) — broadcast in scores
+
+    def block(carry, xs):
+        x = carry
+        p, state = xs
+        table = p["scale_shift_table"][None] + mod6  # (B, 6, d)
+        sh_a, sc_a, g_a, sh_m, sc_m, g_m = [table[:, i][:, None] for i in range(6)]
+
+        # self attention (AdaLN-single, reference diffusers BasicTransformerBlock)
+        xn = cm.layernorm({}, x) * (1 + sc_a) + sh_a
+        qkv = cm.linear(p["attn_qkv"], xn)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        o, state = attn(_heads(q, h), _heads(k, h), _heads(v, h), state)
+        x = x + g_a * cm.linear(p["attn_out"], _unheads(o))
+
+        # cross attention to text (token-parallel: queries local, text replicated)
+        q = cm.linear(p["cross_q"], x)
+        kv = cm.linear(p["cross_kv"], text)
+        k, v = jnp.split(kv, 2, axis=-1)
+        o = _cross_attn(_heads(q, h), _heads(k, h), _heads(v, h), kv_mask)
+        x = x + cm.linear(p["cross_out"], _unheads(o))
+
+        # mlp
+        xn = cm.layernorm({}, x) * (1 + sc_m) + sh_m
+        x = x + g_m * cm.ffn(p["ffn"], xn)
+        return x, state
+
+    x, new_state = jax.lax.scan(block, x, (params["blocks"], attn_state))
+
+    # final AdaLN + head (diffusers PixArt norm_out semantics)
+    fin = params["final_scale_shift"][None] + temb[:, None, :].repeat(2, axis=1)
+    shift, scale = fin[:, 0][:, None], fin[:, 1][:, None]
+    x = cm.layernorm({}, x) * (1 + scale) + shift
+    out = cm.linear(params["proj_out"], x)
+    return out, new_state
+
+
+def _cross_attn(q, k, v, mask):
+    """Cross-attention with optional (B,1,1,Sk) bool key mask."""
+    if mask is None:
+        return sdpa(q, k, v)
+    b, sq, h, dh = q.shape
+    scale = dh**-0.5
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32)
+    )
+    scores = jnp.where(mask, scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32)).astype(q.dtype)

@@ -1,0 +1,245 @@
+"""PixArt-α/Σ text-to-image pipeline.
+
+TPU-native analog of ``xfuser/model_executor/pipelines/pipeline_pixart_alpha.py``
+(696 LoC of wrapper around diffusers): here the whole denoise loop is one SPMD
+program — ``shard_map`` over the (dp, cfg, ring, ulysses) mesh, ``lax.scan``
+over denoise steps, DPM-Solver++ 2M sampler, optional CompactFusion-compressed
+ring attention with the warmup segment compiled as a separate scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.attn_impl import (
+    CompactUSPAttn,
+    SingleDeviceAttn,
+    USPAttn,
+)
+from compactfusion_tpu.models.pixart import PixArtConfig, pixart_forward
+from compactfusion_tpu.models.vae import VAEConfig, vae_decode
+from compactfusion_tpu.parallel.mesh import AXIS_CFG, AXIS_DP, AXIS_RING, AXIS_ULYSSES
+from compactfusion_tpu.pipelines import base
+from compactfusion_tpu.schedulers.diffusion import (
+    ddpm_schedule,
+    dpm_init_state,
+    dpm_step,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PixArtPipelineConfig:
+    model: PixArtConfig
+    vae: VAEConfig
+    parallel: ParallelConfig = ParallelConfig()
+    compact: CompactConfig = CompactConfig()
+    num_steps: int = 20
+    guidance_scale: float = 4.5
+    height: int = 512
+    width: int = 512
+
+    @property
+    def latent_hw(self) -> Tuple[int, int]:
+        return self.height // 8, self.width // 8
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        lh, lw = self.latent_hw
+        return lh // self.model.patch, lw // self.model.patch
+
+    @property
+    def tokens(self) -> int:
+        hp, wp = self.grid
+        return hp * wp
+
+    @property
+    def do_cfg(self) -> bool:
+        return self.guidance_scale > 1.0
+
+
+def _attn_impl(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
+    p = cfg.parallel
+    if cfg.compact.enabled:
+        assert method is not None
+        return CompactUSPAttn(
+            cfg=cfg.compact,
+            method=method,
+            ulysses_size=p.ulysses_degree,
+            ring_size=p.ring_degree,
+        )
+    if p.sp_degree > 1:
+        return USPAttn(ulysses_size=p.ulysses_degree, ring_size=p.ring_degree)
+    return SingleDeviceAttn()
+
+
+def denoise_step_fn(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
+    """Build the per-step body (per-device views inside shard_map)."""
+    sched = ddpm_schedule(cfg.num_steps)
+    attn = _attn_impl(cfg, method)
+    p = cfg.parallel
+    hp, wp = cfg.grid
+    pos_full = cm.sincos_pos_embed_2d(cfg.model.dim, hp, wp)
+
+    def step(params, carry, i, text, text_mask, pos_local):
+        latents, dpm_state, attn_state = carry
+        t = jnp.full((latents.shape[0],), sched.timesteps[i], jnp.float32)
+        x = latents
+        if cfg.do_cfg and p.cfg_degree == 1:
+            # batch-doubled CFG: rows [cond; uncond]
+            x = jnp.concatenate([latents, latents], axis=0)
+            t = jnp.concatenate([t, t], axis=0)
+        out, attn_state = pixart_forward(
+            params,
+            x.astype(cfg.model.dtype),
+            t,
+            text,
+            cfg.model,
+            pos_embed=pos_local,
+            attn=attn,
+            attn_state=attn_state,
+            text_mask=text_mask,
+        )
+        eps = out[..., : out.shape[-1] // 2]  # drop learned variance half
+        if cfg.do_cfg:
+            eps = base.cfg_combine(eps, cfg.guidance_scale, p.cfg_degree)
+        latents, dpm_state = dpm_step(
+            sched, i, cfg.num_steps, latents, eps, dpm_state
+        )
+        return (latents, dpm_state, attn_state)
+
+    return step, pos_full, attn
+
+
+def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh):
+    """Compile the full text->latents sampler over the mesh.
+
+    Returns ``sample(params, text, text_mask, latents0) -> latents`` where
+      text: (2, B, S_text, text_dim) — [cond, uncond] on the leading axis
+            (replicated when cfg_degree==1, sharded over cfg when ==2);
+      latents0: (B, S_tokens, p*p*C) noise tokens.
+    """
+    p = cfg.parallel
+    schedule = [
+        cfg.compact.type_at(0, s) if cfg.compact.enabled else None
+        for s in range(cfg.num_steps)
+    ]
+    # split into contiguous segments of equal method (warmup | steady)
+    segments = []
+    for s, m in enumerate(schedule):
+        if segments and segments[-1][0] == m:
+            segments[-1][1].append(s)
+        else:
+            segments.append((m, [s]))
+
+    def spmd(params, text, text_mask, latents):
+        # text arrives (2, B_local, S, D) on the cfg axis (or full when cfg=1)
+        if cfg.do_cfg and p.cfg_degree == 2:
+            text = text[0]  # this cfg rank's half
+            if text_mask is not None:
+                text_mask = text_mask[0]
+        elif cfg.do_cfg:
+            text = jnp.concatenate([text[0], text[1]], axis=0)
+            if text_mask is not None:
+                text_mask = jnp.concatenate([text_mask[0], text_mask[1]], axis=0)
+        else:
+            text = text[0]
+            if text_mask is not None:
+                text_mask = text_mask[0]
+
+        b_local = latents.shape[0]
+        n_model_batch = (
+            2 * b_local if (cfg.do_cfg and p.cfg_degree == 1) else b_local
+        )
+        s_local = cfg.tokens // p.sp_degree
+
+        dpm_state = dpm_init_state(latents.shape)
+        carry = (latents, dpm_state, None)
+
+        for method, steps in segments:
+            step_fn, pos_full, attn = denoise_step_fn(cfg, method)
+            pos_local = (
+                base.slice_local_tokens(pos_full, p.ulysses_degree, p.ring_degree)
+                if p.sp_degree > 1
+                else pos_full
+            )
+            attn_state = attn.init_state(
+                cfg.model.depth,
+                n_model_batch,
+                s_local,
+                cfg.model.heads,
+                cfg.model.head_dim,
+                jnp.float32,
+            )
+            if carry[2] is not None and jax.tree_util.tree_leaves(carry[2]):
+                attn_state = carry[2]  # carry EF caches across segments
+            carry = (carry[0], carry[1], attn_state)
+
+            def body(c, i, _step=step_fn, _pos=pos_local):
+                return _step(params, c, i, text, text_mask, _pos), None
+
+            carry, _ = lax.scan(
+                body, carry, jnp.asarray(steps, jnp.int32)
+            )
+        return carry[0]
+
+    in_specs = (
+        P(),  # params replicated (TP handled separately)
+        base.TEXT_SPEC,
+        base.TEXT_SPEC,
+        base.LATENT_SPEC,
+    )
+    fn = jax.shard_map(
+        spmd, mesh=mesh, in_specs=in_specs, out_specs=base.LATENT_SPEC,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def decode_latents(vae_params, latent_tokens, cfg: PixArtPipelineConfig):
+    """Unpatchify token latents and decode to images (replicated decode)."""
+    hp, wp = cfg.grid
+    lat = cm.unpatchify(
+        latent_tokens, cfg.model.patch, hp, wp, cfg.model.in_channels
+    )
+    img = vae_decode(vae_params, lat, cfg.vae)
+    return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+
+class PixArtPipeline:
+    """User-facing pipeline (the reference's ``xFuserPixArtAlphaPipeline``)."""
+
+    def __init__(self, params, vae_params, cfg: PixArtPipelineConfig, mesh: Mesh):
+        self.params = params
+        self.vae_params = vae_params
+        self.cfg = cfg
+        self.mesh = mesh
+        self._sample = build_sample_fn(cfg, mesh)
+        self._decode = jax.jit(
+            functools.partial(decode_latents, cfg=cfg)
+        )
+
+    def __call__(self, text, text_mask, key, decode: bool = True):
+        cfg = self.cfg
+        if text_mask is None:
+            text_mask = jnp.ones(text.shape[:3], dtype=bool)
+        latents = base.prepare_latents(
+            key,
+            text.shape[1],
+            cfg.tokens,
+            cfg.model.patch * cfg.model.patch * cfg.model.in_channels,
+            jnp.float32,
+        )
+        latents = self._sample(self.params, text, text_mask, latents)
+        if not decode:
+            return latents
+        return self._decode(self.vae_params, latents)

@@ -1,0 +1,156 @@
+"""PixArt backbone + pipeline tests on tiny configs.
+
+The key e2e check (analog of the reference's multi-GPU vs single-GPU parity
+runs): the sharded USP pipeline must produce the same latents as the
+single-device pipeline, and the compact-compressed pipeline must stay close.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.pixart import (
+    init_pixart,
+    pixart_forward,
+    pixart_tiny,
+)
+from compactfusion_tpu.models.vae import init_vae_decoder, tiny_vae, vae_decode
+from compactfusion_tpu.parallel.mesh import make_mesh
+from compactfusion_tpu.pipelines.pixart import (
+    PixArtPipeline,
+    PixArtPipelineConfig,
+)
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    mcfg = pixart_tiny()
+    key = jax.random.PRNGKey(0)
+    params = init_pixart(key, mcfg)
+    vcfg = tiny_vae()
+    vae_params = init_vae_decoder(jax.random.PRNGKey(1), vcfg)
+    return mcfg, params, vcfg, vae_params
+
+
+def _text(b=1, s=8, d=32, seed=2):
+    rng = np.random.default_rng(seed)
+    cond = rng.standard_normal((b, s, d))
+    uncond = np.zeros((b, s, d))
+    text = jnp.asarray(np.stack([cond, uncond]), jnp.float32)
+    mask = jnp.ones((2, b, s), bool)
+    return text, mask
+
+
+def test_forward_shapes(tiny_setup):
+    mcfg, params, _, _ = tiny_setup
+    b, s = 2, 16
+    x = jnp.ones((b, s, mcfg.patch**2 * mcfg.in_channels), mcfg.dtype)
+    t = jnp.full((b,), 500.0)
+    text = jnp.ones((b, 8, mcfg.text_dim), mcfg.dtype)
+    pos = cm.sincos_pos_embed_2d(mcfg.dim, 4, 4)
+    out, state = jax.jit(
+        lambda p, x, t, c: pixart_forward(p, x, t, c, mcfg, pos_embed=pos)
+    )(params, x, t, text)
+    assert out.shape == (b, s, mcfg.patch**2 * mcfg.out_channels)
+    assert state == ()
+
+
+def test_vae_decode_shapes(tiny_setup):
+    _, _, vcfg, vae_params = tiny_setup
+    lat = jnp.ones((1, 8, 8, vcfg.latent_channels), jnp.float32)
+    img = jax.jit(lambda p, l: vae_decode(p, l, vcfg))(vae_params, lat)
+    # two up blocks -> one 2x upsample
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(img, np.float32)).all()
+
+
+def _pipe_cfg(mcfg, vcfg, parallel, compact=CompactConfig(), steps=4):
+    return PixArtPipelineConfig(
+        model=mcfg,
+        vae=vcfg,
+        parallel=parallel,
+        compact=compact,
+        num_steps=steps,
+        guidance_scale=4.5,
+        height=8 * 8,  # latent 8x8 -> 16 tokens at patch 2
+        width=8 * 8,
+    )
+
+
+def test_pipeline_single_device(tiny_setup):
+    mcfg, params, vcfg, vae_params = tiny_setup
+    cfg = _pipe_cfg(mcfg, vcfg, ParallelConfig())
+    mesh = make_mesh(cfg.parallel, devices=jax.devices()[:1])
+    pipe = PixArtPipeline(params, vae_params, cfg, mesh)
+    text, mask = _text()
+    img = pipe(text, mask, jax.random.PRNGKey(3))
+    # tiny VAE has 2 blocks -> one 2x upsample of the 8x8 latent
+    assert img.shape == (1, 16, 16, 3)
+    arr = np.asarray(img, np.float32)
+    assert np.isfinite(arr).all() and arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+@pytest.mark.parametrize(
+    "parallel",
+    [
+        ParallelConfig(ulysses_degree=2, ring_degree=2),
+        ParallelConfig(ulysses_degree=4),
+        ParallelConfig(ring_degree=4),
+        ParallelConfig(ulysses_degree=2, ring_degree=2, cfg_degree=2),
+    ],
+)
+def test_sharded_matches_single_device(tiny_setup, parallel):
+    mcfg, params, vcfg, vae_params = tiny_setup
+    text, mask = _text()
+    key = jax.random.PRNGKey(4)
+
+    cfg1 = _pipe_cfg(mcfg, vcfg, ParallelConfig())
+    mesh1 = make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    ref = PixArtPipeline(params, vae_params, cfg1, mesh1)(
+        text, mask, key, decode=False
+    )
+
+    cfgN = _pipe_cfg(mcfg, vcfg, parallel)
+    meshN = make_mesh(cfgN.parallel)
+    out = PixArtPipeline(params, vae_params, cfgN, meshN)(
+        text, mask, key, decode=False
+    )
+    assert rel_err(out, ref) < 5e-3
+
+
+def test_compact_pipeline_tracks_uncompressed(tiny_setup):
+    mcfg, params, vcfg, vae_params = tiny_setup
+    text, mask = _text()
+    key = jax.random.PRNGKey(5)
+    steps = 6
+
+    cfg1 = _pipe_cfg(mcfg, vcfg, ParallelConfig(), steps=steps)
+    mesh1 = make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    ref = PixArtPipeline(params, vae_params, cfg1, mesh1)(
+        text, mask, key, decode=False
+    )
+
+    compact = CompactConfig(
+        enabled=True,
+        compress_type=CompressType.INT2,
+        warmup_steps=2,
+        residual=1,
+        error_feedback=True,
+    )
+    par = ParallelConfig(ring_degree=4)
+    cfgC = _pipe_cfg(mcfg, vcfg, par, compact=compact, steps=steps)
+    out = PixArtPipeline(params, vae_params, cfgC, make_mesh(par))(
+        text, mask, key, decode=False
+    )
+    err = rel_err(out, ref)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err < 0.15, f"compressed pipeline diverged: rel_err={err}"
