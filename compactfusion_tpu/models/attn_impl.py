@@ -38,7 +38,15 @@ class SingleDeviceAttn:
         del n_layers, batch, seq_local, heads, head_dim, dtype
         return ()
 
-    def __call__(self, q, k, v, state):
+    def __call__(
+        self, q, k, v, state, *, joint_q=None, joint_k=None, joint_v=None,
+        joint_strategy="front",
+    ):
+        if joint_q is not None:
+            assert joint_strategy == "front"
+            q = jnp.concatenate([joint_q, q], axis=1)
+            k = jnp.concatenate([joint_k, k], axis=1)
+            v = jnp.concatenate([joint_v, v], axis=1)
         return sdpa(q, k, v), state
 
 
@@ -55,7 +63,10 @@ class USPAttn:
         del n_layers, batch, seq_local, heads, head_dim, dtype
         return ()
 
-    def __call__(self, q, k, v, state):
+    def __call__(
+        self, q, k, v, state, *, joint_q=None, joint_k=None, joint_v=None,
+        joint_strategy="front",
+    ):
         out = usp_attention(
             q,
             k,
@@ -64,6 +75,10 @@ class USPAttn:
             ring_size=self.ring_size,
             ulysses_axis=self.ulysses_axis,
             ring_axis=self.ring_axis,
+            joint_q=joint_q,
+            joint_k=joint_k,
+            joint_v=joint_v,
+            joint_strategy=joint_strategy if joint_q is not None else "none",
         )
         return out, state
 
@@ -98,7 +113,10 @@ class CompactUSPAttn:
             lambda a: jnp.broadcast_to(a[None], (n_layers,) + a.shape), one
         )
 
-    def __call__(self, q, k, v, state):
+    def __call__(
+        self, q, k, v, state, *, joint_q=None, joint_k=None, joint_v=None,
+        joint_strategy="front",
+    ):
         return compact_usp_attention(
             q,
             k,
@@ -110,4 +128,8 @@ class CompactUSPAttn:
             ring_size=self.ring_size,
             ulysses_axis=self.ulysses_axis,
             ring_axis=self.ring_axis,
+            joint_q=joint_q,
+            joint_k=joint_k,
+            joint_v=joint_v,
+            joint_strategy=joint_strategy if joint_q is not None else "none",
         )

@@ -112,6 +112,11 @@ def timestep_embedder(p, t, dim: int):
     return linear(p["fc2"], silu(linear(p["fc1"], emb)))
 
 
+def mlp_embedder(p, x):
+    """MLP on a raw conditioning vector (FLUX pooled-CLIP / SD3 text embed)."""
+    return linear(p["fc2"], silu(linear(p["fc1"], x)))
+
+
 def patch_positions_2d(h_patches: int, w_patches: int) -> jax.Array:
     """(H*W, 2) row/col indices in raster order."""
     rows = jnp.repeat(jnp.arange(h_patches), w_patches)

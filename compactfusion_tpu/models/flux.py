@@ -1,0 +1,282 @@
+"""FLUX.1 transformer (flagship backbone).
+
+TPU-native re-implementation of the model behind the reference's
+``xfuser/model_executor/models/transformers/transformer_flux.py:34-238``
+(a diffusers ``FluxTransformer2DModel`` wrapper): 19 double (MMDiT) blocks
+with separate image/text streams joined for attention, 38 single blocks on
+the fused stream, multi-axis RoPE, AdaLN-Zero modulation from
+timestep+guidance+pooled-CLIP embeddings, flow-matching velocity output.
+
+SPMD layout (matches the reference's USP strategy): image tokens sharded over
+(ring, ulysses); text tokens replicated on every SP rank and passed to the
+ring as joint front tensors (``hybrid/attn_layer.py:128-147``) — each rank
+computes the text stream redundantly (512 tokens), the image stream locally.
+CompactFusion compression therefore applies to exactly the image K/V that
+crosses chips, like the reference.
+
+Both block families scan over stacked parameters with per-layer compression
+state as scan xs/ys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.attn_impl import SingleDeviceAttn
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    dim: int = 3072
+    double_layers: int = 19
+    single_layers: int = 38
+    heads: int = 24
+    in_channels: int = 64  # 2x2-packed 16-channel latent
+    text_dim: int = 4096  # T5-XXL
+    pooled_dim: int = 768  # CLIP-L pooled
+    axes_dim: Tuple[int, ...] = (16, 56, 56)
+    mlp_ratio: int = 4
+    guidance_embeds: bool = True  # FLUX.1-dev (schnell: False)
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self):
+        return self.dim // self.heads
+
+
+def flux_dev() -> FluxConfig:
+    return FluxConfig()
+
+
+def flux_schnell() -> FluxConfig:
+    return FluxConfig(guidance_embeds=False)
+
+
+def flux_tiny() -> FluxConfig:
+    """Scaled-down config for tests (head_dim 16 -> axes (4, 6, 6))."""
+    return FluxConfig(
+        dim=64,
+        double_layers=2,
+        single_layers=2,
+        heads=4,
+        in_channels=16,
+        text_dim=32,
+        pooled_dim=16,
+        axes_dim=(4, 6, 6),
+    )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _init_double_block(key, cfg: FluxConfig):
+    d, dt = cfg.dim, cfg.dtype
+    hd = cfg.head_dim
+    ks = jax.random.split(key, 10)
+    return {
+        "img_mod": cm.init_linear(ks[0], d, 6 * d, dtype=dt),
+        "txt_mod": cm.init_linear(ks[1], d, 6 * d, dtype=dt),
+        "img_qkv": cm.init_linear(ks[2], d, 3 * d, dtype=dt),
+        "txt_qkv": cm.init_linear(ks[3], d, 3 * d, dtype=dt),
+        "img_q_norm": cm.init_rmsnorm(hd, dt),
+        "img_k_norm": cm.init_rmsnorm(hd, dt),
+        "txt_q_norm": cm.init_rmsnorm(hd, dt),
+        "txt_k_norm": cm.init_rmsnorm(hd, dt),
+        "img_out": cm.init_linear(ks[4], d, d, dtype=dt),
+        "txt_out": cm.init_linear(ks[5], d, d, dtype=dt),
+        "img_ffn": cm.init_ffn(ks[6], d, cfg.mlp_ratio * d, dtype=dt),
+        "txt_ffn": cm.init_ffn(ks[7], d, cfg.mlp_ratio * d, dtype=dt),
+    }
+
+
+def _init_single_block(key, cfg: FluxConfig):
+    d, dt = cfg.dim, cfg.dtype
+    hd = cfg.head_dim
+    ks = jax.random.split(key, 5)
+    return {
+        "mod": cm.init_linear(ks[0], d, 3 * d, dtype=dt),
+        "qkv": cm.init_linear(ks[1], d, 3 * d, dtype=dt),
+        "q_norm": cm.init_rmsnorm(hd, dt),
+        "k_norm": cm.init_rmsnorm(hd, dt),
+        "mlp_in": cm.init_linear(ks[2], d, cfg.mlp_ratio * d, dtype=dt),
+        "out": cm.init_linear(ks[3], d + cfg.mlp_ratio * d, d, dtype=dt),
+    }
+
+
+def init_flux(key, cfg: FluxConfig):
+    d, dt = cfg.dim, cfg.dtype
+    ks = jax.random.split(key, 12)
+    doubles = [
+        _init_double_block(k, cfg)
+        for k in jax.random.split(ks[0], cfg.double_layers)
+    ]
+    singles = [
+        _init_single_block(k, cfg)
+        for k in jax.random.split(ks[1], cfg.single_layers)
+    ]
+    p = {
+        "x_embedder": cm.init_linear(ks[2], cfg.in_channels, d, dtype=dt),
+        "context_embedder": cm.init_linear(ks[3], cfg.text_dim, d, dtype=dt),
+        "t_embed": cm.init_timestep_embedder(ks[4], 256, d, dtype=dt),
+        "pooled_embed": cm.init_timestep_embedder(ks[5], cfg.pooled_dim, d, dtype=dt),
+        "double_blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *doubles),
+        "single_blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *singles),
+        "norm_out_mod": cm.init_linear(ks[6], d, 2 * d, dtype=dt),
+        "proj_out": cm.init_linear(ks[7], d, cfg.in_channels, dtype=dt),
+    }
+    if cfg.guidance_embeds:
+        p["guidance_embed"] = cm.init_timestep_embedder(ks[8], 256, d, dtype=dt)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _heads(x, h):
+    b, s, dim = x.shape
+    return x.reshape(b, s, h, dim // h)
+
+
+def _unheads(x):
+    b, s, h, hd = x.shape
+    return x.reshape(b, s, h * hd)
+
+
+def _qk_norm(p_q, p_k, q, k):
+    return cm.rmsnorm(p_q, q), cm.rmsnorm(p_k, k)
+
+
+def _mod(p, temb, n):
+    out = cm.linear(p, cm.silu(temb))  # (B, n*d)
+    return jnp.split(out[:, None, :], n, axis=-1)  # n x (B, 1, d)
+
+
+def flux_image_positions(hp: int, wp: int) -> jax.Array:
+    """(hp*wp, 3) FLUX image token ids (0, row, col)."""
+    pos = cm.patch_positions_2d(hp, wp)
+    return jnp.concatenate([jnp.zeros((hp * wp, 1), pos.dtype), pos], axis=-1)
+
+
+def flux_forward(
+    params,
+    img: jax.Array,
+    txt: jax.Array,
+    pooled: jax.Array,
+    t: jax.Array,
+    guidance: Optional[jax.Array],
+    cfg: FluxConfig,
+    *,
+    img_rope: Tuple[jax.Array, jax.Array],
+    txt_rope: Tuple[jax.Array, jax.Array],
+    attn=SingleDeviceAttn(),
+    attn_state_double=(),
+    attn_state_single=(),
+):
+    """FLUX denoiser on local image-token shards.
+
+    Args:
+      img: (B, S_img_local, in_channels) packed latent tokens (local shard).
+      txt: (B, S_txt, text_dim) T5 states, replicated over SP ranks.
+      pooled: (B, pooled_dim) CLIP pooled embedding.
+      t: (B,) timesteps in train units (sigma * 1000).
+      guidance: (B,) guidance scale (dev only) or None.
+      img_rope / txt_rope: (cos, sin) tables for the LOCAL image tokens and
+        the replicated text tokens, from :func:`cm.rope_frequencies`.
+      attn: self-attention strategy; the joint (text) tensors ride as ring
+        joint front tensors, so only image K/V is ring-exchanged/compressed.
+
+    Returns:
+      (velocity, new_state_double, new_state_single):
+        velocity (B, S_img_local, in_channels).
+    """
+    h = cfg.heads
+    img = cm.linear(params["x_embedder"], img)
+    txt = cm.linear(params["context_embedder"], txt)
+
+    temb = cm.timestep_embedder(params["t_embed"], t, 256)
+    temb = temb + cm.mlp_embedder(params["pooled_embed"], pooled.astype(cfg.dtype))
+    if cfg.guidance_embeds:
+        assert guidance is not None
+        temb = temb + cm.timestep_embedder(params["guidance_embed"], guidance, 256)
+
+    cos_i, sin_i = img_rope
+    cos_t, sin_t = txt_rope
+
+    # ---------------- double (MMDiT) blocks ----------------
+    def double_block(carry, xs):
+        img, txt = carry
+        p, state = xs
+        i_sh_a, i_sc_a, i_g_a, i_sh_m, i_sc_m, i_g_m = _mod(p["img_mod"], temb, 6)
+        t_sh_a, t_sc_a, t_g_a, t_sh_m, t_sc_m, t_g_m = _mod(p["txt_mod"], temb, 6)
+
+        img_n = cm.layernorm({}, img) * (1 + i_sc_a) + i_sh_a
+        txt_n = cm.layernorm({}, txt) * (1 + t_sc_a) + t_sh_a
+
+        iq, ik, iv = [_heads(x, h) for x in jnp.split(cm.linear(p["img_qkv"], img_n), 3, -1)]
+        tq, tk, tv = [_heads(x, h) for x in jnp.split(cm.linear(p["txt_qkv"], txt_n), 3, -1)]
+        iq, ik = _qk_norm(p["img_q_norm"], p["img_k_norm"], iq, ik)
+        tq, tk = _qk_norm(p["txt_q_norm"], p["txt_k_norm"], tq, tk)
+        iq, ik = cm.apply_rope(iq, cos_i, sin_i), cm.apply_rope(ik, cos_i, sin_i)
+        tq, tk = cm.apply_rope(tq, cos_t, sin_t), cm.apply_rope(tk, cos_t, sin_t)
+
+        o, state = attn(iq, ik, iv, state, joint_q=tq, joint_k=tk, joint_v=tv)
+        s_txt = txt.shape[1]
+        txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
+
+        img = img + i_g_a * cm.linear(p["img_out"], _unheads(img_o))
+        txt = txt + t_g_a * cm.linear(p["txt_out"], _unheads(txt_o))
+
+        img_n = cm.layernorm({}, img) * (1 + i_sc_m) + i_sh_m
+        img = img + i_g_m * cm.ffn(p["img_ffn"], img_n)
+        txt_n = cm.layernorm({}, txt) * (1 + t_sc_m) + t_sh_m
+        txt = txt + t_g_m * cm.ffn(p["txt_ffn"], txt_n)
+        return (img, txt), state
+
+    (img, txt), new_state_double = jax.lax.scan(
+        double_block, (img, txt), (params["double_blocks"], attn_state_double)
+    )
+
+    # ---------------- single blocks (fused stream) ----------------
+    s_txt = txt.shape[1]
+    cos_c = jnp.concatenate([cos_t, cos_i], axis=0)
+    sin_c = jnp.concatenate([sin_t, sin_i], axis=0)
+
+    def single_block(carry, xs):
+        img, txt = carry
+        p, state = xs
+        sh, sc, g = _mod(p["mod"], temb, 3)
+        x = jnp.concatenate([txt, img], axis=1)
+        xn = cm.layernorm({}, x) * (1 + sc) + sh
+        q, k, v = [_heads(y, h) for y in jnp.split(cm.linear(p["qkv"], xn), 3, -1)]
+        q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k)
+        # joint (text) rows are the first s_txt tokens of the fused stream
+        tq, iq = q[:, :s_txt], q[:, s_txt:]
+        tk, ik = k[:, :s_txt], k[:, s_txt:]
+        tv, iv = v[:, :s_txt], v[:, s_txt:]
+        iq, ik = cm.apply_rope(iq, cos_i, sin_i), cm.apply_rope(ik, cos_i, sin_i)
+        tq, tk = cm.apply_rope(tq, cos_t, sin_t), cm.apply_rope(tk, cos_t, sin_t)
+        o, state = attn(iq, ik, iv, state, joint_q=tq, joint_k=tk, joint_v=tv)
+        attn_out = _unheads(o)
+        mlp = cm.gelu(cm.linear(p["mlp_in"], xn))
+        y = cm.linear(p["out"], jnp.concatenate([attn_out, mlp], axis=-1))
+        x = x + g * y
+        return (x[:, s_txt:], x[:, :s_txt]), state
+
+    (img, txt), new_state_single = jax.lax.scan(
+        single_block, (img, txt), (params["single_blocks"], attn_state_single)
+    )
+
+    # ---------------- head ----------------
+    mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
+    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+    img = cm.layernorm({}, img) * (1 + scale) + shift
+    return cm.linear(params["proj_out"], img), new_state_double, new_state_single

@@ -1,0 +1,135 @@
+"""FLUX backbone + pipeline tests (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.flux import (
+    flux_forward,
+    flux_image_positions,
+    flux_tiny,
+    init_flux,
+)
+from compactfusion_tpu.models.vae import tiny_vae
+from compactfusion_tpu.parallel.mesh import make_mesh
+from compactfusion_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    mcfg = flux_tiny()
+    params = init_flux(jax.random.PRNGKey(0), mcfg)
+    return mcfg, params
+
+
+def test_forward_shapes(tiny):
+    mcfg, params = tiny
+    b, s_img, s_txt = 2, 16, 8
+    img = jnp.ones((b, s_img, mcfg.in_channels), mcfg.dtype)
+    txt = jnp.ones((b, s_txt, mcfg.text_dim), mcfg.dtype)
+    pooled = jnp.ones((b, mcfg.pooled_dim), jnp.float32)
+    t = jnp.full((b,), 500.0)
+    g = jnp.full((b,), 3500.0)
+    img_rope = cm.rope_frequencies(flux_image_positions(4, 4), mcfg.axes_dim)
+    txt_rope = cm.rope_frequencies(
+        jnp.zeros((s_txt, 3), jnp.int32), mcfg.axes_dim
+    )
+    out, sd, ss = jax.jit(
+        lambda p, i, c, pl, t, g: flux_forward(
+            p, i, c, pl, t, g, mcfg, img_rope=img_rope, txt_rope=txt_rope
+        )
+    )(params, img, txt, pooled, t, g)
+    assert out.shape == (b, s_img, mcfg.in_channels)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def _pipe_cfg(mcfg, parallel, compact=CompactConfig(), steps=4):
+    return FluxPipelineConfig(
+        model=mcfg,
+        vae=tiny_vae(),
+        parallel=parallel,
+        compact=compact,
+        num_steps=steps,
+        height=4 * 16,
+        width=8 * 16,  # grid 4x8 = 32 tokens
+    )
+
+
+def _inputs(mcfg, b=1, s_txt=8, seed=1):
+    rng = np.random.default_rng(seed)
+    txt = jnp.asarray(rng.standard_normal((b, s_txt, mcfg.text_dim)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((b, mcfg.pooled_dim)), jnp.float32)
+    return txt, pooled
+
+
+def test_flux_pipeline_single_device(tiny):
+    mcfg, params = tiny
+    cfg = _pipe_cfg(mcfg, ParallelConfig())
+    mesh = make_mesh(cfg.parallel, devices=jax.devices()[:1])
+    pipe = FluxPipeline(params, None, cfg, mesh)
+    txt, pooled = _inputs(mcfg)
+    lat = pipe(txt, pooled, jax.random.PRNGKey(2), decode=False)
+    assert lat.shape == (1, 32, mcfg.in_channels)
+    assert np.isfinite(np.asarray(lat, np.float32)).all()
+
+
+@pytest.mark.parametrize(
+    "parallel",
+    [
+        ParallelConfig(ulysses_degree=2, ring_degree=2),
+        ParallelConfig(ring_degree=8),
+        ParallelConfig(ulysses_degree=4, ring_degree=2),
+    ],
+)
+def test_flux_sharded_matches_single_device(tiny, parallel):
+    mcfg, params = tiny
+    txt, pooled = _inputs(mcfg)
+    key = jax.random.PRNGKey(3)
+
+    cfg1 = _pipe_cfg(mcfg, ParallelConfig())
+    ref = FluxPipeline(
+        params, None, cfg1, make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key, decode=False)
+
+    cfgN = _pipe_cfg(mcfg, parallel)
+    out = FluxPipeline(params, None, cfgN, make_mesh(cfgN.parallel))(
+        txt, pooled, key, decode=False
+    )
+    assert rel_err(out, ref) < 5e-3
+
+
+def test_flux_compact_tracks_uncompressed(tiny):
+    mcfg, params = tiny
+    txt, pooled = _inputs(mcfg)
+    key = jax.random.PRNGKey(4)
+    steps = 6
+
+    cfg1 = _pipe_cfg(mcfg, ParallelConfig(), steps=steps)
+    ref = FluxPipeline(
+        params, None, cfg1, make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key, decode=False)
+
+    compact = CompactConfig(
+        enabled=True,
+        compress_type=CompressType.BINARY,
+        warmup_steps=2,
+        residual=1,
+        error_feedback=True,
+    )
+    par = ParallelConfig(ulysses_degree=2, ring_degree=2)
+    cfgC = _pipe_cfg(mcfg, par, compact=compact, steps=steps)
+    out = FluxPipeline(params, None, cfgC, make_mesh(par))(
+        txt, pooled, key, decode=False
+    )
+    err = rel_err(out, ref)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err < 0.2, f"compact FLUX diverged: {err}"
