@@ -1,0 +1,87 @@
+"""Benchmark: PixArt-alpha 512px, 20-step DPM-Solver++, single chip.
+
+Driver config #1 (BASELINE.json): "PixArt-alpha 512px, 20 steps, single
+device, compression off".  Runs the full-size 0.61B PixArt-alpha backbone
+(28 layers, dim 1152) with CFG (2 forwards/step) + SD-VAE decode on the one
+real TPU chip and reports seconds per image.
+
+``vs_baseline`` is measured against a hardware roofline, not a GPU wall-clock
+(the reference publishes no absolute PixArt single-GPU latency):
+  FLOPs/image ~= 40 model forwards x (2 * 0.61e9 params * 1024 tokens * ~1.15
+  attn overhead) + VAE ~= 60 TFLOP; at 50% MFU on v5e (197 TFLOPS bf16)
+  -> 0.61 s/image.  vs_baseline = roofline_sec / measured_sec, so 1.0 means
+  running at 50% MFU; higher is better.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROOFLINE_SEC = 0.61
+
+
+def main():
+    from compactfusion_tpu.config import ParallelConfig
+    from compactfusion_tpu.models.pixart import init_pixart, pixart_alpha_512
+    from compactfusion_tpu.models.vae import init_vae_decoder, sd_vae
+    from compactfusion_tpu.parallel.mesh import make_mesh
+    from compactfusion_tpu.pipelines.pixart import (
+        PixArtPipeline,
+        PixArtPipelineConfig,
+    )
+
+    mcfg = pixart_alpha_512()
+    params = init_pixart(jax.random.PRNGKey(0), mcfg)
+    vcfg = sd_vae()
+    vae_params = init_vae_decoder(jax.random.PRNGKey(1), vcfg)
+
+    pcfg = PixArtPipelineConfig(
+        model=mcfg,
+        vae=vcfg,
+        parallel=ParallelConfig(),
+        num_steps=20,
+        guidance_scale=4.5,
+        height=512,
+        width=512,
+    )
+    mesh = make_mesh(pcfg.parallel, devices=jax.devices()[:1])
+    pipe = PixArtPipeline(params, vae_params, pcfg, mesh)
+
+    rng = np.random.default_rng(0)
+    text = jnp.asarray(rng.standard_normal((2, 1, 120, mcfg.text_dim)), jnp.float32)
+    mask = jnp.ones((2, 1, 120), bool)
+    key = jax.random.PRNGKey(2)
+
+    # under the axon tunnel block_until_ready does not actually block; force
+    # completion with a scalar device->host transfer
+    checksum = jax.jit(jnp.sum)
+
+    def run():
+        img = pipe(text, mask, key)
+        return float(np.asarray(checksum(img)))
+
+    run()  # warmup (compile)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pixart_alpha_512px_20steps_sec_per_image_1chip",
+                "value": round(sec, 4),
+                "unit": "s",
+                "vs_baseline": round(ROOFLINE_SEC / sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
