@@ -21,6 +21,18 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _flash_eligible(q, k, causal, mask) -> bool:
+    """Use the Pallas flash kernel: TPU backend, no masking, big enough that
+    materialising scores would hurt, and a lane-aligned head dim."""
+    if causal or mask is not None:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    return d % 128 == 0 and sq * sk >= 256 * 256
+
+
 def attn_with_lse(
     q: jax.Array,
     k: jax.Array,
@@ -28,6 +40,7 @@ def attn_with_lse(
     scale: Optional[float] = None,
     causal: bool = False,
     mask: Optional[jax.Array] = None,
+    impl: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Scaled dot-product attention returning (out, lse).
 
@@ -37,11 +50,19 @@ def attn_with_lse(
       scale: softmax scale; defaults to 1/sqrt(D).
       causal: apply a causal mask (diffusion uses False; parity only).
       mask: optional (Sq, Sk) boolean mask (True = attend).
+      impl: "auto" | "flash" (Pallas TPU kernel) | "xla".
 
     Returns:
       out: (B, Sq, H, D) in q.dtype
       lse: (B, H, Sq) fp32
     """
+    if impl == "auto" and _flash_eligible(q, k, causal, mask):
+        impl = "flash"
+    if impl == "flash":
+        from compactfusion_tpu.ops.flash_pallas import flash_attn_with_lse
+
+        return flash_attn_with_lse(q, k, v, scale=scale)
+
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if scale is None:

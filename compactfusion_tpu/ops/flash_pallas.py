@@ -1,0 +1,183 @@
+"""Pallas TPU flash attention with log-sum-exp output.
+
+Replaces flash-attn's CUDA kernels in the reference hot path
+(``xfuser/compact/ring.py:236-262``).  Online-softmax attention tiled for the
+MXU: grid (batch, heads, q_blocks, kv_blocks) with the kv dimension innermost
+("arbitrary" semantics) accumulating into fp32 VMEM scratch; the (out, lse)
+pair feeds the ring merge (``ops/merge.py``), same contract as
+:func:`compactfusion_tpu.ops.attention.attn_with_lse`.
+
+Memory: never materialises the (Sq, Sk) score matrix — the XLA fallback needs
+O(B*H*Sq*Sk) HBM (2 GB/layer for FLUX 1024px), this kernel O(block_q*block_k)
+VMEM.
+
+TPU layout notes: kernels run on (B, H, S, D) — the wrapper transposes from
+the framework-wide (B, S, H, D) (XLA usually fuses the transpose into the
+producing matmul).  The lse output carries a trailing 8-lane axis because a
+TPU block's last dim must equal the array dim or be lane-divisible; the
+wrapper strips it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    kv_blocks: int,
+    valid_k: int,
+    block_k: int,
+):
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0, :, :]  # (Bq, D)
+    k = k_ref[0, 0, :, :]  # (Bk, D)
+    v = v_ref[0, 0, :, :]
+
+    s = (
+        jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # (Bq, Bk) fp32
+
+    if valid_k % block_k != 0:
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        s = jnp.where(col < valid_k, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]  # (Bq, 1)
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:, :1] = m_new
+    l_scr[:, :1] = l_new
+
+    @pl.when(ki == kv_blocks - 1)
+    def _():
+        o_ref[0, 0, :, :] = (acc_scr[:] / l_new).astype(o_ref.dtype)
+        lse_ref[0, 0, :, :] = jnp.broadcast_to(
+            m_new + jnp.log(l_new), lse_ref.shape[2:]
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def flash_attn_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Flash attention.  Same contract as ``attn_with_lse`` (non-causal).
+
+    q: (B, Sq, H, D); k, v: (B, Sk, H, D) -> out (B, Sq, H, D), lse (B, H, Sq).
+    Sq/Sk are padded to the block sizes internally (padded keys masked out).
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+
+    block_q = min(block_q, _round_up(sq, 8))
+    block_k = min(block_k, _round_up(sk, 128))
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+
+    # (B, S, H, D) -> (B, H, S, D) kernel layout
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    if sq_p != sq:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
+
+    kv_blocks = sk_p // block_k
+    grid = (b, h, sq_p // block_q, kv_blocks)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        scale=scale,
+        kv_blocks=kv_blocks,
+        valid_k=sk,
+        block_k=block_k,
+    )
+
+    out, lse8 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, qi, ki: (b, h, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq_p, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+
+    out = jnp.transpose(out[:, :, :sq, :], (0, 2, 1, 3))
+    lse = lse8[:, :, :sq, 0]
+    return out, lse
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m

@@ -1,0 +1,53 @@
+"""Pallas flash attention kernel vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactfusion_tpu.ops.attention import attn_with_lse
+from compactfusion_tpu.ops.flash_pallas import flash_attn_with_lse
+
+
+def _qkv(b, sq, sk, h, d, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, sk, h, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, sk, h, d)), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize(
+    "b,sq,sk,h,d",
+    [
+        (1, 256, 256, 2, 128),
+        (2, 512, 512, 4, 64),
+        (1, 256, 1024, 2, 128),
+    ],
+)
+def test_flash_matches_reference(b, sq, sk, h, d):
+    q, k, v = _qkv(b, sq, sk, h, d)
+    ref_o, ref_l = attn_with_lse(q, k, v, impl="xla")
+    out, lse = flash_attn_with_lse(q, k, v, block_q=128, block_k=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_o), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_l), atol=2e-4)
+
+
+def test_flash_unaligned_kv_masked():
+    """Sk not a multiple of block_k exercises the masked kernel variant."""
+    q, k, v = _qkv(1, 128, 384 + 64, h=2, d=64, seed=1)
+    ref_o, ref_l = attn_with_lse(q, k, v, impl="xla")
+    out, lse = flash_attn_with_lse(q, k, v, block_q=128, block_k=384, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_o), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_l), atol=2e-4)
+
+
+def test_flash_bf16():
+    q, k, v = _qkv(1, 256, 256, 2, 128, seed=2, dtype=jnp.bfloat16)
+    ref_o, _ = attn_with_lse(q, k, v, impl="xla")
+    out, _ = flash_attn_with_lse(q, k, v, block_q=128, block_k=128, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    err = np.linalg.norm(
+        np.asarray(out, np.float64) - np.asarray(ref_o, np.float64)
+    ) / np.linalg.norm(np.asarray(ref_o, np.float64))
+    assert err < 2e-2
