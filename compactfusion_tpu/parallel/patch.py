@@ -134,9 +134,10 @@ class PatchParallelAttn:
         if self.mode == "async":
             # DistriFusion: stale remote KV + fresh local slice
             my = lax.axis_index(self.axis)
+            cache_dt = state.k.dtype
             if self.method == CompressType.WARMUP:
-                gk = lax.all_gather(k, self.axis)
-                gv = lax.all_gather(v, self.axis)
+                gk = lax.all_gather(k, self.axis).astype(cache_dt)
+                gv = lax.all_gather(v, self.axis).astype(cache_dt)
                 mixed_k, mixed_v = gk, gv
                 new_state = PatchKVCache(k=gk, v=gv)
             else:
@@ -149,7 +150,8 @@ class PatchParallelAttn:
                 # gather fresh KV for the NEXT step; XLA overlaps this with
                 # the attention below (no data dependency)
                 new_state = PatchKVCache(
-                    k=lax.all_gather(k, self.axis), v=lax.all_gather(v, self.axis)
+                    k=lax.all_gather(k, self.axis).astype(cache_dt),
+                    v=lax.all_gather(v, self.axis).astype(cache_dt),
                 )
             w, b, s, h, d = mixed_k.shape
             flat = lambda g: jnp.transpose(g, (1, 0, 2, 3, 4)).reshape(

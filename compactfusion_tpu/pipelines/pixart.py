@@ -69,6 +69,21 @@ class PixArtPipelineConfig:
 
 def _attn_impl(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
     p = cfg.parallel
+    if cfg.compact.enabled and cfg.compact.patch_gather:
+        # patch-parallel override (reference override_with_patch_gather_fwd);
+        # patches live on the ring axis, so ulysses must be 1
+        from compactfusion_tpu.parallel.patch import PatchParallelAttn
+
+        assert p.ulysses_degree == 1, "patch_gather requires ulysses_degree=1"
+        if cfg.compact.patch_async:
+            mode = "async"
+        elif cfg.compact.compress_type != CompressType.IDENTITY:
+            mode = "compact"
+        else:
+            mode = "sync"
+        return PatchParallelAttn(
+            cfg=cfg.compact, method=method, mode=mode, world=p.ring_degree
+        )
     if cfg.compact.enabled:
         assert method is not None
         return CompactUSPAttn(

@@ -154,3 +154,38 @@ def test_compact_pipeline_tracks_uncompressed(tiny_setup):
     err = rel_err(out, ref)
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert err < 0.15, f"compressed pipeline diverged: rel_err={err}"
+
+
+@pytest.mark.parametrize("patch_async", [False, True])
+def test_patch_parallel_pipeline(tiny_setup, patch_async):
+    """Patch-gather override (DistriFusion when async) vs single device."""
+    mcfg, params, vcfg, vae_params = tiny_setup
+    text, mask = _text()
+    key = jax.random.PRNGKey(6)
+    steps = 5
+
+    cfg1 = _pipe_cfg(mcfg, vcfg, ParallelConfig(), steps=steps)
+    mesh1 = make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    ref = PixArtPipeline(params, vae_params, cfg1, mesh1)(
+        text, mask, key, decode=False
+    )
+
+    compact = CompactConfig(
+        enabled=True,
+        compress_type=(
+            CompressType.IDENTITY if patch_async else CompressType.BINARY
+        ),
+        warmup_steps=2,
+        residual=1,
+        error_feedback=not patch_async,
+        patch_gather=True,
+        patch_async=patch_async,
+    )
+    par = ParallelConfig(ring_degree=4)
+    cfgP = _pipe_cfg(mcfg, vcfg, par, compact=compact, steps=steps)
+    out = PixArtPipeline(params, vae_params, cfgP, make_mesh(par))(
+        text, mask, key, decode=False
+    )
+    err = rel_err(out, ref)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err < 0.2, f"patch-parallel pipeline diverged: {err}"
