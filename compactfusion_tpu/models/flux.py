@@ -180,6 +180,7 @@ def flux_forward(
     attn=SingleDeviceAttn(),
     attn_state_double=(),
     attn_state_single=(),
+    tp_axis: Optional[str] = None,
 ):
     """FLUX denoiser on local image-token shards.
 
@@ -236,9 +237,9 @@ def flux_forward(
         txt = txt + t_g_a * cm.linear(p["txt_out"], _unheads(txt_o))
 
         img_n = cm.layernorm({}, img) * (1 + i_sc_m) + i_sh_m
-        img = img + i_g_m * cm.ffn(p["img_ffn"], img_n)
+        img = img + i_g_m * cm.ffn(p["img_ffn"], img_n, tp_axis=tp_axis)
         txt_n = cm.layernorm({}, txt) * (1 + t_sc_m) + t_sh_m
-        txt = txt + t_g_m * cm.ffn(p["txt_ffn"], txt_n)
+        txt = txt + t_g_m * cm.ffn(p["txt_ffn"], txt_n, tp_axis=tp_axis)
         return (img, txt), state
 
     (img, txt), new_state_double = jax.lax.scan(

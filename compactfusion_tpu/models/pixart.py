@@ -125,6 +125,7 @@ def pixart_forward(
     attn=SingleDeviceAttn(),
     attn_state=(),
     text_mask: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, Any]:
     """Denoiser forward on (already patchified-shard) latent tokens.
 
@@ -177,7 +178,7 @@ def pixart_forward(
 
         # mlp
         xn = cm.layernorm({}, x) * (1 + sc_m) + sh_m
-        x = x + g_m * cm.ffn(p["ffn"], xn)
+        x = x + g_m * cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
         return x, state
 
     x, new_state = jax.lax.scan(block, x, (params["blocks"], attn_state))

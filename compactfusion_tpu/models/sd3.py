@@ -125,6 +125,7 @@ def sd3_forward(
     pos_embed: jax.Array,
     attn=SingleDeviceAttn(),
     attn_state=(),
+    tp_axis: Optional[str] = None,
 ):
     """SD3 denoiser on local image-token shards.
 
@@ -166,9 +167,9 @@ def sd3_forward(
         img = img + i_g_a * cm.linear(p["img_out"], _unheads(img_o))
         txt = txt + t_g_a * cm.linear(p["txt_out"], _unheads(txt_o))
         img_n = cm.layernorm({}, img) * (1 + i_sc_m) + i_sh_m
-        img = img + i_g_m * cm.ffn(p["img_ffn"], img_n)
+        img = img + i_g_m * cm.ffn(p["img_ffn"], img_n, tp_axis=tp_axis)
         txt_n = cm.layernorm({}, txt) * (1 + t_sc_m) + t_sh_m
-        txt = txt + t_g_m * cm.ffn(p["txt_ffn"], txt_n)
+        txt = txt + t_g_m * cm.ffn(p["txt_ffn"], txt_n, tp_axis=tp_axis)
         return (img, txt), state
 
     (img, txt), new_state = jax.lax.scan(

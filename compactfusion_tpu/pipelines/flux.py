@@ -34,7 +34,8 @@ from compactfusion_tpu.models.flux import (
     flux_image_positions,
 )
 from compactfusion_tpu.models.vae import VAEConfig, vae_decode
-from compactfusion_tpu.parallel.mesh import AXIS_DP, AXIS_RING, AXIS_ULYSSES
+from compactfusion_tpu.parallel.mesh import AXIS_DP, AXIS_RING, AXIS_TP, AXIS_ULYSSES
+from compactfusion_tpu.parallel.tp import tp_param_specs
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.flow_match import (
     calculate_shift,
@@ -80,7 +81,7 @@ def _attn_impl(cfg: FluxPipelineConfig, method: Optional[CompressType]):
     return SingleDeviceAttn()
 
 
-def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh):
+def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
     """Compile ``sample(params, txt, pooled, latents0) -> latents``.
 
     txt: (B, S_txt, text_dim) T5 states; pooled: (B, pooled_dim);
@@ -154,6 +155,7 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh):
                     attn=_attn,
                     attn_state_double=sd,
                     attn_state_single=ss,
+                    tp_axis=AXIS_TP if p.tp_degree > 1 else None,
                 )
                 latents = flow_match_step(sched, i, latents, v)
                 return (latents, sd, ss), None
@@ -161,8 +163,13 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh):
             carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
         return carry[0]
 
+    if p.tp_degree > 1:
+        assert params_tree is not None, "TP needs the param tree for specs"
+        param_specs = tp_param_specs(params_tree)
+    else:
+        param_specs = P()
     in_specs = (
-        P(),
+        param_specs,
         P(AXIS_DP),
         P(AXIS_DP),
         base.LATENT_SPEC,
@@ -194,7 +201,7 @@ class FluxPipeline:
         self.vae_params = vae_params
         self.cfg = cfg
         self.mesh = mesh
-        self._sample = build_sample_fn(cfg, mesh)
+        self._sample = build_sample_fn(cfg, mesh, params)
         self._decode = jax.jit(functools.partial(decode_latents, cfg=cfg))
 
     def __call__(self, txt, pooled, key, decode: bool = True):

@@ -28,7 +28,8 @@ from compactfusion_tpu.models.attn_impl import (
 )
 from compactfusion_tpu.models.pixart import PixArtConfig, pixart_forward
 from compactfusion_tpu.models.vae import VAEConfig, vae_decode
-from compactfusion_tpu.parallel.mesh import AXIS_CFG, AXIS_DP, AXIS_RING, AXIS_ULYSSES
+from compactfusion_tpu.parallel.mesh import AXIS_CFG, AXIS_DP, AXIS_RING, AXIS_TP, AXIS_ULYSSES
+from compactfusion_tpu.parallel.tp import replicated_specs, tp_param_specs
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.diffusion import (
     ddpm_schedule,
@@ -123,6 +124,7 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
             attn=attn,
             attn_state=attn_state,
             text_mask=text_mask,
+            tp_axis=AXIS_TP if p.tp_degree > 1 else None,
         )
         eps = out[..., : out.shape[-1] // 2]  # drop learned variance half
         if cfg.do_cfg:
@@ -135,7 +137,7 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
     return step, pos_full, attn
 
 
-def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh):
+def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh, params_tree=None):
     """Compile the full text->latents sampler over the mesh.
 
     Returns ``sample(params, text, text_mask, latents0) -> latents`` where
@@ -207,8 +209,13 @@ def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh):
             )
         return carry[0]
 
+    if p.tp_degree > 1:
+        assert params_tree is not None, "TP needs the param tree for specs"
+        param_specs = tp_param_specs(params_tree)
+    else:
+        param_specs = P()
     in_specs = (
-        P(),  # params replicated (TP handled separately)
+        param_specs,  # FFNs sharded over tp when tp_degree > 1
         base.TEXT_SPEC,
         base.TEXT_SPEC,
         base.LATENT_SPEC,
@@ -238,7 +245,7 @@ class PixArtPipeline:
         self.vae_params = vae_params
         self.cfg = cfg
         self.mesh = mesh
-        self._sample = build_sample_fn(cfg, mesh)
+        self._sample = build_sample_fn(cfg, mesh, params)
         self._decode = jax.jit(
             functools.partial(decode_latents, cfg=cfg)
         )

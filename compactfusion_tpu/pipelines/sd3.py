@@ -27,7 +27,8 @@ from compactfusion_tpu.models.attn_impl import (
 )
 from compactfusion_tpu.models.sd3 import SD3Config, sd3_forward
 from compactfusion_tpu.models.vae import VAEConfig, vae_decode
-from compactfusion_tpu.parallel.mesh import AXIS_DP
+from compactfusion_tpu.parallel.mesh import AXIS_DP, AXIS_TP
+from compactfusion_tpu.parallel.tp import tp_param_specs
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.flow_match import (
     flow_match_schedule,
@@ -73,7 +74,7 @@ def _attn_impl(cfg: SD3PipelineConfig, method: Optional[CompressType]):
     return SingleDeviceAttn()
 
 
-def build_sample_fn(cfg: SD3PipelineConfig, mesh: Mesh):
+def build_sample_fn(cfg: SD3PipelineConfig, mesh: Mesh, params_tree=None):
     """``sample(params, txt, pooled, latents0) -> latents``.
 
     txt: (2, B, S_txt, text_dim) [cond, uncond]; pooled: (2, B, pooled_dim);
@@ -142,6 +143,7 @@ def build_sample_fn(cfg: SD3PipelineConfig, mesh: Mesh):
                     pos_embed=pos_local,
                     attn=_attn,
                     attn_state=st,
+                    tp_axis=AXIS_TP if p.tp_degree > 1 else None,
                 )
                 if cfg.do_cfg:
                     v = base.cfg_combine(v, cfg.guidance_scale, p.cfg_degree)
@@ -151,7 +153,12 @@ def build_sample_fn(cfg: SD3PipelineConfig, mesh: Mesh):
             carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
         return carry[0]
 
-    in_specs = (P(), base.TEXT_SPEC, base.TEXT_SPEC, base.LATENT_SPEC)
+    if p.tp_degree > 1:
+        assert params_tree is not None, "TP needs the param tree for specs"
+        param_specs = tp_param_specs(params_tree)
+    else:
+        param_specs = P()
+    in_specs = (param_specs, base.TEXT_SPEC, base.TEXT_SPEC, base.LATENT_SPEC)
     fn = jax.shard_map(
         spmd, mesh=mesh, in_specs=in_specs, out_specs=base.LATENT_SPEC,
         check_vma=False,
@@ -174,7 +181,7 @@ class SD3Pipeline:
         self.vae_params = vae_params
         self.cfg = cfg
         self.mesh = mesh
-        self._sample = build_sample_fn(cfg, mesh)
+        self._sample = build_sample_fn(cfg, mesh, params)
         self._decode = jax.jit(functools.partial(decode_latents, cfg=cfg))
 
     def __call__(self, txt, pooled, key, decode: bool = True):
