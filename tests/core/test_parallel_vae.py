@@ -1,0 +1,37 @@
+"""Parallel VAE decode must be exact vs the single-device decoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from compactfusion_tpu.config import ParallelConfig
+from compactfusion_tpu.models.vae import init_vae_decoder, tiny_vae, vae_decode
+from compactfusion_tpu.parallel.mesh import AXIS_RING, make_mesh
+from compactfusion_tpu.parallel.vae import parallel_vae_decode
+
+
+@pytest.mark.parametrize("world", [2, 4])
+def test_parallel_decode_exact(world):
+    cfg = tiny_vae()
+    params = init_vae_decoder(jax.random.PRNGKey(0), cfg)
+    lat = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 16, 8, cfg.latent_channels), jnp.float32
+    )
+    ref = vae_decode(params, lat, cfg)
+
+    mesh = make_mesh(ParallelConfig(ring_degree=world))
+    f = jax.jit(
+        jax.shard_map(
+            lambda p, l: parallel_vae_decode(p, l, cfg, AXIS_RING, world),
+            mesh=mesh,
+            in_specs=(P(), P(None, AXIS_RING, None, None)),
+            out_specs=P(None, AXIS_RING, None, None),
+            check_vma=False,
+        )
+    )
+    out = f(params, lat)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-5
+    )
