@@ -126,6 +126,8 @@ def pixart_forward(
     attn_state=(),
     text_mask: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
+    cache_cfg=None,
+    cache_state=None,
 ) -> Tuple[jax.Array, Any]:
     """Denoiser forward on (already patchified-shard) latent tokens.
 
@@ -181,13 +183,53 @@ def pixart_forward(
         x = x + g_m * cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
         return x, state
 
-    x, new_state = jax.lax.scan(block, x, (params["blocks"], attn_state))
+    if cache_cfg is not None and cache_cfg.mode != "none":
+        # TeaCache / FBCache: run block 0, decide, conditionally skip the rest
+        # (reference cache/utils.py:76-249).  Requires a stateless attention
+        # strategy — skipped blocks would desync compression EF caches.
+        assert not jax.tree_util.tree_leaves(attn_state), (
+            "cache acceleration is incompatible with compact EF state"
+        )
+        from compactfusion_tpu.cache.accel import CacheAccelState, should_skip
+
+        p0 = jax.tree_util.tree_map(lambda a: a[0], params["blocks"])
+        table0 = p0["scale_shift_table"][None] + mod6
+        probe_in = (
+            cm.layernorm({}, x) * (1 + table0[:, 1][:, None]) + table0[:, 0][:, None]
+        )
+        x1, _ = block(x, (p0, ()))
+        probe = x1 if cache_cfg.mode == "fbcache" else probe_in
+        skip, accum = should_skip(cache_cfg, cache_state, probe)
+
+        p_rest = jax.tree_util.tree_map(lambda a: a[1:], params["blocks"])
+
+        def run_rest(x1):
+            xf, _ = jax.lax.scan(block, x1, (p_rest, ()))
+            return xf, (xf - x1).astype(cache_state.residual.dtype)
+
+        def replay(x1):
+            return x1 + cache_state.residual.astype(x1.dtype), cache_state.residual
+
+        x, residual = jax.lax.cond(skip, replay, run_rest, x1)
+        new_cache = CacheAccelState(
+            prev_probe=probe.astype(cache_state.prev_probe.dtype),
+            residual=residual.astype(cache_state.residual.dtype),
+            accum=accum,
+            has_prev=jnp.ones((), jnp.int32),
+            skips=cache_state.skips + skip.astype(jnp.int32),
+        )
+        new_state = attn_state
+    else:
+        x, new_state = jax.lax.scan(block, x, (params["blocks"], attn_state))
+        new_cache = cache_state
 
     # final AdaLN + head (diffusers PixArt norm_out semantics)
     fin = params["final_scale_shift"][None] + temb[:, None, :].repeat(2, axis=1)
     shift, scale = fin[:, 0][:, None], fin[:, 1][:, None]
     x = cm.layernorm({}, x) * (1 + scale) + shift
     out = cm.linear(params["proj_out"], x)
+    if cache_cfg is not None and cache_cfg.mode != "none":
+        return out, new_state, new_cache
     return out, new_state
 
 

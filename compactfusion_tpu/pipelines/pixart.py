@@ -19,6 +19,7 @@ from jax import lax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
+from compactfusion_tpu.cache.accel import CacheAccelConfig, init_cache_state
 from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -44,6 +45,7 @@ class PixArtPipelineConfig:
     vae: VAEConfig
     parallel: ParallelConfig = ParallelConfig()
     compact: CompactConfig = CompactConfig()
+    cache: CacheAccelConfig = CacheAccelConfig()
     num_steps: int = 20
     guidance_scale: float = 4.5
     height: int = 512
@@ -106,15 +108,21 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
     hp, wp = cfg.grid
     pos_full = cm.sincos_pos_embed_2d(cfg.model.dim, hp, wp)
 
+    use_cache = cfg.cache.mode != "none"
+    cache_cfg = dataclasses.replace(
+        cfg.cache,
+        sp_axes=(AXIS_RING, AXIS_ULYSSES) if p.sp_degree > 1 else (),
+    )
+
     def step(params, carry, i, text, text_mask, pos_local):
-        latents, dpm_state, attn_state = carry
+        latents, dpm_state, attn_state, cache_state = carry
         t = jnp.full((latents.shape[0],), sched.timesteps[i], jnp.float32)
         x = latents
         if cfg.do_cfg and p.cfg_degree == 1:
             # batch-doubled CFG: rows [cond; uncond]
             x = jnp.concatenate([latents, latents], axis=0)
             t = jnp.concatenate([t, t], axis=0)
-        out, attn_state = pixart_forward(
+        fwd_out = pixart_forward(
             params,
             x.astype(cfg.model.dtype),
             t,
@@ -125,14 +133,20 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
             attn_state=attn_state,
             text_mask=text_mask,
             tp_axis=AXIS_TP if p.tp_degree > 1 else None,
+            cache_cfg=cache_cfg if use_cache else None,
+            cache_state=cache_state,
         )
+        if use_cache:
+            out, attn_state, cache_state = fwd_out
+        else:
+            out, attn_state = fwd_out
         eps = out[..., : out.shape[-1] // 2]  # drop learned variance half
         if cfg.do_cfg:
             eps = base.cfg_combine(eps, cfg.guidance_scale, p.cfg_degree)
         latents, dpm_state = dpm_step(
             sched, i, cfg.num_steps, latents, eps, dpm_state
         )
-        return (latents, dpm_state, attn_state)
+        return (latents, dpm_state, attn_state, cache_state)
 
     return step, pos_full, attn
 
@@ -180,7 +194,15 @@ def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh, params_tree=None):
         s_local = cfg.tokens // p.sp_degree
 
         dpm_state = dpm_init_state(latents.shape)
-        carry = (latents, dpm_state, None)
+        if cfg.cache.mode != "none":
+            assert not cfg.compact.enabled, (
+                "cache acceleration is incompatible with compact compression"
+            )
+            shp = (n_model_batch, s_local, cfg.model.dim)
+            cache_state = init_cache_state(shp, shp, jnp.float32)
+        else:
+            cache_state = None
+        carry = (latents, dpm_state, None, cache_state)
 
         for method, steps in segments:
             step_fn, pos_full, attn = denoise_step_fn(cfg, method)
@@ -199,7 +221,7 @@ def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh, params_tree=None):
             )
             if carry[2] is not None and jax.tree_util.tree_leaves(carry[2]):
                 attn_state = carry[2]  # carry EF caches across segments
-            carry = (carry[0], carry[1], attn_state)
+            carry = (carry[0], carry[1], attn_state, carry[3])
 
             def body(c, i, _step=step_fn, _pos=pos_local):
                 return _step(params, c, i, text, text_mask, _pos), None
