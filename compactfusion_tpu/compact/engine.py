@@ -47,6 +47,56 @@ def init_ef_state(
     return EFState(base=z, delta_base=z if residual == 2 else None)
 
 
+def _use_fastpath(cfg: CompactConfig, method: CompressType) -> bool:
+    """Fused Pallas quant kernels (reference fastpath.py preconditions:
+    residual==1 + error feedback + no simulate, utils.py:83-106)."""
+    if not cfg.fastpath or cfg.simulate:
+        return False
+    if cfg.residual != 1 or not cfg.error_feedback:
+        return False
+    if method not in (CompressType.BINARY, CompressType.INT2):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _fastpath_compress(x, state: EFState, cfg: CompactConfig, method, update_cache):
+    from compactfusion_tpu.compact import codecs
+    from compactfusion_tpu.ops import quant_pallas as qp
+
+    delta32 = x.astype(jnp.float32) - state.base.astype(jnp.float32)
+    if method == CompressType.BINARY:
+        u, v = codecs._scale_uv(delta32, cfg.comp_rank)
+        u = u.astype(codecs.SCALE_DTYPE)
+        v = v.astype(codecs.SCALE_DTYPE)
+        packed, new_base = qp.binary_quant_fastpath(x, state.base, u, v)
+        payload = codecs.BinaryPayload(packed, u, v)
+    else:
+        u, v = codecs._mean_scale_uv(delta32)
+        u = u.astype(codecs.SCALE_DTYPE)
+        v = v.astype(codecs.SCALE_DTYPE)
+        packed, new_base = qp.int2_quant_fastpath(x, state.base, u, v)
+        payload = codecs.Int2Payload(packed, u, v)
+    if update_cache:
+        state = EFState(base=new_base, delta_base=state.delta_base)
+    return payload, state
+
+
+def _fastpath_decompress(payload, state: EFState, cfg: CompactConfig, method, update_cache):
+    from compactfusion_tpu.ops import quant_pallas as qp
+
+    if method == CompressType.BINARY:
+        x_hat = qp.binary_dequant_fastpath(
+            payload.packed, state.base, payload.scale_u, payload.scale_v
+        )
+    else:
+        x_hat = qp.int2_dequant_fastpath(
+            payload.packed, state.base, payload.scale_u, payload.scale_v
+        )
+    if update_cache:
+        state = EFState(base=x_hat, delta_base=state.delta_base)
+    return x_hat, state
+
+
 def _encode(x, cfg: CompactConfig, method: CompressType):
     if cfg.simulate:
         # simulate mode sends the dense roundtripped tensor (main.py:117-121)
@@ -98,6 +148,8 @@ def ef_compress(
         return payload, state
 
     if cfg.residual == 1:
+        if _use_fastpath(cfg, method):
+            return _fastpath_compress(x, state, cfg, method, update_cache)
         delta = x - state.base
         payload = _encode(delta, cfg, method)
         recv_delta = _decode(payload, cfg, method, dtype)
@@ -150,6 +202,8 @@ def ef_decompress(
         return _decode(payload, cfg, method, dtype), state
 
     if cfg.residual == 1:
+        if _use_fastpath(cfg, method):
+            return _fastpath_decompress(payload, state, cfg, method, update_cache)
         recv_delta = _decode(payload, cfg, method, dtype)
         reconstructed = state.base + recv_delta
         if update_cache:

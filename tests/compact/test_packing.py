@@ -26,8 +26,9 @@ def test_pack_bits_roundtrip(shape):
 
 
 def test_pack_bits_bit_order():
-    # bit i of byte j is channel 8j+i (reference _quantize_1bit_kernel layout)
-    bits = jnp.zeros((1, 8), dtype=jnp.uint8).at[0, 3].set(1)
+    # grouped layout: bit i of byte j is channel i*(C/8)+j
+    c = 16
+    bits = jnp.zeros((1, c), dtype=jnp.uint8).at[0, 3 * (c // 8)].set(1)
     assert int(pack_bits(bits)[0, 0]) == 8
 
 
