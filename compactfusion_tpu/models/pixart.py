@@ -126,6 +126,7 @@ def pixart_forward(
     attn_state=(),
     text_mask: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
+    pp_stages: int = 1,
     cache_cfg=None,
     cache_state=None,
 ) -> Tuple[jax.Array, Any]:
@@ -219,6 +220,16 @@ def pixart_forward(
             skips=cache_state.skips + skip.astype(jnp.int32),
         )
         new_state = attn_state
+    elif pp_stages > 1:
+        from compactfusion_tpu.parallel.pipefusion import pipefusion_blocks
+
+        x, new_state = pipefusion_blocks(
+            lambda h, st: jax.lax.scan(block, h, (params["blocks"], st)),
+            x,
+            attn_state,
+            pp_stages,
+        )
+        new_cache = cache_state
     else:
         x, new_state = jax.lax.scan(block, x, (params["blocks"], attn_state))
         new_cache = cache_state

@@ -22,10 +22,13 @@ from typing import Any
 import jax
 from jax.sharding import PartitionSpec as P
 
-from compactfusion_tpu.parallel.mesh import AXIS_TP
+from compactfusion_tpu.parallel.mesh import AXIS_PP, AXIS_TP
 
 #: parameter-subtree names treated as TP-sharded feed-forwards
 FFN_KEYS = ("ffn", "img_ffn", "txt_ffn")
+
+#: parameter-subtree names whose leading (layer-stack) axis shards over pp
+BLOCK_KEYS = ("blocks", "double_blocks", "single_blocks")
 
 
 def _ffn_specs(ffn_params: Any) -> Any:
@@ -48,26 +51,50 @@ def _ffn_specs(ffn_params: Any) -> Any:
     return out
 
 
-def tp_param_specs(params: Any) -> Any:
-    """PartitionSpec tree for ``params``: FFN subtrees sharded over tp,
-    everything else replicated."""
+def model_param_specs(params: Any, tp: bool = False, pp: bool = False) -> Any:
+    """PartitionSpec tree for a model parameter pytree.
 
-    def walk(node):
+    tp: shard FFN subtrees over the tp axis (column/row split).
+    pp: shard the layer-stack (leading) axis of block subtrees over pp —
+        PipeFusion stage slicing (reference ``_split_transformer_blocks``).
+    """
+
+    def add_pp(spec: P, ndim: int) -> P:
+        parts = list(spec) + [None] * (ndim - len(spec))
+        parts[0] = AXIS_PP
+        return P(*parts)
+
+    def walk(node, in_block):
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
-                if k in FFN_KEYS and isinstance(v, dict) and "fc1" in v:
-                    out[k] = _ffn_specs(v)
+                if tp and k in FFN_KEYS and isinstance(v, dict) and "fc1" in v:
+                    specs = _ffn_specs(v)
+                    if pp and in_block:
+
+                        def map_specs(s, a):
+                            if isinstance(s, dict):
+                                return {kk: map_specs(s[kk], a[kk]) for kk in s}
+                            return add_pp(s, a.ndim)
+
+                        specs = map_specs(specs, v)
+                    out[k] = specs
                 else:
-                    out[k] = walk(v)
+                    out[k] = walk(v, in_block or k in BLOCK_KEYS)
             return out
         if isinstance(node, (list, tuple)):
             t = type(node)
-            return t(walk(v) for v in node)
-        # array leaf -> replicated
+            return t(walk(v, in_block) for v in node)
+        if pp and in_block:
+            return P(AXIS_PP)
         return P()
 
-    return walk(params)
+    return walk(params, False)
+
+
+def tp_param_specs(params: Any) -> Any:
+    """FFN subtrees sharded over tp, everything else replicated."""
+    return model_param_specs(params, tp=True, pp=False)
 
 
 def replicated_specs(params: Any) -> Any:

@@ -30,7 +30,7 @@ from compactfusion_tpu.models.attn_impl import (
 from compactfusion_tpu.models.pixart import PixArtConfig, pixart_forward
 from compactfusion_tpu.models.vae import VAEConfig, vae_decode
 from compactfusion_tpu.parallel.mesh import AXIS_CFG, AXIS_DP, AXIS_RING, AXIS_TP, AXIS_ULYSSES
-from compactfusion_tpu.parallel.tp import replicated_specs, tp_param_specs
+from compactfusion_tpu.parallel.tp import model_param_specs
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.diffusion import (
     ddpm_schedule,
@@ -133,6 +133,7 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
             attn_state=attn_state,
             text_mask=text_mask,
             tp_axis=AXIS_TP if p.tp_degree > 1 else None,
+            pp_stages=p.pp_degree,
             cache_cfg=cache_cfg if use_cache else None,
             cache_state=cache_state,
         )
@@ -212,7 +213,7 @@ def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh, params_tree=None):
                 else pos_full
             )
             attn_state = attn.init_state(
-                cfg.model.depth,
+                cfg.model.depth // p.pp_degree,
                 n_model_batch,
                 s_local,
                 cfg.model.heads,
@@ -231,9 +232,11 @@ def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh, params_tree=None):
             )
         return carry[0]
 
-    if p.tp_degree > 1:
-        assert params_tree is not None, "TP needs the param tree for specs"
-        param_specs = tp_param_specs(params_tree)
+    if p.tp_degree > 1 or p.pp_degree > 1:
+        assert params_tree is not None, "TP/PP need the param tree for specs"
+        param_specs = model_param_specs(
+            params_tree, tp=p.tp_degree > 1, pp=p.pp_degree > 1
+        )
     else:
         param_specs = P()
     in_specs = (

@@ -189,3 +189,29 @@ def test_patch_parallel_pipeline(tiny_setup, patch_async):
     err = rel_err(out, ref)
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert err < 0.2, f"patch-parallel pipeline diverged: {err}"
+
+
+@pytest.mark.parametrize(
+    "parallel",
+    [
+        ParallelConfig(pp_degree=2, ring_degree=2),
+        ParallelConfig(pp_degree=2, ulysses_degree=2, ring_degree=2),
+    ],
+)
+def test_pipefusion_matches_single_device(tiny_setup, parallel):
+    """PP stage-sharded blocks (sync pipeline, M=1) must be exact."""
+    mcfg, params, vcfg, vae_params = tiny_setup
+    text, mask = _text()
+    key = jax.random.PRNGKey(7)
+
+    cfg1 = _pipe_cfg(mcfg, vcfg, ParallelConfig())
+    mesh1 = make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    ref = PixArtPipeline(params, vae_params, cfg1, mesh1)(
+        text, mask, key, decode=False
+    )
+
+    cfgN = _pipe_cfg(mcfg, vcfg, parallel)
+    out = PixArtPipeline(params, vae_params, cfgN, make_mesh(cfgN.parallel))(
+        text, mask, key, decode=False
+    )
+    assert rel_err(out, ref) < 5e-3
