@@ -1,0 +1,201 @@
+"""CogVideoX 3D video DiT backbone.
+
+TPU-native re-implementation of the model behind the reference's
+``xfuser/model_executor/models/transformers/cogvideox_transformer_3d.py``
+(a diffusers ``CogVideoXTransformer3DModel`` wrapper): joint text+video
+blocks where ONE set of attention/FF weights serves both streams and only the
+AdaLN modulations differ (CogVideoXLayerNormZero), 3D (t, h, w) rotary
+embedding on the video tokens (1.5/5B family) or a learned positional table
+(2B), v-prediction output.
+
+SPMD layout: video tokens (frames x height x width patches, raster order)
+sharded over (ring, ulysses); text replicated as ring joint front tensors —
+identical to the image models, which is exactly why the reference reuses the
+same USP machinery for CogVideoX (``attention_processor.py``,
+``xFuserCogVideoXAttnProcessor2_0``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.attn_impl import SingleDeviceAttn
+
+
+@dataclasses.dataclass(frozen=True)
+class CogVideoXConfig:
+    dim: int = 1920
+    depth: int = 30
+    heads: int = 30
+    patch: int = 2
+    in_channels: int = 16
+    out_channels: int = 16
+    text_dim: int = 4096
+    time_embed_dim: int = 512
+    ffn_mult: int = 4
+    use_rotary: bool = True  # 1.5/5B; 2B uses the learned pos table
+    #: rope head-dim split over (t, h, w)
+    axes_dim: Tuple[int, ...] = (16, 24, 24)
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self):
+        return self.dim // self.heads
+
+
+def cogvideox_2b() -> CogVideoXConfig:
+    return CogVideoXConfig(
+        dim=1920, depth=30, heads=30, use_rotary=False
+    )
+
+
+def cogvideox_5b() -> CogVideoXConfig:
+    return CogVideoXConfig(dim=3072, depth=42, heads=48, axes_dim=(16, 24, 24))
+
+
+def cogvideox_tiny() -> CogVideoXConfig:
+    return CogVideoXConfig(
+        dim=64, depth=2, heads=4, text_dim=32, time_embed_dim=32,
+        axes_dim=(8, 4, 4),
+    )
+
+
+def _init_block(key, cfg: CogVideoXConfig):
+    d, dt, hd = cfg.dim, cfg.dtype, cfg.head_dim
+    ks = jax.random.split(key, 6)
+    return {
+        # CogVideoXLayerNormZero: temb -> 6*dim = (shift, scale, gate) for the
+        # video stream AND the text stream, twice (attn + ff)
+        "mod_attn": cm.init_linear(ks[0], cfg.time_embed_dim, 6 * d, dtype=dt),
+        "mod_ff": cm.init_linear(ks[1], cfg.time_embed_dim, 6 * d, dtype=dt),
+        "qkv": cm.init_linear(ks[2], d, 3 * d, dtype=dt),
+        "q_norm": cm.init_rmsnorm(hd, dt),
+        "k_norm": cm.init_rmsnorm(hd, dt),
+        "attn_out": cm.init_linear(ks[3], d, d, dtype=dt),
+        "ffn": cm.init_ffn(ks[4], d, cfg.ffn_mult * d, dtype=dt),
+    }
+
+
+def init_cogvideox(key, cfg: CogVideoXConfig):
+    d, dt = cfg.dim, cfg.dtype
+    ks = jax.random.split(key, 8)
+    blocks = [_init_block(k, cfg) for k in jax.random.split(ks[0], cfg.depth)]
+    return {
+        "patch_embed": cm.init_linear(
+            ks[1], cfg.patch * cfg.patch * cfg.in_channels, d, dtype=dt
+        ),
+        "text_proj": cm.init_linear(ks[2], cfg.text_dim, d, dtype=dt),
+        "t_embed": cm.init_timestep_embedder(
+            ks[3], 256, cfg.time_embed_dim, dtype=dt
+        ),
+        "blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *blocks),
+        "norm_out_mod": cm.init_linear(
+            ks[4], cfg.time_embed_dim, 2 * d, dtype=dt
+        ),
+        "proj_out": cm.init_linear(
+            ks[5], d, cfg.patch * cfg.patch * cfg.out_channels, dtype=dt
+        ),
+    }
+
+
+def video_positions(frames: int, hp: int, wp: int) -> jax.Array:
+    """(frames*hp*wp, 3) (t, row, col) ids, frame-major raster order."""
+    t = jnp.repeat(jnp.arange(frames), hp * wp)
+    rc = cm.patch_positions_2d(hp, wp)
+    rc = jnp.tile(rc, (frames, 1))
+    return jnp.concatenate([t[:, None], rc], axis=-1)
+
+
+def _heads(x, h):
+    b, s, d = x.shape
+    return x.reshape(b, s, h, d // h)
+
+
+def _unheads(x):
+    b, s, h, hd = x.shape
+    return x.reshape(b, s, h * hd)
+
+
+def cogvideox_forward(
+    params,
+    video: jax.Array,
+    txt: jax.Array,
+    t: jax.Array,
+    cfg: CogVideoXConfig,
+    *,
+    video_rope: Optional[Tuple[jax.Array, jax.Array]] = None,
+    pos_embed: Optional[jax.Array] = None,
+    attn=SingleDeviceAttn(),
+    attn_state=(),
+    tp_axis: Optional[str] = None,
+):
+    """CogVideoX denoiser on local video-token shards.
+
+    video: (B, S_local, p*p*C) patchified latent-video tokens (local shard);
+    txt: (B, S_txt, text_dim) replicated; t: (B,) train-unit timesteps;
+    video_rope: (cos, sin) for the LOCAL tokens (use_rotary models);
+    pos_embed: (S_local, dim) learned/sincos table (2B).
+    Returns (v_prediction, new_attn_state).
+    """
+    h = cfg.heads
+    vid = cm.linear(params["patch_embed"], video)
+    if pos_embed is not None:
+        vid = vid + pos_embed.astype(cfg.dtype)[None]
+    txt = cm.linear(params["text_proj"], txt)
+    temb = cm.timestep_embedder(params["t_embed"], t, 256)
+
+    def _mod6(p, temb):
+        out = cm.linear(p, cm.silu(temb))
+        return jnp.split(out[:, None, :], 6, axis=-1)
+
+    def block(carry, xs):
+        vid, txt = carry
+        p, state = xs
+        v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_attn"], temb)
+        vid_n = cm.layernorm({}, vid) * (1 + v_sc) + v_sh
+        txt_n = cm.layernorm({}, txt) * (1 + t_sc) + t_sh
+
+        # one projection serves both streams (CogVideoX weight sharing)
+        vq, vk, vv = [
+            _heads(x, h) for x in jnp.split(cm.linear(p["qkv"], vid_n), 3, -1)
+        ]
+        tq, tk, tv = [
+            _heads(x, h) for x in jnp.split(cm.linear(p["qkv"], txt_n), 3, -1)
+        ]
+        vq, vk = cm.rmsnorm(p["q_norm"], vq), cm.rmsnorm(p["k_norm"], vk)
+        tq, tk = cm.rmsnorm(p["q_norm"], tq), cm.rmsnorm(p["k_norm"], tk)
+        if video_rope is not None:
+            cos_v, sin_v = video_rope
+            vq = cm.apply_rope(vq, cos_v, sin_v)
+            vk = cm.apply_rope(vk, cos_v, sin_v)
+
+        o, state = attn(vq, vk, vv, state, joint_q=tq, joint_k=tk, joint_v=tv)
+        s_txt = txt.shape[1]
+        txt_o, vid_o = o[:, :s_txt], o[:, s_txt:]
+        proj = cm.linear(p["attn_out"], _unheads(jnp.concatenate([txt_o, vid_o], 1)))
+        txt = txt + t_g * proj[:, :s_txt]
+        vid = vid + v_g * proj[:, s_txt:]
+
+        v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_ff"], temb)
+        vid_n = cm.layernorm({}, vid) * (1 + v_sc) + v_sh
+        txt_n = cm.layernorm({}, txt) * (1 + t_sc) + t_sh
+        ff = cm.ffn(
+            p["ffn"], jnp.concatenate([txt_n, vid_n], axis=1), tp_axis=tp_axis
+        )
+        txt = txt + t_g * ff[:, :s_txt]
+        vid = vid + v_g * ff[:, s_txt:]
+        return (vid, txt), state
+
+    (vid, txt), new_state = jax.lax.scan(
+        block, (vid, txt), (params["blocks"], attn_state)
+    )
+
+    mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
+    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+    vid = cm.layernorm({}, vid) * (1 + scale) + shift
+    return cm.linear(params["proj_out"], vid), new_state

@@ -1,0 +1,217 @@
+"""CogVideoX text-to-video pipeline.
+
+TPU-native analog of ``xfuser/model_executor/pipelines/pipeline_cogvideox.py``
+(439 LoC): video tokens (frames x spatial patches) sharded over
+(dp, ring, ulysses), true CFG, v-prediction DDIM with SNR-shifted zero-SNR
+schedule, optional CompactFusion-compressed ring over the video K/V — the
+config-#4 workload (compressed sequence parallelism for video).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.attn_impl import (
+    CompactUSPAttn,
+    SingleDeviceAttn,
+    USPAttn,
+)
+from compactfusion_tpu.models.cogvideox import (
+    CogVideoXConfig,
+    cogvideox_forward,
+    video_positions,
+)
+from compactfusion_tpu.parallel.mesh import AXIS_DP, AXIS_TP
+from compactfusion_tpu.parallel.tp import model_param_specs
+from compactfusion_tpu.pipelines import base
+from compactfusion_tpu.schedulers.diffusion import ddim_step_v, ddpm_schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class CogVideoXPipelineConfig:
+    model: CogVideoXConfig
+    parallel: ParallelConfig = ParallelConfig()
+    compact: CompactConfig = CompactConfig()
+    num_steps: int = 50
+    guidance_scale: float = 6.0
+    height: int = 480
+    width: int = 720
+    num_frames: int = 49  # pixel frames; latent frames = (n-1)//4 + 1
+
+    @property
+    def latent_frames(self) -> int:
+        return (self.num_frames - 1) // 4 + 1
+
+    @property
+    def grid(self) -> Tuple[int, int, int]:
+        hp = self.height // 8 // self.model.patch
+        wp = self.width // 8 // self.model.patch
+        return self.latent_frames, hp, wp
+
+    @property
+    def tokens(self) -> int:
+        f, hp, wp = self.grid
+        return f * hp * wp
+
+    @property
+    def do_cfg(self) -> bool:
+        return self.guidance_scale > 1.0
+
+
+def _attn_impl(cfg: CogVideoXPipelineConfig, method: Optional[CompressType]):
+    p = cfg.parallel
+    if cfg.compact.enabled:
+        return CompactUSPAttn(
+            cfg=cfg.compact, method=method,
+            ulysses_size=p.ulysses_degree, ring_size=p.ring_degree,
+        )
+    if p.sp_degree > 1:
+        return USPAttn(ulysses_size=p.ulysses_degree, ring_size=p.ring_degree)
+    return SingleDeviceAttn()
+
+
+def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
+    """``sample(params, txt, latents0) -> latents``.
+
+    txt: (2, B, S_txt, text_dim) [cond, uncond]; latents0: (B, S, p*p*C).
+    """
+    p = cfg.parallel
+    mcfg = cfg.model
+    f, hp, wp = cfg.grid
+    sched = ddpm_schedule(
+        cfg.num_steps,
+        beta_schedule="scaled_linear",
+        snr_shift_scale=3.0,
+        rescale_zero_snr=True,
+        timestep_spacing="trailing",
+    )
+    pos = video_positions(f, hp, wp)
+    if mcfg.use_rotary:
+        cos_full, sin_full = cm.rope_frequencies(pos, mcfg.axes_dim)
+    else:
+        pos_full = cm.sincos_pos_embed_2d(mcfg.dim, f * hp, wp)
+
+    schedule = [
+        cfg.compact.type_at(0, s) if cfg.compact.enabled else None
+        for s in range(cfg.num_steps)
+    ]
+    segments = []
+    for s, m in enumerate(schedule):
+        if segments and segments[-1][0] == m:
+            segments[-1][1].append(s)
+        else:
+            segments.append((m, [s]))
+
+    def spmd(params, txt, latents):
+        if cfg.do_cfg and p.cfg_degree == 2:
+            txt = txt[0]
+        elif cfg.do_cfg:
+            txt = jnp.concatenate([txt[0], txt[1]], axis=0)
+        else:
+            txt = txt[0]
+
+        b_local = latents.shape[0]
+        n_model_batch = 2 * b_local if (cfg.do_cfg and p.cfg_degree == 1) else b_local
+        s_local = cfg.tokens // p.sp_degree
+        if mcfg.use_rotary:
+            rope = (
+                base.slice_local_tokens(cos_full, p.ulysses_degree, p.ring_degree)
+                if p.sp_degree > 1 else cos_full,
+                base.slice_local_tokens(sin_full, p.ulysses_degree, p.ring_degree)
+                if p.sp_degree > 1 else sin_full,
+            )
+            pe = None
+        else:
+            rope = None
+            pe = (
+                base.slice_local_tokens(pos_full, p.ulysses_degree, p.ring_degree)
+                if p.sp_degree > 1 else pos_full
+            )
+
+        carry = (latents, None)
+        for method, steps in segments:
+            attn = _attn_impl(cfg, method)
+            st = attn.init_state(
+                mcfg.depth, n_model_batch, s_local, mcfg.heads, mcfg.head_dim,
+                jnp.float32,
+            )
+            if carry[1] is not None and jax.tree_util.tree_leaves(carry[1]):
+                st = carry[1]
+            carry = (carry[0], st)
+
+            def body(c, i, _attn=attn):
+                latents, st = c
+                t = jnp.full((n_model_batch,), sched.timesteps[i], jnp.float32)
+                x = latents
+                if cfg.do_cfg and p.cfg_degree == 1:
+                    x = jnp.concatenate([latents, latents], axis=0)
+                v, st = cogvideox_forward(
+                    params,
+                    x.astype(mcfg.dtype),
+                    txt.astype(mcfg.dtype),
+                    t,
+                    mcfg,
+                    video_rope=rope,
+                    pos_embed=pe,
+                    attn=_attn,
+                    attn_state=st,
+                    tp_axis=AXIS_TP if p.tp_degree > 1 else None,
+                )
+                if cfg.do_cfg:
+                    v = base.cfg_combine(v, cfg.guidance_scale, p.cfg_degree)
+                latents = ddim_step_v(sched, i, cfg.num_steps, latents, v)
+                return (latents, st), None
+
+            carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
+        return carry[0]
+
+    if p.tp_degree > 1 or p.pp_degree > 1:
+        assert params_tree is not None
+        param_specs = model_param_specs(
+            params_tree, tp=p.tp_degree > 1, pp=p.pp_degree > 1
+        )
+    else:
+        param_specs = P()
+    fn = jax.shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(param_specs, base.TEXT_SPEC, base.LATENT_SPEC),
+        out_specs=base.LATENT_SPEC,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class CogVideoXPipeline:
+    """User-facing pipeline (the reference's ``xFuserCogVideoXPipeline``).
+
+    Video VAE decode (3D causal VAE) lands in a later round; ``__call__``
+    returns latent tokens (decode them offline or with the reference VAE).
+    """
+
+    def __init__(self, params, cfg: CogVideoXPipelineConfig, mesh: Mesh):
+        self.params = params
+        self.cfg = cfg
+        self.mesh = mesh
+        self._sample = build_sample_fn(cfg, mesh, params)
+
+    def __call__(self, txt, key):
+        cfg = self.cfg
+        latents = base.prepare_latents(
+            key,
+            txt.shape[1],
+            cfg.tokens,
+            cfg.model.patch**2 * cfg.model.in_channels,
+            jnp.float32,
+        )
+        return self._sample(self.params, txt, latents)

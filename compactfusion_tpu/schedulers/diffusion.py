@@ -33,7 +33,11 @@ def ddpm_schedule(
     beta_schedule: str = "scaled_linear",
     set_alpha_to_one: bool = True,
     timestep_spacing: str = "leading",
+    snr_shift_scale: Optional[float] = None,
+    rescale_zero_snr: bool = False,
 ) -> DDPMSchedule:
+    """``snr_shift_scale`` / ``rescale_zero_snr`` are the CogVideoX DDIM
+    variants (shift the SNR of the forward process; force terminal SNR 0)."""
     if beta_schedule == "scaled_linear":
         betas = (
             jnp.linspace(
@@ -48,6 +52,18 @@ def ddpm_schedule(
     else:
         raise ValueError(f"unknown beta schedule {beta_schedule}")
     alphas_cumprod = jnp.cumprod(1.0 - betas)
+
+    if snr_shift_scale is not None:
+        alphas_cumprod = alphas_cumprod / (
+            snr_shift_scale + (1.0 - snr_shift_scale) * alphas_cumprod
+        )
+    if rescale_zero_snr:
+        # Lin et al. 2023: shift+scale sqrt(alpha_bar) so the terminal step
+        # has SNR exactly 0 while the first step is unchanged
+        ab = jnp.sqrt(alphas_cumprod)
+        ab0, abt = ab[0], ab[-1]
+        ab = (ab - abt) * ab0 / (ab0 - abt)
+        alphas_cumprod = jnp.clip(ab**2, 1e-12, 1.0)
 
     if timestep_spacing == "leading":
         step = num_train_timesteps // num_steps
@@ -94,6 +110,27 @@ def ddim_step(
     x32, e32 = sample.astype(jnp.float32), eps.astype(jnp.float32)
     x0 = _pred_x0(x32, e32, a_t)
     out = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * e32
+    return out.astype(sample.dtype)
+
+
+def ddim_step_v(
+    sched: DDPMSchedule,
+    i: jax.Array,
+    num_steps: int,
+    sample: jax.Array,
+    v: jax.Array,
+    num_train_timesteps: int = 1000,
+) -> jax.Array:
+    """DDIM step for v-prediction models (CogVideoX family)."""
+    t = sched.timesteps[i]
+    t_prev = t - num_train_timesteps // num_steps
+    a_t = _alpha_at(sched, t)
+    a_prev = _alpha_at(sched, t_prev)
+    x32, v32 = sample.astype(jnp.float32), v.astype(jnp.float32)
+    sa, sb = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+    x0 = sa * x32 - sb * v32
+    eps = sa * v32 + sb * x32
+    out = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
     return out.astype(sample.dtype)
 
 

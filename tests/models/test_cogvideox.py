@@ -1,0 +1,112 @@
+"""CogVideoX backbone + pipeline tests (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.cogvideox import (
+    cogvideox_forward,
+    cogvideox_tiny,
+    init_cogvideox,
+    video_positions,
+)
+from compactfusion_tpu.parallel.mesh import make_mesh
+from compactfusion_tpu.pipelines.cogvideox import (
+    CogVideoXPipeline,
+    CogVideoXPipelineConfig,
+)
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    mcfg = cogvideox_tiny()
+    return mcfg, init_cogvideox(jax.random.PRNGKey(0), mcfg)
+
+
+def test_forward_shapes(tiny):
+    mcfg, params = tiny
+    b, s_txt = 2, 8
+    f, hp, wp = 2, 4, 4
+    s = f * hp * wp
+    vid = jnp.ones((b, s, mcfg.patch**2 * mcfg.in_channels), mcfg.dtype)
+    txt = jnp.ones((b, s_txt, mcfg.text_dim), mcfg.dtype)
+    t = jnp.full((b,), 500.0)
+    rope = cm.rope_frequencies(video_positions(f, hp, wp), mcfg.axes_dim)
+    out, st = jax.jit(
+        lambda p, v, c, t: cogvideox_forward(
+            p, v, c, t, mcfg, video_rope=rope
+        )
+    )(params, vid, txt, t)
+    assert out.shape == (b, s, mcfg.patch**2 * mcfg.out_channels)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def _pipe_cfg(mcfg, parallel, compact=CompactConfig(), steps=4):
+    return CogVideoXPipelineConfig(
+        model=mcfg,
+        parallel=parallel,
+        compact=compact,
+        num_steps=steps,
+        height=4 * 16,
+        width=4 * 16,  # 4x4 spatial patches
+        num_frames=5,  # 2 latent frames -> 32 tokens
+    )
+
+
+def _text(mcfg, b=1, s=8, seed=1):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        np.stack(
+            [rng.standard_normal((b, s, mcfg.text_dim)), np.zeros((b, s, mcfg.text_dim))]
+        ),
+        jnp.float32,
+    )
+
+
+@pytest.mark.parametrize(
+    "parallel",
+    [
+        ParallelConfig(ulysses_degree=2, ring_degree=2),
+        ParallelConfig(cfg_degree=2, ring_degree=2, ulysses_degree=2),
+    ],
+)
+def test_cogvideox_sharded_matches_single(tiny, parallel):
+    mcfg, params = tiny
+    txt = _text(mcfg)
+    key = jax.random.PRNGKey(2)
+    c1 = _pipe_cfg(mcfg, ParallelConfig())
+    ref = CogVideoXPipeline(
+        params, c1, make_mesh(c1.parallel, devices=jax.devices()[:1])
+    )(txt, key)
+    cN = _pipe_cfg(mcfg, parallel)
+    out = CogVideoXPipeline(params, cN, make_mesh(cN.parallel))(txt, key)
+    assert rel_err(out, ref) < 5e-3
+
+
+def test_cogvideox_compact(tiny):
+    mcfg, params = tiny
+    txt = _text(mcfg)
+    key = jax.random.PRNGKey(3)
+    c1 = _pipe_cfg(mcfg, ParallelConfig(), steps=6)
+    ref = CogVideoXPipeline(
+        params, c1, make_mesh(c1.parallel, devices=jax.devices()[:1])
+    )(txt, key)
+    compact = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY,
+        warmup_steps=2, residual=1, error_feedback=True,
+    )
+    par = ParallelConfig(ring_degree=4)
+    cC = _pipe_cfg(mcfg, par, compact=compact, steps=6)
+    out = CogVideoXPipeline(params, cC, make_mesh(par))(txt, key)
+    err = rel_err(out, ref)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err < 0.25, f"compact CogVideoX diverged: {err}"
