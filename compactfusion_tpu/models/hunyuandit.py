@@ -1,0 +1,196 @@
+"""HunyuanDiT backbone (cross-attention DiT with long skip connections).
+
+TPU-native re-implementation of the model behind the reference's
+``xfuser/model_executor/models/transformers/hunyuan_transformer_2d.py``
+(a diffusers ``HunyuanDiT2DModel`` wrapper): U-ViT topology — the second half
+of the blocks concatenates the mirror block's activations (long skip) through
+a projection; each block = AdaLN-shift self-attention with 2D RoPE and QK
+norm, cross-attention to the CLIP+T5 text states, FFN.
+
+Scan structure: a "down" scan over the first half collecting per-layer skip
+activations as scan ys, then an "up" scan consuming them reversed as xs —
+this is what the reference's PP "skip channel" ships between mirror stages
+(``pipeline_hunyuandit.py:552-825``); in-mesh it is just data flow.  PP for
+this model therefore needs the skip tensors in the stage handoff and is
+deferred to a later round (matching the reference where only HunyuanDiT uses
+the skip channel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.attn_impl import SingleDeviceAttn
+from compactfusion_tpu.models.pixart import _cross_attn
+
+
+@dataclasses.dataclass(frozen=True)
+class HunyuanDiTConfig:
+    dim: int = 1408
+    depth: int = 40  # must be even: depth/2 down + depth/2 up (with skips)
+    heads: int = 16
+    patch: int = 2
+    in_channels: int = 4
+    out_channels: int = 8
+    text_dim: int = 1024  # projected CLIP+T5 states
+    ffn_mult: int = 4
+    rope_axes: Tuple[int, ...] = (44, 44)  # head_dim 88 split over (h, w)
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self):
+        return self.dim // self.heads
+
+
+def hunyuandit_v12() -> HunyuanDiTConfig:
+    return HunyuanDiTConfig()
+
+
+def hunyuandit_tiny() -> HunyuanDiTConfig:
+    return HunyuanDiTConfig(
+        dim=64, depth=4, heads=4, text_dim=32, rope_axes=(8, 8)
+    )
+
+
+def _init_block(key, cfg: HunyuanDiTConfig, with_skip: bool):
+    d, dt, hd = cfg.dim, cfg.dtype, cfg.head_dim
+    ks = jax.random.split(key, 8)
+    p = {
+        "mod_shift": cm.init_linear(ks[0], d, d, dtype=dt),
+        "attn_qkv": cm.init_linear(ks[1], d, 3 * d, dtype=dt),
+        "q_norm": cm.init_rmsnorm(hd, dt),
+        "k_norm": cm.init_rmsnorm(hd, dt),
+        "attn_out": cm.init_linear(ks[2], d, d, dtype=dt),
+        "norm2": cm.init_layernorm(d, dtype=dt),
+        "cross_q": cm.init_linear(ks[3], d, d, dtype=dt),
+        "cross_kv": cm.init_linear(ks[4], cfg.text_dim, 2 * d, dtype=dt),
+        "cross_q_norm": cm.init_rmsnorm(hd, dt),
+        "cross_k_norm": cm.init_rmsnorm(hd, dt),
+        "cross_out": cm.init_linear(ks[5], d, d, dtype=dt),
+        "norm3": cm.init_layernorm(d, dtype=dt),
+        "ffn": cm.init_ffn(ks[6], d, cfg.ffn_mult * d, dtype=dt),
+    }
+    if with_skip:
+        p["skip_norm"] = cm.init_layernorm(2 * d, dtype=dt)
+        p["skip_proj"] = cm.init_linear(ks[7], 2 * d, d, dtype=dt)
+    return p
+
+
+def init_hunyuandit(key, cfg: HunyuanDiTConfig):
+    assert cfg.depth % 2 == 0
+    d, dt = cfg.dim, cfg.dtype
+    ks = jax.random.split(key, 8)
+    half = cfg.depth // 2
+    down = [
+        _init_block(k, cfg, False) for k in jax.random.split(ks[0], half)
+    ]
+    up = [_init_block(k, cfg, True) for k in jax.random.split(ks[1], half)]
+    return {
+        "patch_embed": cm.init_linear(
+            ks[2], cfg.patch**2 * cfg.in_channels, d, dtype=dt
+        ),
+        "t_embed": cm.init_timestep_embedder(ks[3], 256, d, dtype=dt),
+        "down_blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *down),
+        "up_blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *up),
+        "norm_out_mod": cm.init_linear(ks[4], d, 2 * d, dtype=dt),
+        "proj_out": cm.init_linear(
+            ks[5], d, cfg.patch**2 * cfg.out_channels, dtype=dt
+        ),
+    }
+
+
+def _heads(x, h):
+    b, s, d = x.shape
+    return x.reshape(b, s, h, d // h)
+
+
+def _unheads(x):
+    b, s, h, hd = x.shape
+    return x.reshape(b, s, h * hd)
+
+
+def hunyuandit_forward(
+    params,
+    x: jax.Array,
+    t: jax.Array,
+    text: jax.Array,
+    cfg: HunyuanDiTConfig,
+    *,
+    rope: Tuple[jax.Array, jax.Array],
+    attn=SingleDeviceAttn(),
+    attn_state_down=(),
+    attn_state_up=(),
+    text_mask: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
+):
+    """HunyuanDiT denoiser on local token shards.
+
+    x: (B, S_local, p*p*C); text: (B, S_txt, text_dim) replicated;
+    rope: (cos, sin) for the local tokens.
+    Returns (out, new_state_down, new_state_up).
+    """
+    h = cfg.heads
+    cos, sin = rope
+    x = cm.linear(params["patch_embed"], x)
+    temb = cm.timestep_embedder(params["t_embed"], t, 256)
+    kv_mask = text_mask[:, None, None, :] if text_mask is not None else None
+
+    def block_body(p, x, state):
+        # AdaLN-shift self attention with RoPE + QK norm
+        shift = cm.linear(p["mod_shift"], cm.silu(temb))[:, None, :]
+        xn = cm.layernorm({}, x) + shift
+        q, k, v = [
+            _heads(y, h) for y in jnp.split(cm.linear(p["attn_qkv"], xn), 3, -1)
+        ]
+        q, k = cm.rmsnorm(p["q_norm"], q), cm.rmsnorm(p["k_norm"], k)
+        q, k = cm.apply_rope(q, cos, sin), cm.apply_rope(k, cos, sin)
+        o, state = attn(q, k, v, state)
+        x = x + cm.linear(p["attn_out"], _unheads(o))
+
+        # cross attention to text
+        xn = cm.layernorm(p["norm2"], x)
+        q = _heads(cm.linear(p["cross_q"], xn), h)
+        kt, vt = jnp.split(cm.linear(p["cross_kv"], text), 2, -1)
+        q = cm.rmsnorm(p["cross_q_norm"], q)
+        kt = cm.rmsnorm(p["cross_k_norm"], _heads(kt, h))
+        o = _cross_attn(q, kt, _heads(vt, h), kv_mask)
+        x = x + cm.linear(p["cross_out"], _unheads(o))
+
+        # ffn
+        xn = cm.layernorm(p["norm3"], x)
+        x = x + cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
+        return x, state
+
+    def down(carry, xs):
+        p, state = xs
+        x = carry
+        x, state = block_body(p, x, state)
+        return x, (state, x)  # ys: (state, skip activation)
+
+    x, (state_down, skips) = jax.lax.scan(
+        down, x, (params["down_blocks"], attn_state_down)
+    )
+
+    def up(carry, xs):
+        p, state, skip = xs
+        x = carry
+        cat = jnp.concatenate([x, skip], axis=-1)
+        x = cm.linear(p["skip_proj"], cm.layernorm(p["skip_norm"], cat))
+        x, state = block_body(p, x, state)
+        return x, state
+
+    # mirror order: up block k consumes the skip of down block (half-1-k)
+    skips_rev = jnp.flip(skips, axis=0)
+    x, state_up = jax.lax.scan(
+        up, x, (params["up_blocks"], attn_state_up, skips_rev)
+    )
+
+    mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
+    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+    x = cm.layernorm({}, x) * (1 + scale) + shift
+    return cm.linear(params["proj_out"], x), state_down, state_up

@@ -1,0 +1,204 @@
+"""HunyuanDiT text-to-image pipeline.
+
+TPU-native analog of ``xfuser/model_executor/pipelines/pipeline_hunyuandit.py``
+(957 LoC): SPMD denoise loop with true CFG, DPM-Solver++ sampler, RoPE'd
+skip-connection DiT, optional compressed ring over both block halves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.attn_impl import (
+    CompactUSPAttn,
+    SingleDeviceAttn,
+    USPAttn,
+)
+from compactfusion_tpu.models.hunyuandit import (
+    HunyuanDiTConfig,
+    hunyuandit_forward,
+)
+from compactfusion_tpu.models.vae import VAEConfig, vae_decode
+from compactfusion_tpu.parallel.mesh import AXIS_DP, AXIS_TP
+from compactfusion_tpu.parallel.tp import model_param_specs
+from compactfusion_tpu.pipelines import base
+from compactfusion_tpu.schedulers.diffusion import (
+    ddpm_schedule,
+    dpm_init_state,
+    dpm_step,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class HunyuanDiTPipelineConfig:
+    model: HunyuanDiTConfig
+    vae: Optional[VAEConfig] = None
+    parallel: ParallelConfig = ParallelConfig()
+    compact: CompactConfig = CompactConfig()
+    num_steps: int = 25
+    guidance_scale: float = 5.0
+    height: int = 1024
+    width: int = 1024
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        return (
+            self.height // 8 // self.model.patch,
+            self.width // 8 // self.model.patch,
+        )
+
+    @property
+    def tokens(self) -> int:
+        hp, wp = self.grid
+        return hp * wp
+
+    @property
+    def do_cfg(self) -> bool:
+        return self.guidance_scale > 1.0
+
+
+def _attn_impl(cfg, method):
+    p = cfg.parallel
+    if cfg.compact.enabled:
+        return CompactUSPAttn(
+            cfg=cfg.compact, method=method,
+            ulysses_size=p.ulysses_degree, ring_size=p.ring_degree,
+        )
+    if p.sp_degree > 1:
+        return USPAttn(ulysses_size=p.ulysses_degree, ring_size=p.ring_degree)
+    return SingleDeviceAttn()
+
+
+def build_sample_fn(cfg: HunyuanDiTPipelineConfig, mesh: Mesh, params_tree=None):
+    p = cfg.parallel
+    mcfg = cfg.model
+    hp, wp = cfg.grid
+    sched = ddpm_schedule(cfg.num_steps)
+    pos = cm.patch_positions_2d(hp, wp)
+    cos_full, sin_full = cm.rope_frequencies(pos, mcfg.rope_axes)
+
+    schedule = [
+        cfg.compact.type_at(0, s) if cfg.compact.enabled else None
+        for s in range(cfg.num_steps)
+    ]
+    segments = []
+    for s, m in enumerate(schedule):
+        if segments and segments[-1][0] == m:
+            segments[-1][1].append(s)
+        else:
+            segments.append((m, [s]))
+
+    def spmd(params, text, text_mask, latents):
+        if cfg.do_cfg and p.cfg_degree == 2:
+            text, text_mask = text[0], text_mask[0]
+        elif cfg.do_cfg:
+            text = jnp.concatenate([text[0], text[1]], axis=0)
+            text_mask = jnp.concatenate([text_mask[0], text_mask[1]], axis=0)
+        else:
+            text, text_mask = text[0], text_mask[0]
+
+        b_local = latents.shape[0]
+        nb = 2 * b_local if (cfg.do_cfg and p.cfg_degree == 1) else b_local
+        s_local = cfg.tokens // p.sp_degree
+        if p.sp_degree > 1:
+            rope = (
+                base.slice_local_tokens(cos_full, p.ulysses_degree, p.ring_degree),
+                base.slice_local_tokens(sin_full, p.ulysses_degree, p.ring_degree),
+            )
+        else:
+            rope = (cos_full, sin_full)
+
+        half = mcfg.depth // 2
+        dpm_state = dpm_init_state(latents.shape)
+        carry = (latents, dpm_state, None, None)
+        for method, steps in segments:
+            attn = _attn_impl(cfg, method)
+            sd = attn.init_state(half, nb, s_local, mcfg.heads, mcfg.head_dim, jnp.float32)
+            su = attn.init_state(half, nb, s_local, mcfg.heads, mcfg.head_dim, jnp.float32)
+            if carry[2] is not None and jax.tree_util.tree_leaves(carry[2]):
+                sd, su = carry[2], carry[3]
+            carry = (carry[0], carry[1], sd, su)
+
+            def body(c, i, _attn=attn):
+                latents, dpm_st, sd, su = c
+                t = jnp.full((nb,), sched.timesteps[i], jnp.float32)
+                x = latents
+                if cfg.do_cfg and p.cfg_degree == 1:
+                    x = jnp.concatenate([latents, latents], axis=0)
+                out, sd, su = hunyuandit_forward(
+                    params,
+                    x.astype(mcfg.dtype),
+                    t,
+                    text.astype(mcfg.dtype),
+                    mcfg,
+                    rope=rope,
+                    attn=_attn,
+                    attn_state_down=sd,
+                    attn_state_up=su,
+                    text_mask=text_mask,
+                    tp_axis=AXIS_TP if p.tp_degree > 1 else None,
+                )
+                eps = out[..., : out.shape[-1] // 2]
+                if cfg.do_cfg:
+                    eps = base.cfg_combine(eps, cfg.guidance_scale, p.cfg_degree)
+                latents, dpm_st = dpm_step(
+                    sched, i, cfg.num_steps, latents, eps, dpm_st
+                )
+                return (latents, dpm_st, sd, su), None
+
+            carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
+        return carry[0]
+
+    if p.tp_degree > 1:
+        assert params_tree is not None
+        param_specs = model_param_specs(params_tree, tp=True, pp=False)
+    else:
+        param_specs = P()
+    fn = jax.shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(param_specs, base.TEXT_SPEC, base.TEXT_SPEC, base.LATENT_SPEC),
+        out_specs=base.LATENT_SPEC,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class HunyuanDiTPipeline:
+    """User-facing pipeline (the reference's ``xFuserHunyuanDiTPipeline``)."""
+
+    def __init__(self, params, vae_params, cfg: HunyuanDiTPipelineConfig, mesh: Mesh):
+        self.params = params
+        self.vae_params = vae_params
+        self.cfg = cfg
+        self.mesh = mesh
+        self._sample = build_sample_fn(cfg, mesh, params)
+
+    def __call__(self, text, text_mask, key, decode: bool = True):
+        cfg = self.cfg
+        if text_mask is None:
+            text_mask = jnp.ones(text.shape[:3], bool)
+        latents = base.prepare_latents(
+            key,
+            text.shape[1],
+            cfg.tokens,
+            cfg.model.patch**2 * cfg.model.in_channels,
+            jnp.float32,
+        )
+        latents = self._sample(self.params, text, text_mask, latents)
+        if not decode or self.vae_params is None:
+            return latents
+        hp, wp = cfg.grid
+        lat = cm.unpatchify(latents, cfg.model.patch, hp, wp, cfg.model.in_channels)
+        img = vae_decode(self.vae_params, lat, cfg.vae)
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
