@@ -1,0 +1,230 @@
+"""Latte video DiT (alternating spatial / temporal transformer blocks).
+
+TPU-native re-implementation of the model behind the reference's
+``xfuser/model_executor/models/transformers/latte_transformer_3d.py``
+(a diffusers ``LatteTransformer3DModel`` wrapper): pairs of blocks — a
+*spatial* block (PixArt-style AdaLN-single self-attn within each frame +
+cross-attn to text) followed by a *temporal* block (self-attn across frames
+at each spatial location, no cross-attn), with a temporal positional
+embedding added before the first temporal block.
+
+SPMD layout (deliberately different from the reference's generic ring, and
+faster): video tokens are sharded **frame-aligned** over the SP axes, so
+spatial attention is entirely local (zero communication); temporal attention
+repartitions frame-sharding <-> space-sharding with one ``lax.all_to_all``
+each way — two a2a per temporal block instead of a ring over every block.
+Requires frames % sp_degree == 0 (pad frames otherwise).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.pixart import _cross_attn
+from compactfusion_tpu.ops.attention import sdpa
+
+
+@dataclasses.dataclass(frozen=True)
+class LatteConfig:
+    dim: int = 1152
+    num_pairs: int = 14  # spatial+temporal block pairs (depth 28)
+    heads: int = 16
+    patch: int = 2
+    in_channels: int = 4
+    out_channels: int = 8
+    text_dim: int = 4096
+    ffn_mult: int = 4
+    max_frames: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self):
+        return self.dim // self.heads
+
+
+def latte_1() -> LatteConfig:
+    return LatteConfig()
+
+
+def latte_tiny() -> LatteConfig:
+    return LatteConfig(dim=64, num_pairs=2, heads=4, text_dim=32, max_frames=8)
+
+
+def _init_spatial(key, cfg: LatteConfig):
+    d, dt = cfg.dim, cfg.dtype
+    ks = jax.random.split(key, 6)
+    return {
+        "scale_shift_table": jnp.zeros((6, d), dt),
+        "attn_qkv": cm.init_linear(ks[0], d, 3 * d, dtype=dt),
+        "attn_out": cm.init_linear(ks[1], d, d, dtype=dt),
+        "cross_q": cm.init_linear(ks[2], d, d, dtype=dt),
+        "cross_kv": cm.init_linear(ks[3], d, 2 * d, dtype=dt),
+        "cross_out": cm.init_linear(ks[4], d, d, dtype=dt),
+        "ffn": cm.init_ffn(ks[5], d, cfg.ffn_mult * d, dtype=dt),
+    }
+
+
+def _init_temporal(key, cfg: LatteConfig):
+    d, dt = cfg.dim, cfg.dtype
+    ks = jax.random.split(key, 3)
+    return {
+        "scale_shift_table": jnp.zeros((6, d), dt),
+        "attn_qkv": cm.init_linear(ks[0], d, 3 * d, dtype=dt),
+        "attn_out": cm.init_linear(ks[1], d, d, dtype=dt),
+        "ffn": cm.init_ffn(ks[2], d, cfg.ffn_mult * d, dtype=dt),
+    }
+
+
+def init_latte(key, cfg: LatteConfig):
+    d, dt = cfg.dim, cfg.dtype
+    ks = jax.random.split(key, 10)
+    sp = [_init_spatial(k, cfg) for k in jax.random.split(ks[0], cfg.num_pairs)]
+    tp = [_init_temporal(k, cfg) for k in jax.random.split(ks[1], cfg.num_pairs)]
+    return {
+        "patch_embed": cm.init_linear(
+            ks[2], cfg.patch**2 * cfg.in_channels, d, dtype=dt
+        ),
+        "t_embed": cm.init_timestep_embedder(ks[3], 256, d, dtype=dt),
+        "adaln_single": cm.init_linear(ks[4], d, 6 * d, dtype=dt),
+        "caption_fc1": cm.init_linear(ks[5], cfg.text_dim, d, dtype=dt),
+        "caption_fc2": cm.init_linear(ks[6], d, d, dtype=dt),
+        "spatial_blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *sp),
+        "temporal_blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *tp),
+        "final_scale_shift": jnp.zeros((2, d), dt),
+        "proj_out": cm.init_linear(
+            ks[7], d, cfg.patch**2 * cfg.out_channels, dtype=dt
+        ),
+    }
+
+
+def _heads(x, h):
+    b, s, d = x.shape
+    return x.reshape(b, s, h, d // h)
+
+
+def _unheads(x):
+    b, s, h, hd = x.shape
+    return x.reshape(b, s, h * hd)
+
+
+def latte_forward(
+    params,
+    x: jax.Array,
+    t: jax.Array,
+    text: jax.Array,
+    cfg: LatteConfig,
+    *,
+    frames_local: int,
+    frames_total: int,
+    spatial_tokens: int,
+    pos_embed: jax.Array,
+    temporal_pos_embed: jax.Array,
+    sp_axes: Tuple[str, ...] = (),
+    text_mask: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
+):
+    """Latte denoiser on frame-aligned local shards.
+
+    x: (B, frames_local * spatial_tokens, p*p*C), frame-major raster order;
+    pos_embed: (spatial_tokens, dim) spatial table (same every frame);
+    temporal_pos_embed: (frames_total, dim);
+    sp_axes: mesh axes the frame dimension is sharded over (() = no SP).
+    Returns (out, ()) — Latte has no ring state in this layout.
+    """
+    b = x.shape[0]
+    d, h = cfg.dim, cfg.heads
+    f_l, s_sp = frames_local, spatial_tokens
+    sp_world = frames_total // frames_local
+
+    x = cm.linear(params["patch_embed"], x)
+    x = x + jnp.tile(pos_embed.astype(cfg.dtype), (f_l, 1))[None]
+
+    temb = cm.timestep_embedder(params["t_embed"], t, 256)
+    mod6 = cm.linear(params["adaln_single"], cm.silu(temb)).reshape(-1, 6, d)
+    text = cm.linear(
+        params["caption_fc2"], cm.gelu(cm.linear(params["caption_fc1"], text))
+    )
+    kv_mask = text_mask[:, None, None, :] if text_mask is not None else None
+
+    def modulate(table, x, i_shift, i_scale):
+        return cm.layernorm({}, x) * (1 + table[:, i_scale][:, None]) + table[
+            :, i_shift
+        ][:, None]
+
+    def spatial_block(p, x):
+        # (B, f_l*s_sp, D) -> (B*f_l, s_sp, D): frames are independent batches
+        table = p["scale_shift_table"][None] + mod6
+        xs = x.reshape(b * f_l, s_sp, d)
+        table_r = jnp.repeat(table, f_l, axis=0)
+        xn = modulate(table_r, xs, 0, 1)
+        q, k, v = [
+            _heads(y, h) for y in jnp.split(cm.linear(p["attn_qkv"], xn), 3, -1)
+        ]
+        o = sdpa(q, k, v)
+        xs = xs + table_r[:, 2][:, None] * cm.linear(p["attn_out"], _unheads(o))
+
+        q = _heads(cm.linear(p["cross_q"], xs), h)
+        text_r = jnp.repeat(text, f_l, axis=0)
+        kt, vt = jnp.split(cm.linear(p["cross_kv"], text_r), 2, -1)
+        mask_r = jnp.repeat(kv_mask, f_l, axis=0) if kv_mask is not None else None
+        o = _cross_attn(q, _heads(kt, h), _heads(vt, h), mask_r)
+        xs = xs + cm.linear(p["cross_out"], _unheads(o))
+
+        xn = modulate(table_r, xs, 3, 4)
+        xs = xs + table_r[:, 5][:, None] * cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
+        return xs.reshape(b, f_l * s_sp, d)
+
+    def to_temporal(x):
+        """frame-sharded (B, f_l*s_sp, D) -> space-sharded (B*s_sp/W, F, D)."""
+        xt = x.reshape(b, f_l, s_sp, d)
+        if sp_world > 1:
+            # split spatial, gather frames
+            xt = lax.all_to_all(
+                xt, sp_axes, split_axis=2, concat_axis=1, tiled=True
+            )  # (B, F, s_sp/W, D)
+        return xt.transpose(0, 2, 1, 3).reshape(-1, frames_total, d)
+
+    def from_temporal(xt):
+        s_loc = s_sp // sp_world
+        xt = xt.reshape(b, s_loc, frames_total, d).transpose(0, 2, 1, 3)
+        if sp_world > 1:
+            xt = lax.all_to_all(
+                xt, sp_axes, split_axis=1, concat_axis=2, tiled=True
+            )  # (B, f_l, s_sp, D)
+        return xt.reshape(b, f_l * s_sp, d)
+
+    def temporal_block(p, x, first: bool):
+        table = p["scale_shift_table"][None] + mod6
+        xt = to_temporal(x)  # (B*s_loc, F, D)
+        if first:
+            xt = xt + temporal_pos_embed.astype(cfg.dtype)[None]
+        reps = xt.shape[0] // b
+        table_r = jnp.repeat(table, reps, axis=0)
+        xn = modulate(table_r, xt, 0, 1)
+        q, k, v = [
+            _heads(y, h) for y in jnp.split(cm.linear(p["attn_qkv"], xn), 3, -1)
+        ]
+        o = sdpa(q, k, v)
+        xt = xt + table_r[:, 2][:, None] * cm.linear(p["attn_out"], _unheads(o))
+        xn = modulate(table_r, xt, 3, 4)
+        xt = xt + table_r[:, 5][:, None] * cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
+        return from_temporal(xt)
+
+    # pairs are unrolled (first temporal block adds the temporal pos table,
+    # breaking scan uniformity; num_pairs is small)
+    for i in range(cfg.num_pairs):
+        p_s = jax.tree_util.tree_map(lambda a: a[i], params["spatial_blocks"])
+        p_t = jax.tree_util.tree_map(lambda a: a[i], params["temporal_blocks"])
+        x = spatial_block(p_s, x)
+        x = temporal_block(p_t, x, first=(i == 0))
+
+    fin = params["final_scale_shift"][None] + temb[:, None, :].repeat(2, axis=1)
+    shift, scale = fin[:, 0][:, None], fin[:, 1][:, None]
+    x = cm.layernorm({}, x) * (1 + scale) + shift
+    return cm.linear(params["proj_out"], x), ()
