@@ -1,0 +1,427 @@
+"""HuggingFace checkpoint loading: safetensors IO + name/layout converters.
+
+The reference gets all weights through ``diffusers.from_pretrained``
+(``pipeline_flux.py:55-67``); here each backbone has an explicit converter
+from the HF/diffusers state-dict naming to our parameter pytrees:
+
+  * torch ``nn.Linear`` stores (out, in) — transposed to (in, out);
+  * conv kernels (out, in, kh, kw) — transposed to HWIO;
+  * the patch-embed conv becomes a linear over raster-ordered (kh, kw, c)
+    patch vectors, matching ``models.common.patchify``;
+  * separate to_q/to_k/to_v projections are fused into our qkv matrices;
+  * per-layer tensors are stacked along a leading layer axis for lax.scan.
+
+Converters are validated mechanically by round-trip tests
+(``tests/io/test_hf.py``): a synthetic HF-named checkpoint generated from a
+random param tree must convert back to it exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Load one file or every ``*.safetensors`` shard in a directory."""
+    from safetensors.numpy import load_file
+
+    if os.path.isdir(path):
+        state: Dict[str, np.ndarray] = {}
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".safetensors"):
+                state.update(load_file(os.path.join(path, name)))
+        return state
+    return load_file(path)
+
+
+def save_safetensors(state: Dict[str, np.ndarray], path: str) -> None:
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in state.items()}, path)
+
+
+# ---------------------------------------------------------------------------
+# layout helpers
+# ---------------------------------------------------------------------------
+
+
+def _lin(state, name, dtype):
+    """torch Linear -> {w (in,out), b?}."""
+    p = {"w": jnp.asarray(state[f"{name}.weight"].T, dtype)}
+    if f"{name}.bias" in state:
+        p["b"] = jnp.asarray(state[f"{name}.bias"], dtype)
+    return p
+
+
+def _lin_nobias(state, name, dtype):
+    return {"w": jnp.asarray(state[f"{name}.weight"].T, dtype)}
+
+
+def _fused_qkv(state, q, k, v, dtype):
+    w = np.concatenate(
+        [state[f"{q}.weight"].T, state[f"{k}.weight"].T, state[f"{v}.weight"].T],
+        axis=1,
+    )
+    p = {"w": jnp.asarray(w, dtype)}
+    if f"{q}.bias" in state:
+        b = np.concatenate(
+            [state[f"{q}.bias"], state[f"{k}.bias"], state[f"{v}.bias"]]
+        )
+        p["b"] = jnp.asarray(b, dtype)
+    return p
+
+
+def _fused_kv(state, k, v, dtype):
+    w = np.concatenate([state[f"{k}.weight"].T, state[f"{v}.weight"].T], axis=1)
+    p = {"w": jnp.asarray(w, dtype)}
+    if f"{k}.bias" in state:
+        p["b"] = jnp.asarray(
+            np.concatenate([state[f"{k}.bias"], state[f"{v}.bias"]]), dtype
+        )
+    return p
+
+
+def _conv(state, name, dtype):
+    """torch conv (O,I,kh,kw) -> {w (kh,kw,I,O), b}."""
+    return {
+        "w": jnp.asarray(state[f"{name}.weight"].transpose(2, 3, 1, 0), dtype),
+        "b": jnp.asarray(state[f"{name}.bias"], dtype),
+    }
+
+
+def _patch_conv_as_linear(state, name, dtype):
+    """Patch-embed conv (D,C,p,p) -> linear over (p,p,C) raster patches."""
+    w = state[f"{name}.weight"]  # (D, C, p, p)
+    d, c, p, _ = w.shape
+    w = w.transpose(2, 3, 1, 0).reshape(p * p * c, d)
+    return {
+        "w": jnp.asarray(w, dtype),
+        "b": jnp.asarray(state[f"{name}.bias"], dtype),
+    }
+
+
+def _norm(state, name, dtype):
+    return {
+        "g": jnp.asarray(state[f"{name}.weight"], dtype),
+        "b": jnp.asarray(state[f"{name}.bias"], dtype),
+    }
+
+
+def _rms(state, name, dtype):
+    return {"g": jnp.asarray(state[f"{name}.weight"], dtype)}
+
+
+def _stack(trees):
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _embedder(state, prefix, dtype):
+    return {
+        "fc1": _lin(state, f"{prefix}.linear_1", dtype),
+        "fc2": _lin(state, f"{prefix}.linear_2", dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder (google/t5-v1_1-xxl naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_t5(state: Dict[str, np.ndarray], cfg) -> Any:
+    dt = cfg.dtype
+    blocks = []
+    for i in range(cfg.num_layers):
+        p = f"encoder.block.{i}"
+        blocks.append(
+            {
+                "ln1": _rms(state, f"{p}.layer.0.layer_norm", dt),
+                "q": _lin_nobias(state, f"{p}.layer.0.SelfAttention.q", dt),
+                "k": _lin_nobias(state, f"{p}.layer.0.SelfAttention.k", dt),
+                "v": _lin_nobias(state, f"{p}.layer.0.SelfAttention.v", dt),
+                "o": _lin_nobias(state, f"{p}.layer.0.SelfAttention.o", dt),
+                "ln2": _rms(state, f"{p}.layer.1.layer_norm", dt),
+                "wi_0": _lin_nobias(state, f"{p}.layer.1.DenseReluDense.wi_0", dt),
+                "wi_1": _lin_nobias(state, f"{p}.layer.1.DenseReluDense.wi_1", dt),
+                "wo": _lin_nobias(state, f"{p}.layer.1.DenseReluDense.wo", dt),
+            }
+        )
+    return {
+        "embed": jnp.asarray(state["shared.weight"], dt),
+        "rel_bias": jnp.asarray(
+            state["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"],
+            dt,
+        ),
+        "blocks": _stack(blocks),
+        "final_ln": _rms(state, "encoder.final_layer_norm", dt),
+    }
+
+
+# ---------------------------------------------------------------------------
+# CLIP text model (openai/clip-vit-large-patch14 naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_clip(state: Dict[str, np.ndarray], cfg) -> Any:
+    dt = cfg.dtype
+    tm = "text_model"
+    blocks = []
+    for i in range(cfg.num_layers):
+        p = f"{tm}.encoder.layers.{i}"
+        blocks.append(
+            {
+                "ln1": _norm(state, f"{p}.layer_norm1", dt),
+                "q": _lin(state, f"{p}.self_attn.q_proj", dt),
+                "k": _lin(state, f"{p}.self_attn.k_proj", dt),
+                "v": _lin(state, f"{p}.self_attn.v_proj", dt),
+                "o": _lin(state, f"{p}.self_attn.out_proj", dt),
+                "ln2": _norm(state, f"{p}.layer_norm2", dt),
+                "fc1": _lin(state, f"{p}.mlp.fc1", dt),
+                "fc2": _lin(state, f"{p}.mlp.fc2", dt),
+            }
+        )
+    return {
+        "token_embed": jnp.asarray(
+            state[f"{tm}.embeddings.token_embedding.weight"], dt
+        ),
+        "pos_embed": jnp.asarray(
+            state[f"{tm}.embeddings.position_embedding.weight"], dt
+        ),
+        "blocks": _stack(blocks),
+        "final_ln": _norm(state, f"{tm}.final_layer_norm", dt),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PixArt (diffusers PixArtTransformer2DModel naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_pixart(state: Dict[str, np.ndarray], cfg) -> Any:
+    dt = cfg.dtype
+    blocks = []
+    for i in range(cfg.depth):
+        p = f"transformer_blocks.{i}"
+        blocks.append(
+            {
+                "scale_shift_table": jnp.asarray(
+                    state[f"{p}.scale_shift_table"], dt
+                ),
+                "attn_qkv": _fused_qkv(
+                    state, f"{p}.attn1.to_q", f"{p}.attn1.to_k", f"{p}.attn1.to_v", dt
+                ),
+                "attn_out": _lin(state, f"{p}.attn1.to_out.0", dt),
+                "cross_q": _lin(state, f"{p}.attn2.to_q", dt),
+                "cross_kv": _fused_kv(
+                    state, f"{p}.attn2.to_k", f"{p}.attn2.to_v", dt
+                ),
+                "cross_out": _lin(state, f"{p}.attn2.to_out.0", dt),
+                "ffn": {
+                    "fc1": _lin(state, f"{p}.ff.net.0.proj", dt),
+                    "fc2": _lin(state, f"{p}.ff.net.2", dt),
+                },
+            }
+        )
+    return {
+        "patch_embed": _patch_conv_as_linear(state, "pos_embed.proj", dt),
+        "t_embed": _embedder(state, "adaln_single.emb.timestep_embedder", dt),
+        "adaln_single": _lin(state, "adaln_single.linear", dt),
+        "caption_fc1": _lin(state, "caption_projection.linear_1", dt),
+        "caption_fc2": _lin(state, "caption_projection.linear_2", dt),
+        "blocks": _stack(blocks),
+        "final_scale_shift": jnp.asarray(state["scale_shift_table"], dt),
+        "proj_out": _lin(state, "proj_out", dt),
+    }
+
+
+# ---------------------------------------------------------------------------
+# FLUX (diffusers FluxTransformer2DModel naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_flux(state: Dict[str, np.ndarray], cfg) -> Any:
+    dt = cfg.dtype
+    doubles = []
+    for i in range(cfg.double_layers):
+        p = f"transformer_blocks.{i}"
+        doubles.append(
+            {
+                "img_mod": _lin(state, f"{p}.norm1.linear", dt),
+                "txt_mod": _lin(state, f"{p}.norm1_context.linear", dt),
+                "img_qkv": _fused_qkv(
+                    state, f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v", dt
+                ),
+                "txt_qkv": _fused_qkv(
+                    state,
+                    f"{p}.attn.add_q_proj",
+                    f"{p}.attn.add_k_proj",
+                    f"{p}.attn.add_v_proj",
+                    dt,
+                ),
+                "img_q_norm": _rms(state, f"{p}.attn.norm_q", dt),
+                "img_k_norm": _rms(state, f"{p}.attn.norm_k", dt),
+                "txt_q_norm": _rms(state, f"{p}.attn.norm_added_q", dt),
+                "txt_k_norm": _rms(state, f"{p}.attn.norm_added_k", dt),
+                "img_out": _lin(state, f"{p}.attn.to_out.0", dt),
+                "txt_out": _lin(state, f"{p}.attn.to_add_out", dt),
+                "img_ffn": {
+                    "fc1": _lin(state, f"{p}.ff.net.0.proj", dt),
+                    "fc2": _lin(state, f"{p}.ff.net.2", dt),
+                },
+                "txt_ffn": {
+                    "fc1": _lin(state, f"{p}.ff_context.net.0.proj", dt),
+                    "fc2": _lin(state, f"{p}.ff_context.net.2", dt),
+                },
+            }
+        )
+    singles = []
+    for i in range(cfg.single_layers):
+        p = f"single_transformer_blocks.{i}"
+        singles.append(
+            {
+                "mod": _lin(state, f"{p}.norm.linear", dt),
+                "qkv": _fused_qkv(
+                    state, f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v", dt
+                ),
+                "q_norm": _rms(state, f"{p}.attn.norm_q", dt),
+                "k_norm": _rms(state, f"{p}.attn.norm_k", dt),
+                "mlp_in": _lin(state, f"{p}.proj_mlp", dt),
+                "out": _lin(state, f"{p}.proj_out", dt),
+            }
+        )
+    params = {
+        "x_embedder": _lin(state, "x_embedder", dt),
+        "context_embedder": _lin(state, "context_embedder", dt),
+        "t_embed": _embedder(state, "time_text_embed.timestep_embedder", dt),
+        "pooled_embed": _embedder(state, "time_text_embed.text_embedder", dt),
+        "double_blocks": _stack(doubles),
+        "single_blocks": _stack(singles),
+        "norm_out_mod": _lin(state, "norm_out.linear", dt),
+        "proj_out": _lin(state, "proj_out", dt),
+    }
+    if cfg.guidance_embeds:
+        params["guidance_embed"] = _embedder(
+            state, "time_text_embed.guidance_embedder", dt
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# SD3 (diffusers SD3Transformer2DModel naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_sd3(state: Dict[str, np.ndarray], cfg) -> Any:
+    dt = cfg.dtype
+    d = cfg.dim
+    blocks = []
+    for i in range(cfg.depth):
+        p = f"transformer_blocks.{i}"
+        blk = {
+            "img_mod": _lin(state, f"{p}.norm1.linear", dt),
+            "txt_mod": _lin(state, f"{p}.norm1_context.linear", dt),
+            "img_qkv": _fused_qkv(
+                state, f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v", dt
+            ),
+            "txt_qkv": _fused_qkv(
+                state,
+                f"{p}.attn.add_q_proj",
+                f"{p}.attn.add_k_proj",
+                f"{p}.attn.add_v_proj",
+                dt,
+            ),
+            "img_out": _lin(state, f"{p}.attn.to_out.0", dt),
+            "img_ffn": {
+                "fc1": _lin(state, f"{p}.ff.net.0.proj", dt),
+                "fc2": _lin(state, f"{p}.ff.net.2", dt),
+            },
+        }
+        # the final block is context_pre_only: no text out-proj / text FFN in
+        # the checkpoint — fill with zeros (outputs are unused dead code)
+        if f"{p}.attn.to_add_out.weight" in state:
+            blk["txt_out"] = _lin(state, f"{p}.attn.to_add_out", dt)
+            blk["txt_ffn"] = {
+                "fc1": _lin(state, f"{p}.ff_context.net.0.proj", dt),
+                "fc2": _lin(state, f"{p}.ff_context.net.2", dt),
+            }
+        else:
+            zeros_lin = lambda i_, o_: {
+                "w": jnp.zeros((i_, o_), dt),
+                "b": jnp.zeros((o_,), dt),
+            }
+            blk["txt_out"] = zeros_lin(d, d)
+            blk["txt_ffn"] = {
+                "fc1": zeros_lin(d, cfg.mlp_ratio * d),
+                "fc2": zeros_lin(cfg.mlp_ratio * d, d),
+            }
+        if cfg.qk_norm:
+            blk["img_q_norm"] = _rms(state, f"{p}.attn.norm_q", dt)
+            blk["img_k_norm"] = _rms(state, f"{p}.attn.norm_k", dt)
+            blk["txt_q_norm"] = _rms(state, f"{p}.attn.norm_added_q", dt)
+            blk["txt_k_norm"] = _rms(state, f"{p}.attn.norm_added_k", dt)
+        blocks.append(blk)
+    return {
+        "patch_embed": _patch_conv_as_linear(state, "pos_embed.proj", dt),
+        "context_embedder": _lin(state, "context_embedder", dt),
+        "t_embed": _embedder(state, "time_text_embed.timestep_embedder", dt),
+        "pooled_embed": _embedder(state, "time_text_embed.text_embedder", dt),
+        "blocks": _stack(blocks),
+        "norm_out_mod": _lin(state, "norm_out.linear", dt),
+        "proj_out": _lin(state, "proj_out", dt),
+    }
+
+
+# ---------------------------------------------------------------------------
+# VAE decoder (diffusers AutoencoderKL naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_vae_decoder(state: Dict[str, np.ndarray], cfg) -> Any:
+    dt = cfg.dtype
+
+    def resnet(p):
+        out = {
+            "norm1": _norm(state, f"{p}.norm1", dt),
+            "conv1": _conv(state, f"{p}.conv1", dt),
+            "norm2": _norm(state, f"{p}.norm2", dt),
+            "conv2": _conv(state, f"{p}.conv2", dt),
+        }
+        if f"{p}.conv_shortcut.weight" in state:
+            out["shortcut"] = _conv(state, f"{p}.conv_shortcut", dt)
+        return out
+
+    mid = "decoder.mid_block"
+    params = {
+        "post_quant_conv": _conv(state, "post_quant_conv", dt),
+        "conv_in": _conv(state, "decoder.conv_in", dt),
+        "mid_res1": resnet(f"{mid}.resnets.0"),
+        "mid_attn": {
+            "norm": _norm(state, f"{mid}.attentions.0.group_norm", dt),
+            "q": _lin(state, f"{mid}.attentions.0.to_q", dt),
+            "k": _lin(state, f"{mid}.attentions.0.to_k", dt),
+            "v": _lin(state, f"{mid}.attentions.0.to_v", dt),
+            "out": _lin(state, f"{mid}.attentions.0.to_out.0", dt),
+        },
+        "mid_res2": resnet(f"{mid}.resnets.1"),
+        "norm_out": _norm(state, "decoder.conv_norm_out", dt),
+        "conv_out": _conv(state, "decoder.conv_out", dt),
+    }
+    up = []
+    n_up = len(cfg.block_out_channels)
+    for i in range(n_up):
+        p = f"decoder.up_blocks.{i}"
+        blk = {
+            "resnets": [
+                resnet(f"{p}.resnets.{j}") for j in range(cfg.layers_per_block + 1)
+            ]
+        }
+        if f"{p}.upsamplers.0.conv.weight" in state:
+            blk["upsample_conv"] = _conv(state, f"{p}.upsamplers.0.conv", dt)
+        up.append(blk)
+    params["up"] = up
+    return params
