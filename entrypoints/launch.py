@@ -1,0 +1,116 @@
+"""HTTP generation service.
+
+Reference: ``entrypoints/launch.py:44-214`` — a FastAPI app backed by Ray
+actors (one GPU each) exposing ``POST /generate`` with base64/png output.
+
+TPU-native version: a single SPMD host process drives the whole mesh (no Ray
+— multi-controller JAX replaces actor placement; run one process per host on
+multi-host slices), and the HTTP layer is stdlib ``http.server`` since the
+image ships no fastapi.  Same endpoint shape:
+
+    POST /generate {"prompt": "...", "num_inference_steps": 20, ...}
+      -> {"images": ["<base64 npy>"], "latency_s": ...}
+    GET  /health -> {"status": "ok"}
+
+Launch:  python entrypoints/launch.py --model pixart --ulysses_degree 2 ...
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from compactfusion_tpu.args import FlexibleArgumentParser, xFuserArgs
+from compactfusion_tpu.parallel_api import xDiTParallel
+from compactfusion_tpu.utils.logger import init_logger
+
+logger = init_logger(__name__)
+
+
+class Engine:
+    def __init__(self, args: xFuserArgs):
+        self.args = args
+        engine_config, input_config = args.create_config()
+        self.runner = xDiTParallel(engine_config, input_config)
+        # warmup compile
+        t0 = time.time()
+        self.runner()
+        logger.info("warmup done in %.1fs", time.time() - t0)
+
+    def generate(self, request: dict) -> dict:
+        import dataclasses
+
+        inp = self.runner.input_config
+        overrides = {
+            k: v
+            for k, v in request.items()
+            if k in {f.name for f in dataclasses.fields(inp)}
+        }
+        if "prompt" in overrides and isinstance(overrides["prompt"], str):
+            overrides["prompt"] = (overrides["prompt"],)
+        self.runner.input_config = dataclasses.replace(inp, **overrides)
+        t0 = time.time()
+        out = np.asarray(self.runner(), np.float32)
+        latency = time.time() - t0
+        buf = io.BytesIO()
+        np.save(buf, out)
+        return {
+            "images": [base64.b64encode(buf.getvalue()).decode()],
+            "shape": list(out.shape),
+            "latency_s": round(latency, 3),
+        }
+
+
+def make_handler(engine: Engine):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "ok"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                request = json.loads(self.rfile.read(length) or b"{}")
+                self._send(200, engine.generate(request))
+            except Exception as e:  # noqa: BLE001
+                self._send(500, {"error": str(e)})
+
+        def log_message(self, *a):
+            pass
+
+    return Handler
+
+
+def main():
+    parser = FlexibleArgumentParser()
+    xFuserArgs.add_cli_args(parser)
+    parser.add_argument("--host", type=str, default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=6000)
+    ns = parser.parse_args()
+    args = xFuserArgs.from_cli_args(ns)
+    engine = Engine(args)
+    server = ThreadingHTTPServer((ns.host, ns.port), make_handler(engine))
+    logger.info("serving on %s:%d", ns.host, ns.port)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""FLUX.1 example (reference: examples/flux_example.py).
+
+    python examples/flux_example.py --model black-forest-labs/FLUX.1-dev \
+        --ulysses_degree 2 --ring_degree 2 --height 1024 --width 1024 \
+        --num_inference_steps 28 --compact --compact_type binary
+
+The compact flags replicate the reference's ``compact_init(CompactConfig(...))``
+setup (``examples/flux_example.py:91``): warmup steps exchange raw K/V, later
+steps exchange 1-bit residuals with error feedback.
+"""
+
+import numpy as np
+
+from compactfusion_tpu.args import FlexibleArgumentParser, xFuserArgs
+from compactfusion_tpu.parallel_api import xDiTParallel
+from compactfusion_tpu.utils.prof import Profiler
+
+
+def main():
+    parser = FlexibleArgumentParser(description="FLUX example")
+    xFuserArgs.add_cli_args(parser)
+    args = xFuserArgs.from_cli_args(parser.parse_args())
+    args.guidance_scale = 3.5 if args.guidance_scale == 4.5 else args.guidance_scale
+    engine_config, input_config = args.create_config()
+
+    runner = xDiTParallel(engine_config, input_config)
+    with Profiler.scope("total"):
+        with Profiler.scope("warmup"):
+            runner(decode=False)
+        with Profiler.scope("generate"):
+            out = runner(decode=False)
+    arr = np.asarray(out, np.float32)
+    print(f"latents: shape={arr.shape} finite={np.isfinite(arr).all()}")
+    print(Profiler.summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""xDiTParallel one-call API + HTTP service tests (tiny configs, fake mesh)."""
+
+import dataclasses
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from compactfusion_tpu.args import FlexibleArgumentParser, xFuserArgs
+from compactfusion_tpu.config import EngineConfig, InputConfig, ModelConfig
+from compactfusion_tpu.parallel_api import resolve_family, xDiTParallel
+
+
+def test_registry_resolution():
+    assert resolve_family("PixArt-alpha/PixArt-XL-2-512x512").name == "pixart"
+    assert resolve_family("black-forest-labs/FLUX.1-dev").name == "flux"
+    assert resolve_family("stabilityai/stable-diffusion-3-medium").name == "sd3"
+    assert resolve_family("THUDM/CogVideoX-2b").name == "cogvideox"
+    assert resolve_family("Tencent-Hunyuan/HunyuanDiT").name == "hunyuandit"
+    with pytest.raises(ValueError):
+        resolve_family("unknown/model")
+
+
+@pytest.fixture(scope="module")
+def tiny_runner():
+    # monkeypatch the pixart family to a tiny config for CPU-mesh testing
+    import compactfusion_tpu.parallel_api as api
+    from compactfusion_tpu.models.pixart import init_pixart, pixart_tiny
+    from compactfusion_tpu.models.vae import init_vae_decoder, tiny_vae
+    from compactfusion_tpu.parallel.mesh import make_mesh
+    from compactfusion_tpu.pipelines.pixart import (
+        PixArtPipeline,
+        PixArtPipelineConfig,
+    )
+
+    def tiny_build(engine, inp, checkpoint=None):
+        mcfg = pixart_tiny()
+        vcfg = tiny_vae()
+        pcfg = PixArtPipelineConfig(
+            model=mcfg, vae=vcfg, parallel=engine.parallel_config,
+            compact=engine.compact_config,
+            num_steps=inp.num_inference_steps,
+            guidance_scale=inp.guidance_scale,
+            height=inp.height, width=inp.width,
+        )
+        mesh = make_mesh(engine.parallel_config)
+        params = init_pixart(jax.random.PRNGKey(0), mcfg)
+        vae_params = init_vae_decoder(jax.random.PRNGKey(1), vcfg)
+        return PixArtPipeline(params, vae_params, pcfg, mesh), pcfg
+
+    orig = api._REGISTRY["pixart"].build
+    api._REGISTRY["pixart"].build = tiny_build
+    yield
+    api._REGISTRY["pixart"].build = orig
+
+
+def _engine_inp(**kw):
+    parser = FlexibleArgumentParser()
+    xFuserArgs.add_cli_args(parser)
+    argv = ["--model", "pixart-tiny", "--height", "64", "--width", "64",
+            "--num_inference_steps", "3", "--max_sequence_length", "8",
+            "--prompt", "a cat"]
+    for k, v in kw.items():
+        argv += [f"--{k}", str(v)]
+    args = xFuserArgs.from_cli_args(parser.parse_args(argv))
+    return args.create_config()
+
+def test_one_call_api(tiny_runner):
+    engine, inp = _engine_inp(ulysses_degree=2, ring_degree=2)
+    runner = xDiTParallel(engine, inp)
+    out = runner(decode=False)
+    arr = np.asarray(out, np.float32)
+    assert arr.shape[0] == 1 and np.isfinite(arr).all()
+
+
+def test_save(tiny_runner, tmp_path):
+    engine, inp = _engine_inp()
+    runner = xDiTParallel(engine, inp)
+    path = runner.save(str(tmp_path))
+    assert np.load(path).ndim >= 3
+
+
+def test_http_service(tiny_runner):
+    from entrypoints.launch import Engine, make_handler
+    from http.server import ThreadingHTTPServer
+
+    parser = FlexibleArgumentParser()
+    xFuserArgs.add_cli_args(parser)
+    args = xFuserArgs.from_cli_args(
+        parser.parse_args(
+            ["--model", "pixart-tiny", "--height", "64", "--width", "64",
+             "--num_inference_steps", "2", "--max_sequence_length", "8",
+             "--prompt", "x"]
+        )
+    )
+    engine = Engine(args)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert json.load(r)["status"] == "ok"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": "a dog"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            payload = json.load(r)
+        assert "images" in payload and payload["latency_s"] > 0
+    finally:
+        server.shutdown()
