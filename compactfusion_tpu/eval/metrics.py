@@ -1,0 +1,138 @@
+"""Image/video quality metrics.
+
+Reference: the offline eval harness — ``benchmark/fid/compute_fid.py`` (FID,
+cleanfid), LPIPS/PSNR scripts, and ``common_metrics_on_video_quality/
+calculate_{fvd,lpips,psnr,ssim}.py`` for video.
+
+PSNR / SSIM / per-frame video variants are implemented natively in JAX.
+FID and LPIPS require pretrained feature extractors (InceptionV3, AlexNet/VGG)
+— :func:`fid_from_features` / :class:`LPIPS` implement the metric math and
+take features from any extractor; torchmetrics/lpips can be plugged in where
+their weights are available (this image has no network egress, so the
+extractors themselves are not bundled).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def mse(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+
+
+def psnr(a: jax.Array, b: jax.Array, data_range: float = 1.0) -> jax.Array:
+    """Peak signal-to-noise ratio; inputs (..., H, W, C) in [0, data_range]."""
+    m = mse(a, b)
+    return 10.0 * jnp.log10(data_range**2 / jnp.maximum(m, 1e-12))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jax.Array:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / jnp.sum(g)
+    return g[:, None] * g[None, :]
+
+
+def ssim(
+    a: jax.Array, b: jax.Array, data_range: float = 1.0,
+    kernel_size: int = 11, sigma: float = 1.5,
+) -> jax.Array:
+    """Structural similarity for (B, H, W, C) images (Wang et al. settings)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    k = _gaussian_kernel(kernel_size, sigma)
+    c = a.shape[-1]
+    kern = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # depthwise
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    mu_a, mu_b = filt(a), filt(b)
+    mu_a2, mu_b2, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
+    var_a = filt(a * a) - mu_a2
+    var_b = filt(b * b) - mu_b2
+    cov = filt(a * b) - mu_ab
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    s = ((2 * mu_ab + c1) * (2 * cov + c2)) / (
+        (mu_a2 + mu_b2 + c1) * (var_a + var_b + c2)
+    )
+    return jnp.mean(s)
+
+
+def video_psnr(a: jax.Array, b: jax.Array, data_range: float = 1.0) -> jax.Array:
+    """Mean per-frame PSNR for (B, F, H, W, C) videos (reference
+    calculate_psnr.py semantics: average over frames)."""
+    bshape = a.shape[:2]
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    per_frame = jax.vmap(lambda x, y: psnr(x, y, data_range))(flat(a), flat(b))
+    return jnp.mean(per_frame.reshape(bshape))
+
+
+def video_ssim(a: jax.Array, b: jax.Array, data_range: float = 1.0) -> jax.Array:
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    per_frame = jax.vmap(
+        lambda x, y: ssim(x[None], y[None], data_range)
+    )(flat(a), flat(b))
+    return jnp.mean(per_frame)
+
+
+# ---------------------------------------------------------------------------
+# FID (metric math over externally-computed features)
+# ---------------------------------------------------------------------------
+
+
+def fid_from_features(feat_a: np.ndarray, feat_b: np.ndarray) -> float:
+    """Frechet distance between two feature sets (N, D) — the math behind
+    ``benchmark/fid/compute_fid.py``; features come from any extractor
+    (InceptionV3 pool3 for standard FID)."""
+    import scipy.linalg
+
+    mu_a, mu_b = feat_a.mean(0), feat_b.mean(0)
+    cov_a = np.cov(feat_a, rowvar=False)
+    cov_b = np.cov(feat_b, rowvar=False)
+    diff = mu_a - mu_b
+    covmean, _ = scipy.linalg.sqrtm(cov_a @ cov_b, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(cov_a + cov_b - 2.0 * covmean))
+
+
+class LPIPS:
+    """LPIPS distance given a feature extractor.
+
+    ``extractor(images) -> list of (B, H, W, C) feature maps``; the metric
+    normalises each map channelwise and averages squared differences —
+    AlexNet/VGG weights plug in via ``compactfusion_tpu.io.hf`` when present
+    locally.
+    """
+
+    def __init__(self, extractor, weights=None):
+        self.extractor = extractor
+        self.weights = weights
+
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        fa = self.extractor(a)
+        fb = self.extractor(b)
+        total = 0.0
+        for i, (xa, xb) in enumerate(zip(fa, fb)):
+            na = xa / jnp.maximum(
+                jnp.linalg.norm(xa, axis=-1, keepdims=True), 1e-8
+            )
+            nb = xb / jnp.maximum(
+                jnp.linalg.norm(xb, axis=-1, keepdims=True), 1e-8
+            )
+            d = jnp.mean((na - nb) ** 2, axis=(1, 2, 3))
+            if self.weights is not None:
+                d = d * self.weights[i]
+            total = total + d
+        return total
