@@ -1,0 +1,123 @@
+"""DiTFastAttn tests: method semantics, plan selection, model integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactfusion_tpu.cache.fast_attn import (
+    CalibrationAttn,
+    FastAttnAttn,
+    FastAttnMethod,
+    compression_loss,
+    load_plan,
+    save_plan,
+    select_methods,
+    window_attention,
+)
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.pixart import init_pixart, pixart_forward, pixart_tiny
+from compactfusion_tpu.ops.attention import sdpa
+
+
+def _qkv(seed=0, b=1, s=32, h=4, d=16):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    return mk(), mk(), mk()
+
+
+def test_window_attention_masks_far_tokens():
+    q, k, v = _qkv(0)
+    full = sdpa(q, k, v)
+    win = window_attention(q, k, v, window=4)
+    assert float(compression_loss(full, win)) > 0.01  # differs from full
+    win_all = window_attention(q, k, v, window=64)  # window >= S == full
+    np.testing.assert_allclose(
+        np.asarray(win_all), np.asarray(full), atol=1e-5
+    )
+
+
+def test_fast_attn_methods():
+    impl = FastAttnAttn(window_size=4)
+    q, k, v = _qkv(1)
+    st = jax.tree_util.tree_map(
+        lambda a: a[0], impl.init_state(1, 1, 32, 4, 16, jnp.float32)
+    )
+
+    # step 1: FULL — caches residual and last_out
+    st = dict(st, method=jnp.int32(FastAttnMethod.FULL_ATTN))
+    out_full, st = impl(q, k, v, st)
+    np.testing.assert_allclose(
+        np.asarray(out_full), np.asarray(sdpa(q, k, v)), atol=1e-5
+    )
+
+    # step 2 (same inputs): WINDOW_RESIDUAL reconstructs full exactly
+    st = dict(st, method=jnp.int32(FastAttnMethod.RESIDUAL_WINDOW_ATTN))
+    out_wr, st = impl(q, k, v, st)
+    np.testing.assert_allclose(
+        np.asarray(out_wr), np.asarray(out_full), atol=1e-4
+    )
+
+    # step 3: OUTPUT_SHARE returns the cached output
+    st = dict(st, method=jnp.int32(FastAttnMethod.OUTPUT_SHARE))
+    out_sh, st = impl(jnp.zeros_like(q), k, v, st)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_wr), atol=1e-5)
+
+
+def test_select_methods_ramp():
+    wl = np.array([0.5, 0.10, 0.10, 0.01])
+    sl = np.array([0.9, 0.50, 0.05, 0.9])
+    plan = select_methods(wl, sl, threshold=0.4, n_layers=4)
+    assert plan[0] == FastAttnMethod.FULL_ATTN  # budget 0.1, both too lossy
+    assert plan[1] == FastAttnMethod.RESIDUAL_WINDOW_ATTN  # budget 0.2
+    assert plan[2] == FastAttnMethod.OUTPUT_SHARE  # share under budget 0.3
+    assert plan[3] == FastAttnMethod.RESIDUAL_WINDOW_ATTN
+
+
+def test_plan_persistence(tmp_path):
+    plan = np.array([[0, 1], [2, 0]], np.int32)
+    p = str(tmp_path / "plan.json")
+    save_plan(plan, p)
+    np.testing.assert_array_equal(load_plan(p), plan)
+
+
+def test_pixart_with_fast_attn_plan():
+    """Full plan == baseline; calibration strategy records sane losses."""
+    mcfg = pixart_tiny()
+    params = init_pixart(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        rng.standard_normal((1, 16, mcfg.patch**2 * mcfg.in_channels)), jnp.float32
+    )
+    text = jnp.asarray(rng.standard_normal((1, 8, mcfg.text_dim)), jnp.float32)
+    t = jnp.full((1,), 500.0)
+    pos = cm.sincos_pos_embed_2d(mcfg.dim, 4, 4)
+
+    ref, _ = pixart_forward(
+        params, x.astype(mcfg.dtype), t, text, mcfg, pos_embed=pos
+    )
+
+    impl = FastAttnAttn(window_size=4)
+    st = impl.init_state(mcfg.depth, 1, 16, mcfg.heads, mcfg.head_dim, jnp.float32)
+    st = dict(st, method=jnp.zeros((mcfg.depth,), jnp.int32))  # all FULL
+    out, st = pixart_forward(
+        params, x.astype(mcfg.dtype), t, text, mcfg, pos_embed=pos,
+        attn=impl, attn_state=st,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=1e-2
+    )
+
+    cal = CalibrationAttn(window_size=4)
+    cst = cal.init_state(mcfg.depth, 1, 16, mcfg.heads, mcfg.head_dim, jnp.float32)
+    out, cst = pixart_forward(
+        params, x.astype(mcfg.dtype), t, text, mcfg, pos_embed=pos,
+        attn=cal, attn_state=cst,
+    )
+    wl = np.asarray(cst["window_loss"])
+    sl = np.asarray(cst["share_loss"])
+    assert wl.shape == (mcfg.depth,) and (wl >= 0).all()
+    # first step: share loss vs zero cache must be ~1
+    assert (sl > 0.5).all()
+    plan = select_methods(wl, sl, 0.5, mcfg.depth)
+    assert plan.shape == (mcfg.depth,)
