@@ -189,6 +189,41 @@ def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
     return CogVideoXPipeline(params, pcfg, mesh), pcfg
 
 
+@register_family("hunyuanvideo", r"hunyuanvideo")
+def _build_hunyuanvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
+    from compactfusion_tpu.models.hunyuanvideo import (
+        hunyuanvideo_config,
+        init_hunyuanvideo,
+    )
+    from compactfusion_tpu.pipelines.hunyuanvideo import (
+        HunyuanVideoPipeline,
+        HunyuanVideoPipelineConfig,
+    )
+
+    mcfg = hunyuanvideo_config()
+    params = init_hunyuanvideo(jax.random.PRNGKey(0), mcfg)
+    pcfg = HunyuanVideoPipelineConfig(
+        model=mcfg,
+        parallel=engine.parallel_config,
+        compact=engine.compact_config,
+        num_steps=inp.num_inference_steps,
+        guidance_scale=inp.guidance_scale,
+        height=inp.height,
+        width=inp.width,
+        num_frames=inp.num_frames,
+    )
+    mesh = make_mesh(engine.parallel_config)
+    return HunyuanVideoPipeline(params, pcfg, mesh), pcfg
+
+
+@register_family("consisid", r"consisid")
+def _build_consisid(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
+    # ConsisID is architecturally CogVideoX-5b plus facial-identity injection;
+    # the ID-injection cross-attention lands in a later round — until then the
+    # base video backbone + parallelism run end-to-end.
+    return _build_cogvideox(engine, inp, checkpoint)
+
+
 @register_family("hunyuandit", r"hunyuan")
 def _build_hunyuan(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
     from compactfusion_tpu.models.hunyuandit import (

@@ -1,0 +1,185 @@
+"""HunyuanVideo text-to-video pipeline.
+
+TPU-native analog of the reference HunyuanVideo pipeline (headline workload
+of ``docs/performance/hunyuanvideo.md`` — 129-frame 720p, >100k tokens,
+Ulysses-8): video tokens sharded over (dp, ring, ulysses) with the FLUX-family
+backbone, flow-match Euler sampling, embedded guidance, optional compressed
+ring — the config-#5 workload (long-video USP at 100x compression).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.attn_impl import (
+    CompactUSPAttn,
+    SingleDeviceAttn,
+    USPAttn,
+)
+from compactfusion_tpu.models.hunyuanvideo import (
+    hunyuanvideo_forward,
+    hunyuanvideo_positions,
+)
+from compactfusion_tpu.parallel.mesh import AXIS_DP, AXIS_TP
+from compactfusion_tpu.parallel.tp import model_param_specs
+from compactfusion_tpu.pipelines import base
+from compactfusion_tpu.schedulers.flow_match import (
+    flow_match_schedule,
+    flow_match_step,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class HunyuanVideoPipelineConfig:
+    model: object  # FluxConfig-shaped
+    parallel: ParallelConfig = ParallelConfig()
+    compact: CompactConfig = CompactConfig()
+    num_steps: int = 50
+    guidance_scale: float = 6.0
+    height: int = 720
+    width: int = 1280
+    num_frames: int = 129
+    shift: float = 7.0  # HunyuanVideo uses a large static flow shift
+
+    @property
+    def latent_frames(self) -> int:
+        return (self.num_frames - 1) // 4 + 1
+
+    @property
+    def grid(self) -> Tuple[int, int, int]:
+        return self.latent_frames, self.height // 16, self.width // 16
+
+    @property
+    def tokens(self) -> int:
+        f, hp, wp = self.grid
+        return f * hp * wp
+
+
+def _attn_impl(cfg, method):
+    p = cfg.parallel
+    if cfg.compact.enabled:
+        return CompactUSPAttn(
+            cfg=cfg.compact, method=method,
+            ulysses_size=p.ulysses_degree, ring_size=p.ring_degree,
+        )
+    if p.sp_degree > 1:
+        return USPAttn(ulysses_size=p.ulysses_degree, ring_size=p.ring_degree)
+    return SingleDeviceAttn()
+
+
+def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=None):
+    p = cfg.parallel
+    mcfg = cfg.model
+    f, hp, wp = cfg.grid
+    sched = flow_match_schedule(cfg.num_steps, shift=cfg.shift)
+    pos = hunyuanvideo_positions(f, hp, wp)
+    cos_full, sin_full = cm.rope_frequencies(pos, mcfg.axes_dim)
+
+    schedule = [
+        cfg.compact.type_at(0, s) if cfg.compact.enabled else None
+        for s in range(cfg.num_steps)
+    ]
+    segments = []
+    for s, m in enumerate(schedule):
+        if segments and segments[-1][0] == m:
+            segments[-1][1].append(s)
+        else:
+            segments.append((m, [s]))
+
+    def spmd(params, txt, pooled, latents):
+        s_txt = txt.shape[1]
+        txt_rope = cm.rope_frequencies(
+            jnp.zeros((s_txt, len(mcfg.axes_dim)), jnp.int32), mcfg.axes_dim
+        )
+        if p.sp_degree > 1:
+            rope = (
+                base.slice_local_tokens(cos_full, p.ulysses_degree, p.ring_degree),
+                base.slice_local_tokens(sin_full, p.ulysses_degree, p.ring_degree),
+            )
+        else:
+            rope = (cos_full, sin_full)
+        b = latents.shape[0]
+        guidance = (
+            jnp.full((b,), cfg.guidance_scale * 1000.0, jnp.float32)
+            if mcfg.guidance_embeds else None
+        )
+        s_local = cfg.tokens // p.sp_degree
+
+        carry = (latents, None, None)
+        for method, steps in segments:
+            attn = _attn_impl(cfg, method)
+            sd = attn.init_state(
+                mcfg.double_layers, b, s_local, mcfg.heads, mcfg.head_dim, jnp.float32
+            )
+            ss = attn.init_state(
+                mcfg.single_layers, b, s_local, mcfg.heads, mcfg.head_dim, jnp.float32
+            )
+            if carry[1] is not None and jax.tree_util.tree_leaves(carry[1]):
+                sd, ss = carry[1], carry[2]
+            carry = (carry[0], sd, ss)
+
+            def body(c, i, _attn=attn):
+                latents, sd, ss = c
+                t = jnp.full((b,), sched.timesteps[i], jnp.float32)
+                v, sd, ss = hunyuanvideo_forward(
+                    params,
+                    latents.astype(mcfg.dtype),
+                    txt.astype(mcfg.dtype),
+                    pooled,
+                    t,
+                    guidance,
+                    mcfg,
+                    img_rope=rope,
+                    txt_rope=txt_rope,
+                    attn=_attn,
+                    attn_state_double=sd,
+                    attn_state_single=ss,
+                    tp_axis=AXIS_TP if p.tp_degree > 1 else None,
+                )
+                latents = flow_match_step(sched, i, latents, v)
+                return (latents, sd, ss), None
+
+            carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
+        return carry[0]
+
+    if p.tp_degree > 1 or p.pp_degree > 1:
+        assert params_tree is not None
+        param_specs = model_param_specs(
+            params_tree, tp=p.tp_degree > 1, pp=p.pp_degree > 1
+        )
+    else:
+        param_specs = P()
+    fn = jax.shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(param_specs, P(AXIS_DP), P(AXIS_DP), base.LATENT_SPEC),
+        out_specs=base.LATENT_SPEC,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class HunyuanVideoPipeline:
+    """User-facing pipeline.  Video VAE decode lands in a later round."""
+
+    def __init__(self, params, cfg: HunyuanVideoPipelineConfig, mesh: Mesh):
+        self.params = params
+        self.cfg = cfg
+        self.mesh = mesh
+        self._sample = build_sample_fn(cfg, mesh, params)
+
+    def __call__(self, txt, pooled, key):
+        cfg = self.cfg
+        latents = base.prepare_latents(
+            key, txt.shape[0], cfg.tokens, cfg.model.in_channels, jnp.float32
+        )
+        return self._sample(self.params, txt, pooled, latents)

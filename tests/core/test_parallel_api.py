@@ -20,6 +20,8 @@ def test_registry_resolution():
     assert resolve_family("stabilityai/stable-diffusion-3-medium").name == "sd3"
     assert resolve_family("THUDM/CogVideoX-2b").name == "cogvideox"
     assert resolve_family("Tencent-Hunyuan/HunyuanDiT").name == "hunyuandit"
+    assert resolve_family("tencent/HunyuanVideo").name == "hunyuanvideo"
+    assert resolve_family("BestWishYsh/ConsisID-preview").name == "consisid"
     with pytest.raises(ValueError):
         resolve_family("unknown/model")
 

@@ -1,0 +1,66 @@
+"""HunyuanVideo pipeline tests (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.models.hunyuanvideo import (
+    hunyuanvideo_tiny,
+    init_hunyuanvideo,
+)
+from compactfusion_tpu.parallel.mesh import make_mesh
+from compactfusion_tpu.pipelines.hunyuanvideo import (
+    HunyuanVideoPipeline,
+    HunyuanVideoPipelineConfig,
+)
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+
+def _cfg(mcfg, parallel, compact=CompactConfig(), steps=4):
+    return HunyuanVideoPipelineConfig(
+        model=mcfg, parallel=parallel, compact=compact, num_steps=steps,
+        height=4 * 16, width=4 * 16, num_frames=5,  # 2 latent frames, 32 tokens
+    )
+
+
+def test_hunyuanvideo_sharded_and_compact():
+    mcfg = hunyuanvideo_tiny()
+    params = init_hunyuanvideo(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.default_rng(1)
+    txt = jnp.asarray(rng.standard_normal((1, 8, mcfg.text_dim)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((1, mcfg.pooled_dim)), jnp.float32)
+    key = jax.random.PRNGKey(2)
+
+    c1 = _cfg(mcfg, ParallelConfig())
+    ref = HunyuanVideoPipeline(
+        params, c1, make_mesh(c1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key)
+
+    cN = _cfg(mcfg, ParallelConfig(ulysses_degree=2, ring_degree=2))
+    out = HunyuanVideoPipeline(params, cN, make_mesh(cN.parallel))(
+        txt, pooled, key
+    )
+    assert rel_err(out, ref) < 5e-3
+
+    compact = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY,
+        warmup_steps=2, residual=1, error_feedback=True,
+    )
+    cC = _cfg(mcfg, ParallelConfig(ring_degree=4), compact=compact, steps=6)
+    c1b = _cfg(mcfg, ParallelConfig(), steps=6)
+    ref6 = HunyuanVideoPipeline(
+        params, c1b, make_mesh(c1b.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key)
+    outc = HunyuanVideoPipeline(params, cC, make_mesh(cC.parallel))(
+        txt, pooled, key
+    )
+    err = rel_err(outc, ref6)
+    assert np.isfinite(np.asarray(outc, np.float32)).all()
+    assert err < 0.25, f"compact HunyuanVideo diverged: {err}"
