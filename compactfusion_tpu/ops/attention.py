@@ -30,7 +30,9 @@ def _flash_eligible(q, k, causal, mask) -> bool:
         return False
     b, sq, h, d = q.shape
     sk = k.shape[1]
-    return d % 128 == 0 and sq * sk >= 256 * 256
+    # d is the full last dim of the kernel block, so any sublane-aligned head
+    # dim lowers (non-128 dims pad lanes; still beats materialised scores)
+    return d % 8 == 0 and sq * sk >= 256 * 256
 
 
 def attn_with_lse(
