@@ -15,7 +15,11 @@ image ships no fastapi.  Same endpoint shape:
 Launch:  python entrypoints/launch.py --model pixart --ulysses_degree 2 ...
 """
 
-from __future__ import annotations
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import base64
 import io

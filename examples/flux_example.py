@@ -9,6 +9,11 @@ setup (``examples/flux_example.py:91``): warmup steps exchange raw K/V, later
 steps exchange 1-bit residuals with error feedback.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from compactfusion_tpu.args import FlexibleArgumentParser, xFuserArgs

@@ -9,6 +9,11 @@ attention.  Without a checkpoint, weights are randomly initialised (the
 parallel machinery and performance are real; the pixels are not art).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
