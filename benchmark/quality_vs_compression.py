@@ -1,0 +1,120 @@
+"""Quality-vs-compression sweep: compressed pipeline vs lossless reference.
+
+Reference: the paper's quality evaluation (FID/LPIPS at matched compression,
+``benchmark/fid/``) — here as a self-contained sweep runnable on the fake
+8-device CPU mesh (no checkpoints needed): for each codec, run the PixArt
+pipeline compressed and lossless from the same seed and report latent-space
+relative error + decoded-image PSNR/SSIM, plus the wire compression ratio.
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmark/quality_vs_compression.py --steps 8
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--ring", type=int, default=4)
+    args = p.parse_args()
+
+    from compactfusion_tpu.compact import codecs
+    from compactfusion_tpu.config import (
+        CompactConfig,
+        CompressType,
+        ParallelConfig,
+    )
+    from compactfusion_tpu.eval.metrics import psnr, ssim
+    from compactfusion_tpu.models.pixart import init_pixart, pixart_tiny
+    from compactfusion_tpu.models.vae import init_vae_decoder, tiny_vae
+    from compactfusion_tpu.parallel.mesh import make_mesh
+    from compactfusion_tpu.pipelines.pixart import (
+        PixArtPipeline,
+        PixArtPipelineConfig,
+    )
+
+    mcfg = pixart_tiny()
+    vcfg = tiny_vae()
+    params = init_pixart(jax.random.PRNGKey(0), mcfg)
+    vae_params = init_vae_decoder(jax.random.PRNGKey(1), vcfg)
+    rng = np.random.default_rng(2)
+    text = jnp.asarray(
+        np.stack(
+            [rng.standard_normal((1, 8, mcfg.text_dim)), np.zeros((1, 8, mcfg.text_dim))]
+        ),
+        jnp.float32,
+    )
+    mask = jnp.ones((2, 1, 8), bool)
+    key = jax.random.PRNGKey(3)
+
+    def run(compact):
+        par = ParallelConfig(ring_degree=args.ring) if compact.enabled else ParallelConfig()
+        cfg = PixArtPipelineConfig(
+            model=mcfg, vae=vcfg, parallel=par, compact=compact,
+            num_steps=args.steps, guidance_scale=4.5, height=64, width=64,
+        )
+        devices = jax.devices()[: par.world_size]
+        pipe = PixArtPipeline(params, vae_params, cfg, make_mesh(par, devices=devices))
+        lat = pipe(text, mask, key, decode=False)
+        img = pipe._decode(vae_params, lat)
+        return np.asarray(lat, np.float32), np.asarray(img, np.float32)
+
+    lat_ref, img_ref = run(CompactConfig())
+
+    n, c = 1 * (16 // args.ring), mcfg.heads * mcfg.head_dim
+    raw = n * c * 4
+    results = []
+    for ctype in ("binary", "int2", "int4", "low-rank"):
+        compact = CompactConfig(
+            enabled=True,
+            compress_type=CompressType(ctype),
+            warmup_steps=args.warmup,
+            comp_rank=2 if "rank" in ctype else -1,
+            residual=1,
+            error_feedback=True,
+        )
+        lat, img = run(compact)
+        payload = codecs.encode(
+            jnp.zeros((max(n, 8), c), jnp.bfloat16),
+            CompressType(ctype),
+            rank=2 if "rank" in ctype else -1,
+        )
+        ratio = (max(n, 8) * c * 2) / codecs.payload_nbytes(payload)
+        rel = float(
+            np.linalg.norm(lat - lat_ref) / (np.linalg.norm(lat_ref) + 1e-12)
+        )
+        results.append(
+            {
+                "codec": ctype,
+                "latent_rel_err": round(rel, 4),
+                "psnr_db": round(float(psnr(img, img_ref)), 2),
+                "ssim": round(float(ssim(img, img_ref)), 4),
+                "wire_compression": round(float(ratio), 1),
+            }
+        )
+    print(json.dumps({"steps": args.steps, "ring": args.ring, "results": results}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

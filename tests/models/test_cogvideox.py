@@ -26,10 +26,13 @@ def rel_err(a, b):
     return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
 
 
+from tests.helpers import spice_params
+
+
 @pytest.fixture(scope="module")
 def tiny():
     mcfg = cogvideox_tiny()
-    return mcfg, init_cogvideox(jax.random.PRNGKey(0), mcfg)
+    return mcfg, spice_params(init_cogvideox(jax.random.PRNGKey(0), mcfg))
 
 
 def test_forward_shapes(tiny):
@@ -89,7 +92,7 @@ def test_cogvideox_sharded_matches_single(tiny, parallel):
     )(txt, key)
     cN = _pipe_cfg(mcfg, parallel)
     out = CogVideoXPipeline(params, cN, make_mesh(cN.parallel))(txt, key)
-    assert rel_err(out, ref) < 5e-3
+    assert rel_err(out, ref) < 2e-2
 
 
 def test_cogvideox_compact(tiny):
@@ -109,4 +112,5 @@ def test_cogvideox_compact(tiny):
     out = CogVideoXPipeline(params, cC, make_mesh(par))(txt, key)
     err = rel_err(out, ref)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err > 1e-5, "compact pipeline identical to lossless - test blind"
     assert err < 0.25, f"compact CogVideoX diverged: {err}"

@@ -24,10 +24,13 @@ def rel_err(a, b):
     return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
 
 
+from tests.helpers import spice_params
+
+
 @pytest.fixture(scope="module")
 def tiny():
     mcfg = flux_tiny()
-    params = init_flux(jax.random.PRNGKey(0), mcfg)
+    params = spice_params(init_flux(jax.random.PRNGKey(0), mcfg))
     return mcfg, params
 
 
@@ -132,4 +135,5 @@ def test_flux_compact_tracks_uncompressed(tiny):
     )
     err = rel_err(out, ref)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err > 1e-5, "compact pipeline identical to lossless - test blind"
     assert err < 0.2, f"compact FLUX diverged: {err}"

@@ -31,8 +31,10 @@ def _cfg(mcfg, parallel, compact=CompactConfig(), steps=4):
 
 
 def test_hunyuanvideo_sharded_and_compact():
+    from tests.helpers import spice_params
+
     mcfg = hunyuanvideo_tiny()
-    params = init_hunyuanvideo(jax.random.PRNGKey(0), mcfg)
+    params = spice_params(init_hunyuanvideo(jax.random.PRNGKey(0), mcfg))
     rng = np.random.default_rng(1)
     txt = jnp.asarray(rng.standard_normal((1, 8, mcfg.text_dim)), jnp.float32)
     pooled = jnp.asarray(rng.standard_normal((1, mcfg.pooled_dim)), jnp.float32)
@@ -63,4 +65,5 @@ def test_hunyuanvideo_sharded_and_compact():
     )
     err = rel_err(outc, ref6)
     assert np.isfinite(np.asarray(outc, np.float32)).all()
+    assert err > 1e-5, "compact pipeline identical to lossless - test blind"
     assert err < 0.25, f"compact HunyuanVideo diverged: {err}"

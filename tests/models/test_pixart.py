@@ -31,11 +31,14 @@ def rel_err(a, b):
     return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
 
 
+from tests.helpers import spice_params
+
+
 @pytest.fixture(scope="module")
 def tiny_setup():
     mcfg = pixart_tiny()
     key = jax.random.PRNGKey(0)
-    params = init_pixart(key, mcfg)
+    params = spice_params(init_pixart(key, mcfg))
     vcfg = tiny_vae()
     vae_params = init_vae_decoder(jax.random.PRNGKey(1), vcfg)
     return mcfg, params, vcfg, vae_params
@@ -153,6 +156,8 @@ def test_compact_pipeline_tracks_uncompressed(tiny_setup):
     )
     err = rel_err(out, ref)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+    # sensitivity floor: compression must actually perturb the output
+    assert err > 1e-5, "compact pipeline identical to lossless - test blind"
     assert err < 0.15, f"compressed pipeline diverged: rel_err={err}"
 
 

@@ -19,10 +19,13 @@ def rel_err(a, b):
     return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
 
 
+from tests.helpers import spice_params
+
+
 @pytest.fixture(scope="module")
 def tiny():
     mcfg = sd3_tiny()
-    return mcfg, init_sd3(jax.random.PRNGKey(0), mcfg)
+    return mcfg, spice_params(init_sd3(jax.random.PRNGKey(0), mcfg))
 
 
 def test_forward_shapes(tiny):
@@ -119,4 +122,5 @@ def test_sd3_compact(tiny):
     )
     err = rel_err(out, ref)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err > 1e-5, "compact pipeline identical to lossless - test blind"
     assert err < 0.2, f"compact SD3 diverged: {err}"
