@@ -57,6 +57,14 @@ def main():
     mcfg = pixart_tiny()
     vcfg = tiny_vae()
     params = init_pixart(jax.random.PRNGKey(0), mcfg)
+    # randomize the zero-init AdaLN tables so the attention path (and hence
+    # compression error) actually reaches the output (trained models have
+    # O(1) gates; fresh inits do not)
+    grng = np.random.default_rng(99)
+    params["blocks"]["scale_shift_table"] = jnp.asarray(
+        grng.standard_normal(params["blocks"]["scale_shift_table"].shape) * 0.5,
+        mcfg.dtype,
+    )
     vae_params = init_vae_decoder(jax.random.PRNGKey(1), vcfg)
     rng = np.random.default_rng(2)
     text = jnp.asarray(
