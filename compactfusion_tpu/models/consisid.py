@@ -1,0 +1,165 @@
+"""ConsisID backbone: CogVideoX + facial-identity injection.
+
+TPU-native re-implementation of the model behind the reference's
+``xfuser/model_executor/models/transformers/consisid_transformer_3d.py``
+(a diffusers ``ConsisIDTransformer3DModel`` wrapper): the CogVideoX-5B video
+backbone plus identity conditioning — pre-projected face features (global
+ArcFace embedding + local multi-scale visual tokens) attend into the video
+stream through per-block perceiver-style cross-attention with a learned gate
+(zero-initialised, so an un-conditioned model reduces exactly to CogVideoX).
+
+The face encoders themselves (ArcFace / CLIP-visual local extractor) run
+outside the denoise scan like all other encoders; pass their output as
+``id_states``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.attn_impl import SingleDeviceAttn
+from compactfusion_tpu.models.cogvideox import (
+    CogVideoXConfig,
+    _init_block,
+    video_positions,
+)
+from compactfusion_tpu.ops.attention import sdpa
+
+
+@dataclasses.dataclass(frozen=True)
+class ConsisIDConfig(CogVideoXConfig):
+    id_dim: int = 1280  # projected face-feature width
+
+
+def consisid_preview() -> ConsisIDConfig:
+    return ConsisIDConfig(dim=3072, depth=42, heads=48, axes_dim=(16, 24, 24))
+
+
+def consisid_tiny() -> ConsisIDConfig:
+    return ConsisIDConfig(
+        dim=64, depth=2, heads=4, text_dim=32, time_embed_dim=32,
+        axes_dim=(8, 4, 4), id_dim=16,
+    )
+
+
+def _init_id_attn(key, cfg: ConsisIDConfig):
+    d, dt = cfg.dim, cfg.dtype
+    ks = jax.random.split(key, 3)
+    return {
+        "q": cm.init_linear(ks[0], d, d, dtype=dt),
+        "kv": cm.init_linear(ks[1], cfg.id_dim, 2 * d, dtype=dt),
+        "out": cm.init_linear(ks[2], d, d, dtype=dt),
+        # zero gate: without tuning, ConsisID == CogVideoX exactly
+        "gate": jnp.zeros((d,), dt),
+    }
+
+
+def init_consisid(key, cfg: ConsisIDConfig):
+    d, dt = cfg.dim, cfg.dtype
+    ks = jax.random.split(key, 10)
+    blocks = [_init_block(k, cfg) for k in jax.random.split(ks[0], cfg.depth)]
+    id_attns = [_init_id_attn(k, cfg) for k in jax.random.split(ks[1], cfg.depth)]
+    return {
+        "patch_embed": cm.init_linear(
+            ks[2], cfg.patch * cfg.patch * cfg.in_channels, d, dtype=dt
+        ),
+        "text_proj": cm.init_linear(ks[3], cfg.text_dim, d, dtype=dt),
+        "t_embed": cm.init_timestep_embedder(ks[4], 256, cfg.time_embed_dim, dtype=dt),
+        "blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *blocks),
+        "id_attns": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *id_attns),
+        "norm_out_mod": cm.init_linear(ks[5], cfg.time_embed_dim, 2 * d, dtype=dt),
+        "proj_out": cm.init_linear(
+            ks[6], d, cfg.patch * cfg.patch * cfg.out_channels, dtype=dt
+        ),
+    }
+
+
+def _heads(x, h):
+    b, s, d = x.shape
+    return x.reshape(b, s, h, d // h)
+
+
+def _unheads(x):
+    b, s, h, hd = x.shape
+    return x.reshape(b, s, h * hd)
+
+
+def consisid_forward(
+    params,
+    video: jax.Array,
+    txt: jax.Array,
+    id_states: Optional[jax.Array],
+    t: jax.Array,
+    cfg: ConsisIDConfig,
+    *,
+    video_rope: Optional[Tuple[jax.Array, jax.Array]] = None,
+    attn=SingleDeviceAttn(),
+    attn_state=(),
+    tp_axis: Optional[str] = None,
+):
+    """ConsisID denoiser: CogVideoX block + gated ID cross-attention.
+
+    id_states: (B, S_id, id_dim) face tokens, replicated over SP ranks (or
+    None for unconditioned generation — identical to CogVideoX).
+    """
+    h = cfg.heads
+    vid = cm.linear(params["patch_embed"], video)
+    txt = cm.linear(params["text_proj"], txt)
+    temb = cm.timestep_embedder(params["t_embed"], t, 256)
+
+    def _mod6(p, temb):
+        out = cm.linear(p, cm.silu(temb))
+        return jnp.split(out[:, None, :], 6, axis=-1)
+
+    def block(carry, xs):
+        vid, txt = carry
+        p, pid, state = xs
+        v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_attn"], temb)
+        vid_n = cm.layernorm({}, vid) * (1 + v_sc) + v_sh
+        txt_n = cm.layernorm({}, txt) * (1 + t_sc) + t_sh
+        vq, vk, vv = [
+            _heads(x, h) for x in jnp.split(cm.linear(p["qkv"], vid_n), 3, -1)
+        ]
+        tq, tk, tv = [
+            _heads(x, h) for x in jnp.split(cm.linear(p["qkv"], txt_n), 3, -1)
+        ]
+        vq, vk = cm.rmsnorm(p["q_norm"], vq), cm.rmsnorm(p["k_norm"], vk)
+        tq, tk = cm.rmsnorm(p["q_norm"], tq), cm.rmsnorm(p["k_norm"], tk)
+        if video_rope is not None:
+            cos_v, sin_v = video_rope
+            vq = cm.apply_rope(vq, cos_v, sin_v)
+            vk = cm.apply_rope(vk, cos_v, sin_v)
+        o, state = attn(vq, vk, vv, state, joint_q=tq, joint_k=tk, joint_v=tv)
+        s_txt = txt.shape[1]
+        txt_o, vid_o = o[:, :s_txt], o[:, s_txt:]
+        proj = cm.linear(p["attn_out"], _unheads(jnp.concatenate([txt_o, vid_o], 1)))
+        txt = txt + t_g * proj[:, :s_txt]
+        vid = vid + v_g * proj[:, s_txt:]
+
+        # gated identity cross-attention (the ConsisID addition)
+        if id_states is not None:
+            q = _heads(cm.linear(pid["q"], vid), h)
+            kid, vid_kv = jnp.split(cm.linear(pid["kv"], id_states), 2, -1)
+            o_id = sdpa(q, _heads(kid, h), _heads(vid_kv, h))
+            vid = vid + pid["gate"] * cm.linear(pid["out"], _unheads(o_id))
+
+        v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_ff"], temb)
+        vid_n = cm.layernorm({}, vid) * (1 + v_sc) + v_sh
+        txt_n = cm.layernorm({}, txt) * (1 + t_sc) + t_sh
+        ff = cm.ffn(p["ffn"], jnp.concatenate([txt_n, vid_n], 1), tp_axis=tp_axis)
+        txt = txt + t_g * ff[:, :s_txt]
+        vid = vid + v_g * ff[:, s_txt:]
+        return (vid, txt), state
+
+    (vid, txt), new_state = jax.lax.scan(
+        block, (vid, txt), (params["blocks"], params["id_attns"], attn_state)
+    )
+    mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
+    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+    vid = cm.layernorm({}, vid) * (1 + scale) + shift
+    return cm.linear(params["proj_out"], vid), new_state

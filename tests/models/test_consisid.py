@@ -1,0 +1,104 @@
+"""ConsisID tests: ID injection semantics + sharded parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from compactfusion_tpu.config import ParallelConfig
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.cogvideox import video_positions
+from compactfusion_tpu.models.consisid import (
+    consisid_forward,
+    consisid_tiny,
+    init_consisid,
+)
+from compactfusion_tpu.models.attn_impl import USPAttn
+from compactfusion_tpu.parallel.mesh import AXIS_RING, AXIS_ULYSSES, make_mesh
+from compactfusion_tpu.pipelines import base
+from tests.helpers import rel_err, spice_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mcfg = consisid_tiny()
+    params = spice_params(init_consisid(jax.random.PRNGKey(0), mcfg))
+    rng = np.random.default_rng(1)
+    b, f, hp, wp = 1, 2, 4, 4
+    s = f * hp * wp
+    video = jnp.asarray(
+        rng.standard_normal((b, s, mcfg.patch**2 * mcfg.in_channels)), jnp.float32
+    )
+    txt = jnp.asarray(rng.standard_normal((b, 8, mcfg.text_dim)), jnp.float32)
+    ids = jnp.asarray(rng.standard_normal((b, 4, mcfg.id_dim)), jnp.float32)
+    t = jnp.full((b,), 500.0)
+    rope = cm.rope_frequencies(video_positions(f, hp, wp), mcfg.axes_dim)
+    return mcfg, params, video, txt, ids, t, rope
+
+
+def test_zero_gate_matches_unconditioned(setup):
+    """Zero-init ID gates: with-ID output == without-ID (reference parity with
+    plain CogVideoX before identity tuning)."""
+    mcfg, params, video, txt, ids, t, rope = setup
+    out_id, _ = consisid_forward(
+        params, video.astype(mcfg.dtype), txt.astype(mcfg.dtype), ids, t, mcfg,
+        video_rope=rope,
+    )
+    out_no, _ = consisid_forward(
+        params, video.astype(mcfg.dtype), txt.astype(mcfg.dtype), None, t, mcfg,
+        video_rope=rope,
+    )
+    # gate contribution is exactly zero; tolerance covers 1-ulp bf16
+    # differences from the two programs fusing differently under XLA
+    np.testing.assert_allclose(
+        np.asarray(out_id, np.float32), np.asarray(out_no, np.float32), atol=1e-2
+    )
+    assert rel_err(out_id, out_no) < 1e-3
+
+
+def test_nonzero_gate_injects_identity(setup):
+    mcfg, params, video, txt, ids, t, rope = setup
+    params2 = jax.tree_util.tree_map(lambda a: a, params)
+    params2["id_attns"]["gate"] = jnp.ones_like(params2["id_attns"]["gate"])
+    out_id, _ = consisid_forward(
+        params2, video.astype(mcfg.dtype), txt.astype(mcfg.dtype), ids, t, mcfg,
+        video_rope=rope,
+    )
+    out_other, _ = consisid_forward(
+        params2, video.astype(mcfg.dtype), txt.astype(mcfg.dtype), ids * 3.0, t,
+        mcfg, video_rope=rope,
+    )
+    assert rel_err(out_id, out_other) > 1e-3  # identity actually conditions
+
+
+def test_sharded_matches_single(setup):
+    mcfg, params, video, txt, ids, t, rope = setup
+    params2 = jax.tree_util.tree_map(lambda a: a, params)
+    params2["id_attns"]["gate"] = 0.5 * jnp.ones_like(params2["id_attns"]["gate"])
+    ref, _ = consisid_forward(
+        params2, video.astype(mcfg.dtype), txt.astype(mcfg.dtype), ids, t, mcfg,
+        video_rope=rope,
+    )
+    u = r = 2
+    mesh = make_mesh(ParallelConfig(ulysses_degree=u, ring_degree=r))
+    spec = P(None, (AXIS_RING, AXIS_ULYSSES), None)
+    attn = USPAttn(ulysses_size=u, ring_size=r)
+
+    def body(video):
+        rl = (
+            base.slice_local_tokens(rope[0], u, r),
+            base.slice_local_tokens(rope[1], u, r),
+        )
+        out, _ = consisid_forward(
+            params2, video.astype(mcfg.dtype), txt.astype(mcfg.dtype), ids, t,
+            mcfg, video_rope=rl, attn=attn,
+        )
+        return out
+
+    f = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                      check_vma=False)
+    )
+    out = f(video)
+    assert rel_err(out, ref) < 2e-2
