@@ -84,6 +84,45 @@ class USPAttn:
 
 
 @dataclasses.dataclass(frozen=True)
+class PatchKVAttn:
+    """PipeFusion patched attention: fresh Q/K/V for the current patch, stale
+    full-sequence K/V cache for the rest.
+
+    Reference semantics: ``CacheManager._naive_cache_update``
+    (``xfuser/core/cache_manager/cache_manager.py:105``) — slice-update the
+    full-sequence KV by the patch's token range, then attend the patch
+    queries against the whole (partially stale) sequence.
+
+    State (stacked per layer): k_cache/v_cache (L, B, S_total, H, D) and
+    offset (L,) int32 — the pipeline writes the current patch's token offset
+    into every layer's slot each micro-round.
+    """
+
+    def init_state(self, n_layers, batch, seq_total, heads, head_dim, dtype):
+        z = jnp.zeros((n_layers, batch, seq_total, heads, head_dim), dtype)
+        return {
+            "k_cache": z,
+            "v_cache": z,
+            "offset": jnp.zeros((n_layers,), jnp.int32),
+        }
+
+    def __call__(
+        self, q, k, v, state, *, joint_q=None, joint_k=None, joint_v=None,
+        joint_strategy="front",
+    ):
+        assert joint_q is None
+        off = state["offset"]
+        kc = jax.lax.dynamic_update_slice(
+            state["k_cache"], k.astype(state["k_cache"].dtype), (0, off, 0, 0)
+        )
+        vc = jax.lax.dynamic_update_slice(
+            state["v_cache"], v.astype(state["v_cache"].dtype), (0, off, 0, 0)
+        )
+        out = sdpa(q, kc.astype(q.dtype), vc.astype(q.dtype))
+        return out, {"k_cache": kc, "v_cache": vc, "offset": off}
+
+
+@dataclasses.dataclass(frozen=True)
 class CompactUSPAttn:
     """CompactFusion: USP with the compressed ring and EF state threading.
 

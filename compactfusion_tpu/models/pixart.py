@@ -114,6 +114,19 @@ def _unheads(x):
     return x.reshape(b, s, h * dh)
 
 
+def pixart_embed(params, x: jax.Array, pos_embed: jax.Array, cfg: PixArtConfig):
+    """Patch-embed + positional table -> hidden tokens (B, S, dim)."""
+    return cm.linear(params["patch_embed"], x) + pos_embed.astype(cfg.dtype)[None]
+
+
+def pixart_head(params, x: jax.Array, temb: jax.Array, cfg: PixArtConfig):
+    """Final AdaLN + projection (diffusers PixArt norm_out semantics)."""
+    fin = params["final_scale_shift"][None] + temb[:, None, :].repeat(2, axis=1)
+    shift, scale = fin[:, 0][:, None], fin[:, 1][:, None]
+    x = cm.layernorm({}, x) * (1 + scale) + shift
+    return cm.linear(params["proj_out"], x)
+
+
 def pixart_forward(
     params,
     x: jax.Array,
@@ -129,6 +142,8 @@ def pixart_forward(
     pp_stages: int = 1,
     cache_cfg=None,
     cache_state=None,
+    x_is_hidden: bool = False,
+    return_hidden: bool = False,
 ) -> Tuple[jax.Array, Any]:
     """Denoiser forward on (already patchified-shard) latent tokens.
 
@@ -146,7 +161,8 @@ def pixart_forward(
     """
     d, h = cfg.dim, cfg.heads
 
-    x = cm.linear(params["patch_embed"], x) + pos_embed.astype(cfg.dtype)[None]
+    if not x_is_hidden:
+        x = pixart_embed(params, x, pos_embed, cfg)
 
     temb = cm.timestep_embedder(params["t_embed"], t, 256)  # (B, d)
     mod6 = cm.linear(params["adaln_single"], cm.silu(temb))  # (B, 6d)
@@ -234,11 +250,7 @@ def pixart_forward(
         x, new_state = jax.lax.scan(block, x, (params["blocks"], attn_state))
         new_cache = cache_state
 
-    # final AdaLN + head (diffusers PixArt norm_out semantics)
-    fin = params["final_scale_shift"][None] + temb[:, None, :].repeat(2, axis=1)
-    shift, scale = fin[:, 0][:, None], fin[:, 1][:, None]
-    x = cm.layernorm({}, x) * (1 + scale) + shift
-    out = cm.linear(params["proj_out"], x)
+    out = x if return_hidden else pixart_head(params, x, temb, cfg)
     if cache_cfg is not None and cache_cfg.mode != "none":
         return out, new_state, new_cache
     return out, new_state

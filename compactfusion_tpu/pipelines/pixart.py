@@ -47,6 +47,12 @@ class PixArtPipelineConfig:
     compact: CompactConfig = CompactConfig()
     cache: CacheAccelConfig = CacheAccelConfig()
     num_steps: int = 20
+    #: PipeFusion micro-patches per image (M>1 with pp>1 enables the
+    #: patch-pipelined async path, reference --num_pipeline_patch)
+    num_pipeline_patch: int = 1
+    #: full-sequence synchronous steps before patch mode (reference
+    #: --warmup_steps runtime option)
+    runtime_warmup_steps: int = 1
     guidance_scale: float = 4.5
     height: int = 512
     width: int = 512
@@ -270,7 +276,14 @@ class PixArtPipeline:
         self.vae_params = vae_params
         self.cfg = cfg
         self.mesh = mesh
-        self._sample = build_sample_fn(cfg, mesh, params)
+        if cfg.parallel.pp_degree > 1 and cfg.num_pipeline_patch > 1:
+            from compactfusion_tpu.pipelines.pixart_patch_pp import (
+                build_patch_pp_sample_fn,
+            )
+
+            self._sample = build_patch_pp_sample_fn(cfg, mesh, params)
+        else:
+            self._sample = build_sample_fn(cfg, mesh, params)
         self._decode = jax.jit(
             functools.partial(decode_latents, cfg=cfg)
         )

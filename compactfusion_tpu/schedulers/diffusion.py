@@ -185,6 +185,28 @@ def dpm_init_state(shape, dtype=jnp.float32) -> DPMState:
     )
 
 
+def dpm_step_patch(
+    sched: DDPMSchedule,
+    i: jax.Array,
+    num_steps: int,
+    sample: jax.Array,
+    eps: jax.Array,
+    prev_x0: jax.Array,
+    prev_lambda: jax.Array,
+    have_prev: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """DPM++ 2M update on an arbitrary slice with explicit scalar state.
+
+    Used by patch-pipelined PipeFusion where each image patch advances
+    through the schedule independently (the reference's patch-gated scheduler
+    wrappers, ``schedulers/scheduling_flow_match_euler_discrete.py:117-122``).
+    Returns (new_sample, new_prev_x0, new_prev_lambda).
+    """
+    st = DPMState(prev_x0=prev_x0, prev_lambda=prev_lambda, have_prev=have_prev)
+    out, ns = dpm_step(sched, i, num_steps, sample, eps, st)
+    return out, ns.prev_x0, ns.prev_lambda
+
+
 def dpm_step(
     sched: DDPMSchedule,
     i: jax.Array,

@@ -220,3 +220,33 @@ def test_pipefusion_matches_single_device(tiny_setup, parallel):
         text, mask, key, decode=False
     )
     assert rel_err(out, ref) < 5e-3
+
+
+def test_patch_pipelined_pipefusion(tiny_setup):
+    """pp=2 stages x M=4 micro-patches (reference _async_pipeline): stale-KV
+    patches approximate the sync result; must stay close and be sensitive."""
+    mcfg, params, vcfg, vae_params = tiny_setup
+    text, mask = _text()
+    key = jax.random.PRNGKey(8)
+    steps = 6
+
+    cfg1 = _pipe_cfg(mcfg, vcfg, ParallelConfig(), steps=steps)
+    mesh1 = make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    ref = PixArtPipeline(params, vae_params, cfg1, mesh1)(
+        text, mask, key, decode=False
+    )
+
+    import dataclasses as _dc
+
+    cfgP = _dc.replace(
+        _pipe_cfg(mcfg, vcfg, ParallelConfig(pp_degree=2), steps=steps),
+        num_pipeline_patch=4,
+        runtime_warmup_steps=2,
+    )
+    out = PixArtPipeline(params, vae_params, cfgP, make_mesh(cfgP.parallel))(
+        text, mask, key, decode=False
+    )
+    err = rel_err(out, ref)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err > 1e-6, "patch pipeline identical to sync - stale KV not exercised"
+    assert err < 0.3, f"patch-pipelined PipeFusion diverged: {err}"
