@@ -189,6 +189,27 @@ def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
     return CogVideoXPipeline(params, pcfg, mesh), pcfg
 
 
+@register_family("latte", r"latte")
+def _build_latte(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
+    from compactfusion_tpu.models.latte import init_latte, latte_1
+    from compactfusion_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
+
+    mcfg = latte_1()
+    params = init_latte(jax.random.PRNGKey(0), mcfg)
+    pcfg = LattePipelineConfig(
+        model=mcfg,
+        parallel=engine.parallel_config,
+        compact=engine.compact_config,
+        num_steps=inp.num_inference_steps,
+        guidance_scale=inp.guidance_scale,
+        height=inp.height,
+        width=inp.width,
+        num_frames=inp.num_frames,
+    )
+    mesh = make_mesh(engine.parallel_config)
+    return LattePipeline(params, pcfg, mesh), pcfg
+
+
 @register_family("hunyuanvideo", r"hunyuanvideo")
 def _build_hunyuanvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
     from compactfusion_tpu.models.hunyuanvideo import (
