@@ -109,6 +109,27 @@ def make_vae_mesh(
     return Mesh(tail, ("vae",))
 
 
+def init_distributed_environment(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bootstrap (reference ``init_distributed_environment``,
+    ``parallel_state.py:192`` — NCCL world init, one process per GPU).
+
+    JAX multi-controller: one process per HOST; every process then sees the
+    global device list and runs the same SPMD program.  No-op on a single
+    process.  Returns the number of global devices.
+    """
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return len(jax.devices())
+
+
 def sp_axes(mesh: Mesh):
     """Sequence-parallel axis names present (size > 1) in ``mesh``."""
     return tuple(a for a in (AXIS_RING, AXIS_ULYSSES) if mesh.shape[a] > 1)

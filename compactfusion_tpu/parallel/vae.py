@@ -109,6 +109,39 @@ def _upsample_halo(p, x, axis_name, world):
     return _conv3_halo(p, x, axis_name, world)
 
 
+def decode_on_vae_mesh(vae_params, latents, cfg: VAEConfig, vae_mesh):
+    """Decode on the dedicated VAE device tail (reference separate-VAE-ranks
+    mode: ``parallel_state.py:297-308`` + latents hand-off
+    ``base_pipeline.py:654-669``).
+
+    ``latents``: (B, H, W, C) full latent image (host/any sharding); it is
+    resharded to height bands over the VAE mesh (the P2P send from the last
+    DiT rank in the reference is just a resharding here) and decoded with the
+    halo-exchange decoder.
+    """
+    import functools
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    world = vae_mesh.devices.size
+    axis = vae_mesh.axis_names[0]
+    band = NamedSharding(vae_mesh, P(None, axis, None, None))
+    latents = jax.device_put(latents, band)
+    fn = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                parallel_vae_decode, cfg=cfg, axis_name=axis, world=world
+            ),
+            mesh=vae_mesh,
+            in_specs=(P(), P(None, axis, None, None)),
+            out_specs=P(None, axis, None, None),
+            check_vma=False,
+        )
+    )
+    return fn(vae_params, latents)
+
+
 def parallel_vae_decode(
     params, latents_band: jax.Array, cfg: VAEConfig, axis_name: str, world: int
 ) -> jax.Array:

@@ -35,3 +35,26 @@ def test_parallel_decode_exact(world):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-5
     )
+
+
+def test_separate_vae_ranks_decode():
+    """DiT on 4 devices + dedicated 2-device VAE tail (reference
+    vae_parallel_size mode): decode on the tail mesh, exact result."""
+    from compactfusion_tpu.parallel.mesh import make_vae_mesh
+    from compactfusion_tpu.parallel.vae import decode_on_vae_mesh
+
+    p = ParallelConfig(ring_degree=4, vae_parallel_size=2)
+    vae_mesh = make_vae_mesh(p)
+    cfg = tiny_vae()
+    params = init_vae_decoder(jax.random.PRNGKey(0), cfg)
+    lat = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 16, 8, cfg.latent_channels), jnp.float32
+    )
+    ref = vae_decode(params, lat, cfg)
+    out = decode_on_vae_mesh(params, lat, cfg, vae_mesh)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-5
+    )
+    # output really lives on the VAE tail devices
+    dev_ids = {d.id for d in out.sharding.device_set}
+    assert dev_ids == {4, 5}
