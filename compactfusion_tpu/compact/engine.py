@@ -41,10 +41,35 @@ class EFState(NamedTuple):
 
 
 def init_ef_state(
-    shape: Tuple[int, int], dtype=jnp.bfloat16, residual: int = 2
+    shape: Tuple[int, int],
+    dtype=jnp.bfloat16,
+    residual: int = 2,
+    quantized: bool = False,
 ) -> EFState:
     z = jnp.zeros(shape, dtype)
-    return EFState(base=z, delta_base=z if residual == 2 else None)
+    base = _quant_base(z) if quantized else z
+    return EFState(base=base, delta_base=z if residual == 2 else None)
+
+
+def _quant_base(x):
+    """int8-quantize a base cache entry (reference ``quantized_cache``,
+    ``compact/utils.py:123-140`` — halves EF cache memory; quantization is
+    deterministic so sender/receiver caches stay identical)."""
+    from compactfusion_tpu.compact import codecs
+
+    return codecs.encode_int8(x)
+
+
+def _dequant_state(state: EFState, dtype) -> EFState:
+    from compactfusion_tpu.compact import codecs
+
+    return EFState(
+        base=codecs.decode_int8(state.base, dtype), delta_base=state.delta_base
+    )
+
+
+def _requant_state(state: EFState) -> EFState:
+    return EFState(base=_quant_base(state.base), delta_base=state.delta_base)
 
 
 def _use_fastpath(cfg: CompactConfig, method: CompressType) -> bool:
@@ -121,6 +146,29 @@ def ef_compress(
 ):
     """Sender side: compress ``x`` against ``state``.
 
+    With ``cfg.quantized_cache`` the base lives int8-quantized in the carry
+    (dequantize on entry, requantize on exit — the reference CompactCache
+    quantize/put semantics)."""
+    if cfg.quantized_cache:
+        # dequantize to fp32 on BOTH sender and receiver so the EF math (and
+        # hence the requantized caches) stay bit-identical across ranks
+        orig = state
+        payload, new_state = _ef_compress_raw(
+            x, _dequant_state(state, jnp.float32), cfg, method, update_cache
+        )
+        return payload, (_requant_state(new_state) if update_cache else orig)
+    return _ef_compress_raw(x, state, cfg, method, update_cache)
+
+
+def _ef_compress_raw(
+    x: jax.Array,
+    state: EFState,
+    cfg: CompactConfig,
+    method: CompressType,
+    update_cache: bool = True,
+):
+    """Sender side: compress ``x`` against ``state``.
+
     Returns ``(payload, new_state)``.  ``payload`` shape depends only on the
     *static* ``method``; for ``WARMUP``/``IDENTITY`` it is the raw tensor.
 
@@ -173,6 +221,23 @@ def ef_compress(
 
 
 def ef_decompress(
+    payload,
+    state: EFState,
+    cfg: CompactConfig,
+    method: CompressType,
+    update_cache: bool = True,
+):
+    """Receiver side with optional int8-quantized cache (see ef_compress)."""
+    if cfg.quantized_cache:
+        orig = state
+        x_hat, new_state = _ef_decompress_raw(
+            payload, _dequant_state(state, jnp.float32), cfg, method, update_cache
+        )
+        return x_hat, (_requant_state(new_state) if update_cache else orig)
+    return _ef_decompress_raw(payload, state, cfg, method, update_cache)
+
+
+def _ef_decompress_raw(
     payload,
     state: EFState,
     cfg: CompactConfig,

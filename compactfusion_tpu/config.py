@@ -69,6 +69,8 @@ class CompactConfig:
     check_consistency: bool = False
     #: use fused Pallas quant/dequant kernels where available.
     fastpath: bool = True
+    #: store EF base caches int8-quantized (reference quantized_cache).
+    quantized_cache: bool = False
     #: log per-(layer, step) compression stats (host callback; debug only).
     log_stats: bool = False
     #: override ring attention with patch-parallel gather forward.

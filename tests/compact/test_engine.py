@@ -160,3 +160,43 @@ def test_engine_inside_scan():
     outs = run(xs)
     assert outs.shape == xs.shape
     assert rel_err(outs[-1], xs[-1]) < 0.5
+
+
+def test_quantized_cache_mode():
+    """int8-quantized EF caches (reference quantized_cache): consistency
+    preserved and reconstruction close to the fp path."""
+    shape = (64, 128)
+    seq = _drifting_sequence(8, shape, drift=0.03, seed=7)
+
+    def run(quantized):
+        cfg = CompactConfig(
+            enabled=True, compress_type=CompressType.BINARY, residual=1,
+            error_feedback=True, warmup_steps=2, quantized_cache=quantized,
+        )
+        tx = init_ef_state(shape, jnp.float32, 1, quantized=quantized)
+        rx = init_ef_state(shape, jnp.float32, 1, quantized=quantized)
+        outs = []
+        for step, x in enumerate(seq):
+            m = cfg.type_at(0, step)
+            payload, tx = ef_compress(x, tx, cfg, m)
+            x_hat, rx = ef_decompress(payload, rx, cfg, m)
+            outs.append(x_hat)
+            # sender/receiver quantized caches stay identical
+            for a, b in zip(
+                jax.tree_util.tree_leaves(tx), jax.tree_util.tree_leaves(rx)
+            ):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        return outs
+
+    outs_q = run(True)
+    outs_f = run(False)
+    # int8 cache memory: base leaf is int8
+    cfgq = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY, residual=1,
+        error_feedback=True, quantized_cache=True,
+    )
+    st = init_ef_state(shape, jnp.float32, 1, quantized=True)
+    assert st.base.q.dtype == jnp.int8
+    for a, b, x in zip(outs_q[2:], outs_f[2:], seq[2:]):
+        assert rel_err(a, x) < 0.15
+        assert rel_err(a, b) < 0.1
