@@ -181,6 +181,8 @@ def flux_forward(
     attn_state_double=(),
     attn_state_single=(),
     tp_axis: Optional[str] = None,
+    cache_cfg=None,
+    cache_state=None,
 ):
     """FLUX denoiser on local image-token shards.
 
@@ -242,10 +244,6 @@ def flux_forward(
         txt = txt + t_g_m * cm.ffn(p["txt_ffn"], txt_n, tp_axis=tp_axis)
         return (img, txt), state
 
-    (img, txt), new_state_double = jax.lax.scan(
-        double_block, (img, txt), (params["double_blocks"], attn_state_double)
-    )
-
     # ---------------- single blocks (fused stream) ----------------
     s_txt = txt.shape[1]
     cos_c = jnp.concatenate([cos_t, cos_i], axis=0)
@@ -271,6 +269,62 @@ def flux_forward(
         y = cm.linear(p["out"], jnp.concatenate([attn_out, mlp], axis=-1))
         x = x + g * y
         return (x[:, s_txt:], x[:, :s_txt]), state
+
+    if cache_cfg is not None and cache_cfg.mode != "none":
+        # TeaCache / FBCache over the whole block stack (reference FLUX
+        # adapter, cache/diffusers_adapters/flux.py:35-73): probe the first
+        # double block, on skip replay the cached img residual to the end of
+        # the single blocks.  Stateless attention required (see pixart).
+        assert not (
+            jax.tree_util.tree_leaves(attn_state_double)
+            or jax.tree_util.tree_leaves(attn_state_single)
+        ), "cache acceleration is incompatible with compact EF state"
+        from compactfusion_tpu.cache.accel import CacheAccelState, should_skip
+
+        p0 = jax.tree_util.tree_map(lambda a: a[0], params["double_blocks"])
+        mod0 = cm.linear(p0["img_mod"], cm.silu(temb))
+        sh0, sc0 = (
+            mod0[:, None, : cfg.dim],
+            mod0[:, None, cfg.dim : 2 * cfg.dim],
+        )
+        probe_in = cm.layernorm({}, img) * (1 + sc0) + sh0
+        (img1, txt1), _ = double_block((img, txt), (p0, ()))
+        probe = img1 if cache_cfg.mode == "fbcache" else probe_in
+        skip, accum = should_skip(cache_cfg, cache_state, probe)
+
+        p_rest = jax.tree_util.tree_map(lambda a: a[1:], params["double_blocks"])
+
+        def run_rest(arg):
+            img1, txt1 = arg
+            (img2, txt2), _ = jax.lax.scan(
+                double_block, (img1, txt1), (p_rest, ())
+            )
+            (img_f, _), _ = jax.lax.scan(
+                single_block, (img2, txt2), (params["single_blocks"], ())
+            )
+            return img_f, (img_f - img1).astype(cache_state.residual.dtype)
+
+        def replay(arg):
+            img1, _ = arg
+            return img1 + cache_state.residual.astype(img1.dtype), cache_state.residual
+
+        img, residual = jax.lax.cond(skip, replay, run_rest, (img1, txt1))
+        new_cache = CacheAccelState(
+            prev_probe=probe.astype(cache_state.prev_probe.dtype),
+            residual=residual,
+            accum=accum,
+            has_prev=jnp.ones((), jnp.int32),
+            skips=cache_state.skips + skip.astype(jnp.int32),
+        )
+        mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
+        scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+        img = cm.layernorm({}, img) * (1 + scale) + shift
+        out = cm.linear(params["proj_out"], img)
+        return out, attn_state_double, attn_state_single, new_cache
+
+    (img, txt), new_state_double = jax.lax.scan(
+        double_block, (img, txt), (params["double_blocks"], attn_state_double)
+    )
 
     (img, txt), new_state_single = jax.lax.scan(
         single_block, (img, txt), (params["single_blocks"], attn_state_single)

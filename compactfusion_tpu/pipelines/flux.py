@@ -21,6 +21,7 @@ from jax import lax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
+from compactfusion_tpu.cache.accel import CacheAccelConfig, init_cache_state
 from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -50,6 +51,7 @@ class FluxPipelineConfig:
     vae: VAEConfig
     parallel: ParallelConfig = ParallelConfig()
     compact: CompactConfig = CompactConfig()
+    cache: CacheAccelConfig = CacheAccelConfig()
     num_steps: int = 28
     guidance_scale: float = 3.5
     height: int = 1024
@@ -126,7 +128,21 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
         )
         s_local = cfg.tokens // p.sp_degree
 
-        carry = (latents, None, None)  # latents, state_double, state_single
+        use_cache = cfg.cache.mode != "none"
+        if use_cache:
+            assert not cfg.compact.enabled, (
+                "cache acceleration is incompatible with compact compression"
+            )
+            cache_cfg = dataclasses.replace(
+                cfg.cache,
+                sp_axes=(AXIS_RING, AXIS_ULYSSES) if p.sp_degree > 1 else (),
+            )
+            shp = (b, s_local, mcfg.dim)
+            cache_state = init_cache_state(shp, shp, jnp.float32)
+        else:
+            cache_cfg, cache_state = None, None
+
+        carry = (latents, None, None, cache_state)
         for method, steps in segments:
             attn = _attn_impl(cfg, method)
             sd = attn.init_state(
@@ -137,12 +153,12 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
             )
             if carry[1] is not None and jax.tree_util.tree_leaves(carry[1]):
                 sd, ss = carry[1], carry[2]
-            carry = (carry[0], sd, ss)
+            carry = (carry[0], sd, ss, carry[3])
 
             def body(c, i, _attn=attn):
-                latents, sd, ss = c
+                latents, sd, ss, cst = c
                 t = jnp.full((b,), sched.timesteps[i], jnp.float32)
-                v, sd, ss = flux_forward(
+                fwd = flux_forward(
                     params,
                     latents.astype(mcfg.dtype),
                     txt.astype(mcfg.dtype),
@@ -156,9 +172,15 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
                     attn_state_double=sd,
                     attn_state_single=ss,
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
+                    cache_cfg=cache_cfg,
+                    cache_state=cst,
                 )
+                if use_cache:
+                    v, sd, ss, cst = fwd
+                else:
+                    v, sd, ss = fwd
                 latents = flow_match_step(sched, i, latents, v)
-                return (latents, sd, ss), None
+                return (latents, sd, ss, cst), None
 
             carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
         return carry[0]

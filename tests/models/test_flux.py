@@ -137,3 +137,30 @@ def test_flux_compact_tracks_uncompressed(tiny):
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert err > 1e-5, "compact pipeline identical to lossless - test blind"
     assert err < 0.2, f"compact FLUX diverged: {err}"
+
+
+def test_flux_fbcache(tiny):
+    """FBCache pipeline: close to baseline at a low threshold, runs e2e."""
+    import dataclasses as _dc
+
+    from compactfusion_tpu.cache.accel import CacheAccelConfig
+
+    mcfg, params = tiny
+    txt, pooled = _inputs(mcfg)
+    key = jax.random.PRNGKey(9)
+    steps = 6
+
+    cfg1 = _pipe_cfg(mcfg, ParallelConfig(), steps=steps)
+    ref = FluxPipeline(
+        params, None, cfg1, make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key, decode=False)
+
+    cfgC = _dc.replace(
+        cfg1, cache=CacheAccelConfig(mode="fbcache", threshold=0.05)
+    )
+    out = FluxPipeline(
+        params, None, cfgC, make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key, decode=False)
+    err = rel_err(out, ref)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err < 0.3, f"FBCache FLUX diverged: {err}"
