@@ -199,6 +199,7 @@ class xFuserArgs:
             ring_degree=self.ring_degree,
             tp_degree=self.tensor_parallel_degree,
             vae_parallel_size=self.vae_parallel_size,
+            num_pipeline_patch=self.num_pipeline_patch,
         )
         compact = CompactConfig(
             enabled=self.compact,

@@ -118,6 +118,9 @@ class ParallelConfig:
     tp_degree: int = 1
     #: number of devices dedicated to parallel VAE decode (0 = decode in-mesh).
     vae_parallel_size: int = 0
+    #: PipeFusion micro-patches per image (None -> pp_degree, reference
+    #: --num_pipeline_patch default).
+    num_pipeline_patch: Optional[int] = None
 
     @property
     def sp_degree(self) -> int:

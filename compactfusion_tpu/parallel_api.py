@@ -20,11 +20,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from compactfusion_tpu.cache.accel import CacheAccelConfig
 from compactfusion_tpu.config import EngineConfig, InputConfig
 from compactfusion_tpu.parallel.mesh import make_mesh
 from compactfusion_tpu.utils.logger import init_logger
 
 logger = init_logger(__name__)
+
+
+def _cache_cfg(engine: EngineConfig) -> CacheAccelConfig:
+    """Map the runtime toggles (--use_fbcache / --use_teacache) to a cache
+    config with the reference's default thresholds."""
+    rt = engine.runtime_config
+    if rt.use_fbcache:
+        return CacheAccelConfig(mode="fbcache", threshold=0.12)
+    if rt.use_teacache:
+        return CacheAccelConfig(mode="teacache", threshold=0.25)
+    return CacheAccelConfig()
 
 
 @dataclasses.dataclass
@@ -92,10 +104,16 @@ def _build_pixart(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[s
         vae=vcfg,
         parallel=engine.parallel_config,
         compact=engine.compact_config,
+        cache=_cache_cfg(engine),
         num_steps=inp.num_inference_steps,
         guidance_scale=inp.guidance_scale,
         height=inp.height,
         width=inp.width,
+        num_pipeline_patch=(
+            engine.parallel_config.num_pipeline_patch
+            or engine.parallel_config.pp_degree
+        ),
+        runtime_warmup_steps=engine.runtime_config.warmup_steps,
     )
     mesh = make_mesh(engine.parallel_config)
     return PixArtPipeline(params, vae_params, pcfg, mesh), pcfg
@@ -122,6 +140,7 @@ def _build_flux(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str
         vae=flux_vae(),
         parallel=engine.parallel_config,
         compact=engine.compact_config,
+        cache=_cache_cfg(engine),
         num_steps=inp.num_inference_steps,
         guidance_scale=inp.guidance_scale,
         height=inp.height,
