@@ -107,7 +107,7 @@ def flash_attn_with_lse(
     k: jax.Array,
     v: jax.Array,
     scale: Optional[float] = None,
-    block_q: int = 256,
+    block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
