@@ -10,10 +10,11 @@ norm, cross-attention to the CLIP+T5 text states, FFN.
 Scan structure: a "down" scan over the first half collecting per-layer skip
 activations as scan ys, then an "up" scan consuming them reversed as xs —
 this is what the reference's PP "skip channel" ships between mirror stages
-(``pipeline_hunyuandit.py:552-825``); in-mesh it is just data flow.  PP for
-this model therefore needs the skip tensors in the stage handoff and is
-deferred to a later round (matching the reference where only HunyuanDiT uses
-the skip channel).
+(``pipeline_hunyuandit.py:552-825``).  Under pipeline parallelism
+(``pp_stages > 1``) the down/up chunks are pp-sharded and each stage's skip
+stack hops to its MIRROR stage with one ``ppermute`` after the down pipeline
+— the skip-channel send/recv of the reference, without buffers or
+handshakes.
 """
 
 from __future__ import annotations
@@ -127,6 +128,7 @@ def hunyuandit_forward(
     attn_state_up=(),
     text_mask: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
+    pp_stages: int = 1,
 ):
     """HunyuanDiT denoiser on local token shards.
 
@@ -172,10 +174,6 @@ def hunyuandit_forward(
         x, state = block_body(p, x, state)
         return x, (state, x)  # ys: (state, skip activation)
 
-    x, (state_down, skips) = jax.lax.scan(
-        down, x, (params["down_blocks"], attn_state_down)
-    )
-
     def up(carry, xs):
         p, state, skip = xs
         x = carry
@@ -184,11 +182,52 @@ def hunyuandit_forward(
         x, state = block_body(p, x, state)
         return x, state
 
-    # mirror order: up block k consumes the skip of down block (half-1-k)
-    skips_rev = jnp.flip(skips, axis=0)
-    x, state_up = jax.lax.scan(
-        up, x, (params["up_blocks"], attn_state_up, skips_rev)
-    )
+    if pp_stages > 1:
+        # PipeFusion with the long-skip channel: down/up block chunks are
+        # pp-sharded; after the down pipeline each stage ships its skip stack
+        # to the MIRROR stage (the reference's pipeline_send_skip/recv_skip,
+        # pipeline_hunyuandit.py:552-825) since up chunk s consumes the skips
+        # of down chunk (P-1-s) in reverse layer order.
+        from compactfusion_tpu.parallel.mesh import AXIS_PP
+        from compactfusion_tpu.parallel.pipefusion import pipefusion_blocks
+
+        l_loc = params["down_blocks"]["attn_qkv"]["w"].shape[0]
+        skip_buf = jnp.zeros((l_loc,) + x.shape, x.dtype)
+
+        def down_stage(h, st):
+            attn_st, _ = st
+            h2, (new_attn, skips) = jax.lax.scan(
+                down, h, (params["down_blocks"], attn_st)
+            )
+            return h2, (new_attn, skips)
+
+        x, (state_down, my_skips) = pipefusion_blocks(
+            down_stage, x, (attn_state_down, skip_buf), pp_stages
+        )
+        mirror = [(s, pp_stages - 1 - s) for s in range(pp_stages)]
+        skips_mirror = jnp.flip(
+            jax.lax.ppermute(my_skips, AXIS_PP, mirror), axis=0
+        )
+
+        def up_stage(h, st):
+            attn_st, skips = st
+            h2, new_attn = jax.lax.scan(
+                up, h, (params["up_blocks"], attn_st, skips)
+            )
+            return h2, (new_attn, skips)
+
+        x, (state_up, _) = pipefusion_blocks(
+            up_stage, x, (attn_state_up, skips_mirror), pp_stages
+        )
+    else:
+        x, (state_down, skips) = jax.lax.scan(
+            down, x, (params["down_blocks"], attn_state_down)
+        )
+        # mirror order: up block k consumes the skip of down block (half-1-k)
+        skips_rev = jnp.flip(skips, axis=0)
+        x, state_up = jax.lax.scan(
+            up, x, (params["up_blocks"], attn_state_up, skips_rev)
+        )
 
     mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
     scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)

@@ -28,7 +28,14 @@ from compactfusion_tpu.parallel.mesh import AXIS_PP, AXIS_TP
 FFN_KEYS = ("ffn", "img_ffn", "txt_ffn")
 
 #: parameter-subtree names whose leading (layer-stack) axis shards over pp
-BLOCK_KEYS = ("blocks", "double_blocks", "single_blocks")
+BLOCK_KEYS = (
+    "blocks",
+    "double_blocks",
+    "single_blocks",
+    "down_blocks",
+    "up_blocks",
+    "id_attns",
+)
 
 
 def _ffn_specs(ffn_params: Any) -> Any:

@@ -118,7 +118,7 @@ def build_sample_fn(cfg: HunyuanDiTPipelineConfig, mesh: Mesh, params_tree=None)
         else:
             rope = (cos_full, sin_full)
 
-        half = mcfg.depth // 2
+        half = mcfg.depth // 2 // p.pp_degree
         dpm_state = dpm_init_state(latents.shape)
         carry = (latents, dpm_state, None, None)
         for method, steps in segments:
@@ -147,6 +147,7 @@ def build_sample_fn(cfg: HunyuanDiTPipelineConfig, mesh: Mesh, params_tree=None)
                     attn_state_up=su,
                     text_mask=text_mask,
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
+                    pp_stages=p.pp_degree,
                 )
                 eps = out[..., : out.shape[-1] // 2]
                 if cfg.do_cfg:
@@ -159,9 +160,11 @@ def build_sample_fn(cfg: HunyuanDiTPipelineConfig, mesh: Mesh, params_tree=None)
             carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
         return carry[0]
 
-    if p.tp_degree > 1:
+    if p.tp_degree > 1 or p.pp_degree > 1:
         assert params_tree is not None
-        param_specs = model_param_specs(params_tree, tp=True, pp=False)
+        param_specs = model_param_specs(
+            params_tree, tp=p.tp_degree > 1, pp=p.pp_degree > 1
+        )
     else:
         param_specs = P()
     fn = jax.shard_map(

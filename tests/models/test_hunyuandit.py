@@ -102,3 +102,20 @@ def test_hunyuan_compact(tiny):
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert err > 1e-5, "compact pipeline identical to lossless - test blind"
     assert err < 0.25, f"compact HunyuanDiT diverged: {err}"
+
+
+def test_hunyuan_pipefusion_with_skip_channel(tiny):
+    """pp=2 stage-sharded down/up blocks with mirror-stage skip exchange
+    (the reference's PP skip channel) must be exact."""
+    mcfg, params = tiny
+    text, mask = _text(mcfg)
+    key = jax.random.PRNGKey(4)
+    c1 = _pipe_cfg(mcfg, ParallelConfig())
+    ref = HunyuanDiTPipeline(
+        params, None, c1, make_mesh(c1.parallel, devices=jax.devices()[:1])
+    )(text, mask, key, decode=False)
+    cP = _pipe_cfg(mcfg, ParallelConfig(pp_degree=2, ring_degree=2))
+    out = HunyuanDiTPipeline(params, None, cP, make_mesh(cP.parallel))(
+        text, mask, key, decode=False
+    )
+    assert rel_err(out, ref) < 2e-2
