@@ -46,6 +46,11 @@ class PixArtPipelineConfig:
     parallel: ParallelConfig = ParallelConfig()
     compact: CompactConfig = CompactConfig()
     cache: CacheAccelConfig = CacheAccelConfig()
+    #: DiTFastAttn per-(step, layer) method plan as a tuple-of-tuples of ints
+    #: (FastAttnMethod values), shape (num_steps, depth); None = off.
+    fast_attn_plan: Optional[tuple] = None
+    #: DiTFastAttn window size
+    fast_attn_window: int = 64
     num_steps: int = 20
     #: PipeFusion micro-patches per image (M>1 with pp>1 enables the
     #: patch-pipelined async path, reference --num_pipeline_patch)
@@ -78,6 +83,12 @@ class PixArtPipelineConfig:
 
 def _attn_impl(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
     p = cfg.parallel
+    if cfg.fast_attn_plan is not None:
+        from compactfusion_tpu.cache.fast_attn import FastAttnAttn
+
+        assert p.sp_degree == 1, "DiTFastAttn window masks do not shard"
+        assert not cfg.compact.enabled
+        return FastAttnAttn(window_size=cfg.fast_attn_window)
     if cfg.compact.enabled and cfg.compact.patch_gather:
         # patch-parallel override (reference override_with_patch_gather_fwd);
         # patches live on the ring axis, so ulysses must be 1
@@ -120,8 +131,16 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
         sp_axes=(AXIS_RING, AXIS_ULYSSES) if p.sp_degree > 1 else (),
     )
 
+    plan_table = (
+        jnp.asarray(cfg.fast_attn_plan, jnp.int32)
+        if cfg.fast_attn_plan is not None
+        else None
+    )
+
     def step(params, carry, i, text, text_mask, pos_local):
         latents, dpm_state, attn_state, cache_state = carry
+        if plan_table is not None:
+            attn_state = dict(attn_state, method=plan_table[i])
         t = jnp.full((latents.shape[0],), sched.timesteps[i], jnp.float32)
         x = latents
         if cfg.do_cfg and p.cfg_degree == 1:

@@ -121,3 +121,58 @@ def test_pixart_with_fast_attn_plan():
     assert (sl > 0.5).all()
     plan = select_methods(wl, sl, 0.5, mcfg.depth)
     assert plan.shape == (mcfg.depth,)
+
+
+def test_fast_attn_pipeline():
+    """DiTFastAttn plan in the PixArt pipeline: all-FULL plan == baseline;
+    aggressive plan stays finite and close."""
+    import dataclasses as _dc
+
+    from compactfusion_tpu.config import ParallelConfig
+    from compactfusion_tpu.models.vae import tiny_vae
+    from compactfusion_tpu.parallel.mesh import make_mesh
+    from compactfusion_tpu.pipelines.pixart import (
+        PixArtPipeline,
+        PixArtPipelineConfig,
+    )
+
+    mcfg = pixart_tiny()
+    params = init_pixart(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.default_rng(3)
+    text = jnp.asarray(
+        np.stack([rng.standard_normal((1, 8, 32)), np.zeros((1, 8, 32))]),
+        jnp.float32,
+    )
+    mask = jnp.ones((2, 1, 8), bool)
+    key = jax.random.PRNGKey(4)
+    steps = 4
+
+    base_cfg = PixArtPipelineConfig(
+        model=mcfg, vae=tiny_vae(), parallel=ParallelConfig(),
+        num_steps=steps, guidance_scale=4.5, height=64, width=64,
+    )
+    mesh = make_mesh(base_cfg.parallel, devices=jax.devices()[:1])
+    ref = PixArtPipeline(params, None, base_cfg, mesh)(
+        text, mask, key, decode=False
+    )
+
+    full_plan = tuple(tuple(0 for _ in range(mcfg.depth)) for _ in range(steps))
+    cfg_full = _dc.replace(base_cfg, fast_attn_plan=full_plan, fast_attn_window=4)
+    out = PixArtPipeline(params, None, cfg_full, mesh)(
+        text, mask, key, decode=False
+    )
+    err = np.linalg.norm(np.asarray(out - ref, np.float32)) / np.linalg.norm(
+        np.asarray(ref, np.float32)
+    )
+    assert err < 1e-2  # FULL plan ~= baseline
+
+    # steps 2+: window-residual everywhere
+    plan = tuple(
+        tuple((1 if s >= 2 else 0) for _ in range(mcfg.depth))
+        for s in range(steps)
+    )
+    cfg_w = _dc.replace(base_cfg, fast_attn_plan=plan, fast_attn_window=4)
+    out_w = PixArtPipeline(params, None, cfg_w, mesh)(
+        text, mask, key, decode=False
+    )
+    assert np.isfinite(np.asarray(out_w, np.float32)).all()
