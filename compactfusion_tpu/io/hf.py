@@ -290,8 +290,23 @@ def convert_flux(state: Dict[str, np.ndarray], cfg) -> Any:
                 ),
                 "q_norm": _rms(state, f"{p}.attn.norm_q", dt),
                 "k_norm": _rms(state, f"{p}.attn.norm_k", dt),
-                "mlp_in": _lin(state, f"{p}.proj_mlp", dt),
-                "out": _lin(state, f"{p}.proj_out", dt),
+                "mlp": {
+                    "fc1": _lin(state, f"{p}.proj_mlp", dt),
+                    # proj_out rows [d:] act on the gelu(mlp) half
+                    "fc2": {
+                        "w": jnp.asarray(
+                            state[f"{p}.proj_out.weight"].T[cfg.dim :], dt
+                        )
+                    },
+                },
+                # proj_out rows [:d] act on the attention half; it carries
+                # the shared bias
+                "out_attn": {
+                    "w": jnp.asarray(
+                        state[f"{p}.proj_out.weight"].T[: cfg.dim], dt
+                    ),
+                    "b": jnp.asarray(state[f"{p}.proj_out.bias"], dt),
+                },
             }
         )
     params = {

@@ -105,8 +105,13 @@ def _init_single_block(key, cfg: FluxConfig):
         "qkv": cm.init_linear(ks[1], d, 3 * d, dtype=dt),
         "q_norm": cm.init_rmsnorm(hd, dt),
         "k_norm": cm.init_rmsnorm(hd, dt),
-        "mlp_in": cm.init_linear(ks[2], d, cfg.mlp_ratio * d, dtype=dt),
-        "out": cm.init_linear(ks[3], d + cfg.mlp_ratio * d, d, dtype=dt),
+        # the fused proj_out of the reference is stored split so the MLP half
+        # can row-shard under TP while the attention half stays replicated
+        "mlp": {
+            "fc1": cm.init_linear(ks[2], d, cfg.mlp_ratio * d, dtype=dt),
+            "fc2": cm.init_linear(ks[3], cfg.mlp_ratio * d, d, bias=False, dtype=dt),
+        },
+        "out_attn": cm.init_linear(ks[4], d, d, dtype=dt),
     }
 
 
@@ -265,8 +270,11 @@ def flux_forward(
         tq, tk = cm.apply_rope(tq, cos_t, sin_t), cm.apply_rope(tk, cos_t, sin_t)
         o, state = attn(iq, ik, iv, state, joint_q=tq, joint_k=tk, joint_v=tv)
         attn_out = _unheads(o)
-        mlp = cm.gelu(cm.linear(p["mlp_in"], xn))
-        y = cm.linear(p["out"], jnp.concatenate([attn_out, mlp], axis=-1))
+        # y = [attn_out, gelu(mlp)] @ proj_out, with the mlp half running as
+        # a TP-shardable GELU FFN and the attn half replicated
+        y = cm.linear(p["out_attn"], attn_out) + cm.ffn(
+            p["mlp"], xn, tp_axis=tp_axis
+        )
         x = x + g * y
         return (x[:, s_txt:], x[:, :s_txt]), state
 

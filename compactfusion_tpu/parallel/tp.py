@@ -25,7 +25,7 @@ from jax.sharding import PartitionSpec as P
 from compactfusion_tpu.parallel.mesh import AXIS_PP, AXIS_TP
 
 #: parameter-subtree names treated as TP-sharded feed-forwards
-FFN_KEYS = ("ffn", "img_ffn", "txt_ffn")
+FFN_KEYS = ("ffn", "img_ffn", "txt_ffn", "mlp")
 
 #: parameter-subtree names whose leading (layer-stack) axis shards over pp
 BLOCK_KEYS = (

@@ -164,3 +164,19 @@ def test_flux_fbcache(tiny):
     err = rel_err(out, ref)
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert err < 0.3, f"FBCache FLUX diverged: {err}"
+
+
+def test_flux_tp_matches_single_device(tiny):
+    """TP over double-block FFNs AND single-block MLPs (split proj_out)."""
+    mcfg, params = tiny
+    txt, pooled = _inputs(mcfg)
+    key = jax.random.PRNGKey(11)
+    cfg1 = _pipe_cfg(mcfg, ParallelConfig())
+    ref = FluxPipeline(
+        params, None, cfg1, make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key, decode=False)
+    cfgT = _pipe_cfg(mcfg, ParallelConfig(tp_degree=2, ring_degree=2, ulysses_degree=2))
+    out = FluxPipeline(params, None, cfgT, make_mesh(cfgT.parallel))(
+        txt, pooled, key, decode=False
+    )
+    assert rel_err(out, ref) < 2e-2
