@@ -149,6 +149,22 @@ def compact_ring_attention(
         block_out, block_lse = attn_with_lse(q, kk, vv, scale=scale)
         out, lse = merge_out_lse(out, lse, block_out, block_lse)
 
+    if cfg.check_consistency:
+        # distributed invariant oracle (reference ring.py:273-274 ->
+        # CompactCache.check_consistency): every cache slot must be identical
+        # across ring ranks after the exchange
+        from compactfusion_tpu.compact.engine import check_consistency
+
+        dev_k = check_consistency(state.k, axis_name)
+        dev_v = check_consistency(state.v, axis_name)
+
+        def _assert(dk, dv):
+            assert dk < 1e-2 and dv < 1e-2, (
+                f"EF cache divergence across ring ranks: k={dk} v={dv}"
+            )
+
+        jax.debug.callback(_assert, dev_k, dev_v)
+
     return out.astype(q.dtype), state
 
 

@@ -207,3 +207,21 @@ def test_compact_usp():
         errs.append(rel_err(out, ref))
     assert errs[0] < 1e-5
     assert errs[-1] < 0.05
+
+
+def test_runtime_consistency_oracle():
+    """cfg.check_consistency runs the all-reduce oracle inside the ring."""
+    ring = 4
+    cfg = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY, residual=1,
+        error_feedback=True, warmup_steps=1, check_consistency=True,
+    )
+    state = _init_state_stack(ring)
+    (q, k, v), = _drift_qkv(1)
+    _, f = _make_runner(ring, cfg, CompressType.WARMUP)
+    out, state = f(q, k, v, state)
+    jax.effects_barrier()  # oracle callback must not raise
+    _, f2 = _make_runner(ring, cfg, CompressType.BINARY)
+    out, state = f2(q, k, v, state)
+    jax.effects_barrier()
+    assert np.isfinite(np.asarray(out, np.float32)).all()
