@@ -210,7 +210,7 @@ def clip_encode(
     causal = jnp.tril(jnp.ones((s, s), bool))
 
     def block(x, p):
-        xn = cm.layernorm(p["ln1"], x)
+        xn = cm.layernorm(p["ln1"], x, eps=1e-5)  # HF CLIP layer_norm_eps
         scale = hd**-0.5
         q = cm.linear(p["q"], xn).reshape(b, s, h, hd)
         k = cm.linear(p["k"], xn).reshape(b, s, h, hd)
@@ -222,12 +222,12 @@ def clip_encode(
         probs = jax.nn.softmax(scores, axis=-1)
         o = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
         x = x + cm.linear(p["o"], o.reshape(b, s, cfg.d_model).astype(x.dtype))
-        xn = cm.layernorm(p["ln2"], x)
+        xn = cm.layernorm(p["ln2"], x, eps=1e-5)
         x = x + cm.linear(p["fc2"], _quick_gelu(cm.linear(p["fc1"], xn)))
         return x, None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])
-    x = cm.layernorm(params["final_ln"], x)
+    x = cm.layernorm(params["final_ln"], x, eps=1e-5)
     eos = jnp.argmax(token_ids, axis=-1)  # highest id = EOS (CLIP convention)
     pooled = jnp.take_along_axis(x, eos[:, None, None], axis=1)[:, 0]
     return x, pooled
