@@ -185,7 +185,7 @@ def convert_clip(state: Dict[str, np.ndarray], cfg) -> Any:
                 "fc2": _lin(state, f"{p}.mlp.fc2", dt),
             }
         )
-    return {
+    p = {
         "token_embed": jnp.asarray(
             state[f"{tm}.embeddings.token_embedding.weight"], dt
         ),
@@ -195,6 +195,12 @@ def convert_clip(state: Dict[str, np.ndarray], cfg) -> Any:
         "blocks": _stack(blocks),
         "final_ln": _norm(state, f"{tm}.final_layer_norm", dt),
     }
+    # CLIPTextModelWithProjection (SD3's CLIP-L/G): bias-free pooled proj
+    if "text_projection.weight" in state:
+        p["text_proj"] = {
+            "w": jnp.asarray(state["text_projection.weight"], dt).T
+        }
+    return p
 
 
 # ---------------------------------------------------------------------------

@@ -148,6 +148,11 @@ class CLIPTextConfig:
     num_layers: int = 12
     num_heads: int = 12
     max_len: int = 77
+    #: "quick_gelu" (OpenAI CLIP-L) or "gelu" (OpenCLIP bigG / SD3's CLIP-G)
+    hidden_act: str = "quick_gelu"
+    #: CLIPTextModelWithProjection: project the pooled output to this dim
+    #: (no bias); None = raw pooled hidden state (plain CLIPTextModel)
+    projection_dim: Optional[int] = None
     dtype: Any = jnp.bfloat16
 
 
@@ -155,8 +160,20 @@ def clip_l() -> CLIPTextConfig:
     return CLIPTextConfig()
 
 
+def clip_l_proj() -> CLIPTextConfig:
+    """SD3's CLIP-L: CLIPTextModelWithProjection, 768 -> 768."""
+    return CLIPTextConfig(projection_dim=768)
+
+
 def clip_g() -> CLIPTextConfig:
-    return CLIPTextConfig(d_model=1280, num_layers=32, num_heads=20)
+    """SD3's CLIP-G (OpenCLIP bigG): exact-GELU MLP + 1280-dim projection."""
+    return CLIPTextConfig(
+        d_model=1280,
+        num_layers=32,
+        num_heads=20,
+        hidden_act="gelu",
+        projection_dim=1280,
+    )
 
 
 def clip_tiny() -> CLIPTextConfig:
@@ -185,7 +202,7 @@ def init_clip(key, cfg: CLIPTextConfig):
     blocks = [
         _init_clip_block(k, cfg) for k in jax.random.split(ks[0], cfg.num_layers)
     ]
-    return {
+    p = {
         "token_embed": (
             jax.random.normal(ks[1], (cfg.vocab_size, cfg.d_model)) * 0.02
         ).astype(cfg.dtype),
@@ -193,6 +210,11 @@ def init_clip(key, cfg: CLIPTextConfig):
         "blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *blocks),
         "final_ln": cm.init_layernorm(cfg.d_model, dtype=cfg.dtype),
     }
+    if cfg.projection_dim is not None:
+        p["text_proj"] = cm.init_linear(
+            ks[2], cfg.d_model, cfg.projection_dim, bias=False, dtype=cfg.dtype
+        )
+    return p
 
 
 def _quick_gelu(x):
@@ -208,6 +230,11 @@ def clip_encode(
     hd = cfg.d_model // h
     x = params["token_embed"][token_ids] + params["pos_embed"][None, :s]
     causal = jnp.tril(jnp.ones((s, s), bool))
+    act = (
+        _quick_gelu
+        if cfg.hidden_act == "quick_gelu"
+        else lambda v: jax.nn.gelu(v, approximate=False)  # HF "gelu" = erf
+    )
 
     def block(x, p):
         xn = cm.layernorm(p["ln1"], x, eps=1e-5)  # HF CLIP layer_norm_eps
@@ -223,11 +250,13 @@ def clip_encode(
         o = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
         x = x + cm.linear(p["o"], o.reshape(b, s, cfg.d_model).astype(x.dtype))
         xn = cm.layernorm(p["ln2"], x, eps=1e-5)
-        x = x + cm.linear(p["fc2"], _quick_gelu(cm.linear(p["fc1"], xn)))
+        x = x + cm.linear(p["fc2"], act(cm.linear(p["fc1"], xn)))
         return x, None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])
     x = cm.layernorm(params["final_ln"], x, eps=1e-5)
     eos = jnp.argmax(token_ids, axis=-1)  # highest id = EOS (CLIP convention)
     pooled = jnp.take_along_axis(x, eos[:, None, None], axis=1)[:, 0]
+    if "text_proj" in params:
+        pooled = cm.linear(params["text_proj"], pooled)
     return x, pooled

@@ -146,6 +146,9 @@ def _groupnorm(p, x, groups, eps=1e-6):
         )
         - mu * mu
     )
+    # E[x^2]-mu^2 can go (slightly) negative via catastrophic cancellation on
+    # near-constant large-mean groups; clamp so rsqrt never sees var < -eps
+    var = jnp.maximum(var, 0.0)
     y = ((xg.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + eps)).reshape(
         b, h, w, c
     )

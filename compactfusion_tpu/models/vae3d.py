@@ -149,9 +149,24 @@ def _resnet3(p, x, groups):
 
 
 def _upsample3(p, x, temporal: bool):
+    """Nearest 2x spatial (and optionally temporal) upsample + conv.
+
+    Temporal rule matches CogVideoX (`CogVideoXUpsample3D`): the FIRST frame
+    is never doubled — only frames 1..T-1 are nearest-doubled — so a T-frame
+    clip becomes 2T-1 frames and the causal frame-count identity
+    ``T_out = (T_lat - 1) * 2^k + 1`` holds without any output trimming.
+    """
     b, t, h, w, c = x.shape
-    t2 = 2 * t if temporal else t
-    x = jax.image.resize(x, (b, t2, h * 2, w * 2, c), "nearest")
+    if temporal and t > 1:
+        first = jax.image.resize(
+            x[:, :1], (b, 1, h * 2, w * 2, c), "nearest"
+        )
+        rest = jax.image.resize(
+            x[:, 1:], (b, 2 * (t - 1), h * 2, w * 2, c), "nearest"
+        )
+        x = jnp.concatenate([first, rest], axis=1)
+    else:
+        x = jax.image.resize(x, (b, t, h * 2, w * 2, c), "nearest")
     return _causal_conv3(p, x)
 
 
@@ -174,8 +189,4 @@ def vae3d_decode(params, latents: jax.Array, cfg: VAE3DConfig) -> jax.Array:
         if "upsample_conv" in up:
             x = _upsample3(up["upsample_conv"], x, i in cfg.temporal_up_blocks)
     x = cm.silu(_groupnorm3(params["norm_out"], x, g))
-    x = _causal_conv3(params["conv_out"], x)
-    # trim the temporally-doubled first frame copies: (T_lat-1)*r + 1 frames
-    r = 2 ** len(cfg.temporal_up_blocks)
-    t_out = (latents.shape[1] - 1) * r + 1
-    return x[:, -t_out:]
+    return _causal_conv3(params["conv_out"], x)

@@ -63,7 +63,8 @@ def _groupnorm_dist(p, x, groups, axis_name, eps=1e-6):
     s2 = lax.psum(s2, axis_name)
     n = lax.psum(cnt, axis_name)
     mu = s1 / n
-    var = s2 / n - mu * mu
+    # clamp: E[x^2]-mu^2 cancellation can yield tiny negatives -> rsqrt NaN
+    var = jnp.maximum(s2 / n - mu * mu, 0.0)
     y = ((x32 - mu) * lax.rsqrt(var + eps)).reshape(b, h, w, c)
     return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(
         x.dtype

@@ -13,6 +13,7 @@ exposes the same call shape.
 from __future__ import annotations
 
 import dataclasses
+import os
 import re
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -264,7 +265,7 @@ def _build_consisid(engine: EngineConfig, inp: InputConfig, checkpoint: Optional
     return _build_cogvideox(engine, inp, checkpoint)
 
 
-@register_family("hunyuandit", r"hunyuan")
+@register_family("hunyuandit", r"hunyuan(?!.?video)")
 def _build_hunyuan(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
     from compactfusion_tpu.models.hunyuandit import (
         hunyuandit_v12,
@@ -293,9 +294,11 @@ def _build_hunyuan(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[
 class xDiTParallel:
     """One-call parallel runner (reference ``xfuser/parallel.py:23-54``).
 
-    Text encoders run separately (pass embeddings); when none are provided,
-    deterministic pseudo-embeddings derived from the prompt hash are used so
-    the full parallel machinery is exercisable without checkpoints.
+    Prompts go through the REAL text path — tokenizer -> T5/CLIP encoder ->
+    embeddings (``models/prompt.py``).  With a checkpoint directory the
+    encoders load pretrained weights from the diffusers layout; without one
+    they run byte-level tokenizers over seeded random weights, so the full
+    string -> image machinery stays exercisable offline.
     """
 
     def __init__(
@@ -313,52 +316,95 @@ class xDiTParallel:
         self.pipeline, self.pipeline_config = fam.build(
             engine_config, input_config, checkpoint
         )
+        self.prompt_encoder = self._build_prompt_encoder(checkpoint)
 
-    def _pseudo_text(self, prompts, dim, seq):
-        embs = []
-        for p in prompts:
-            seed = abs(hash(p)) % (2**31)
-            embs.append(
-                np.random.default_rng(seed).standard_normal((seq, dim))
+    def _build_prompt_encoder(self, checkpoint: Optional[str]):
+        from compactfusion_tpu.models.prompt import PromptEncoder
+
+        mcfg = self.pipeline_config.model
+        if checkpoint and any(
+            os.path.isdir(os.path.join(checkpoint, d))
+            for d in ("tokenizer", "tokenizer_2")
+        ):
+            from compactfusion_tpu.models.text_encoders import (
+                clip_g,
+                clip_l,
+                clip_l_proj,
+                t5_xxl,
             )
-        return jnp.asarray(np.stack(embs), jnp.float32)
+
+            if self.family == "sd3":
+                return PromptEncoder.from_pretrained(
+                    checkpoint,
+                    t5_cfg=t5_xxl(),
+                    clip_l_cfg=clip_l_proj(),
+                    clip_g_cfg=clip_g(),
+                )
+            if self.family == "flux":
+                return PromptEncoder.from_pretrained(
+                    checkpoint, t5_cfg=t5_xxl(), clip_l_cfg=clip_l()
+                )
+            return PromptEncoder.from_pretrained(checkpoint, t5_cfg=t5_xxl())
+        key = jax.random.PRNGKey(7)
+        if self.family == "flux":
+            return PromptEncoder.random(
+                key, text_dim=mcfg.text_dim, pooled_dim=mcfg.pooled_dim
+            )
+        if self.family == "sd3":
+            lo = min(768, mcfg.pooled_dim // 2)
+            return PromptEncoder.random(
+                key,
+                text_dim=mcfg.text_dim,
+                pooled_dim=lo,
+                clip_g_dim=mcfg.pooled_dim - lo,
+            )
+        return PromptEncoder.random(key, text_dim=mcfg.text_dim)
 
     def __call__(self, key: Optional[jax.Array] = None, decode: bool = True):
         inp = self.input_config
         if key is None:
             key = jax.random.PRNGKey(inp.seed)
-        b = len(inp.prompt)
+        prompts = list(inp.prompt)
+        negative = list(inp.negative_prompt) * (
+            len(prompts) if len(inp.negative_prompt) == 1 else 1
+        )
         seq = inp.max_sequence_length
-        mcfg = self.pipeline_config.model
+        enc = self.prompt_encoder
         if self.family == "flux":
-            txt = self._pseudo_text(inp.prompt, mcfg.text_dim, seq)
-            pooled = self._pseudo_text(inp.prompt, mcfg.pooled_dim, 1)[:, 0]
+            txt, pooled = enc.encode_for_flux(prompts, max_length=seq)
             return self.pipeline(txt, pooled, key, decode=decode)
         if self.family == "sd3":
-            cond = self._pseudo_text(inp.prompt, mcfg.text_dim, seq)
-            un = jnp.zeros_like(cond)
-            pooled_c = self._pseudo_text(inp.prompt, mcfg.pooled_dim, 1)[:, 0]
-            txt = jnp.stack([cond, un])
-            pooled = jnp.stack([pooled_c, jnp.zeros_like(pooled_c)])
+            txt, pooled = enc.encode_for_sd3(prompts, negative, max_length=seq)
             return self.pipeline(txt, pooled, key, decode=decode)
-        if self.family == "cogvideox":
-            cond = self._pseudo_text(inp.prompt, mcfg.text_dim, seq)
-            txt = jnp.stack([cond, jnp.zeros_like(cond)])
+        if self.family in ("cogvideox", "latte", "hunyuanvideo", "consisid",
+                           "stepvideo"):
+            txt = enc.encode_for_video(prompts, negative, max_length=seq)
             return self.pipeline(txt, key)
-        # pixart / hunyuan: (2, B, S, D) + mask
-        cond = self._pseudo_text(inp.prompt, mcfg.text_dim, seq)
-        txt = jnp.stack([cond, jnp.zeros_like(cond)])
-        mask = jnp.ones((2, b, seq), bool)
+        # pixart / hunyuandit: (2, B, S, D) + mask
+        txt, mask = enc.encode_for_pixart(prompts, negative, max_length=seq)
         return self.pipeline(txt, mask, key, decode=decode)
 
     def save(self, directory: str, prefix: str = "cftpu"):
-        """Persist outputs per DP rank (reference xDiTParallel.save)."""
-        import os
+        """Persist outputs per DP rank (reference xDiTParallel.save).
 
+        Image pipelines write PNG (one per batch element); video/latent
+        outputs fall back to .npy.
+        """
         os.makedirs(directory, exist_ok=True)
-        out = self()
-        path = os.path.join(
-            directory, f"{prefix}_rank{jax.process_index()}.npy"
-        )
-        np.save(path, np.asarray(out, np.float32))
+        out = np.asarray(self(), np.float32)
+        rank = jax.process_index()
+        if out.ndim == 4 and out.shape[-1] == 3:  # (B, H, W, 3) in [-1, 1]
+            from PIL import Image
+
+            paths = []
+            img8 = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            for i in range(img8.shape[0]):
+                path = os.path.join(
+                    directory, f"{prefix}_rank{rank}_{i}.png"
+                )
+                Image.fromarray(img8[i]).save(path)
+                paths.append(path)
+            return paths[0] if len(paths) == 1 else paths
+        path = os.path.join(directory, f"{prefix}_rank{rank}.npy")
+        np.save(path, out)
         return path

@@ -9,7 +9,8 @@ multi-host slices), and the HTTP layer is stdlib ``http.server`` since the
 image ships no fastapi.  Same endpoint shape:
 
     POST /generate {"prompt": "...", "num_inference_steps": 20, ...}
-      -> {"images": ["<base64 npy>"], "latency_s": ...}
+      -> {"images": ["<base64 png>"], "latency_s": ...}   (image models)
+      -> {"output": "<base64 npy>", ...}                  (video/latents)
     GET  /health -> {"status": "ok"}
 
 Launch:  python entrypoints/launch.py --model pixart --ulysses_degree 2 ...
@@ -41,9 +42,10 @@ class Engine:
         self.args = args
         engine_config, input_config = args.create_config()
         self.runner = xDiTParallel(engine_config, input_config)
-        # warmup compile
+        # warmup compile; np.asarray forces actual device execution (a bare
+        # dispatch returns immediately under the axon tunnel)
         t0 = time.time()
-        self.runner()
+        np.asarray(self.runner())
         logger.info("warmup done in %.1fs", time.time() - t0)
 
     def generate(self, request: dict) -> dict:
@@ -61,10 +63,28 @@ class Engine:
         t0 = time.time()
         out = np.asarray(self.runner(), np.float32)
         latency = time.time() - t0
+        if out.ndim == 4 and out.shape[-1] == 3:
+            # (B, H, W, 3) in [-1, 1] -> base64 PNG per image (reference
+            # contract: entrypoints/launch.py:165-214 returns png bytes)
+            from PIL import Image
+
+            img8 = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            images = []
+            for i in range(img8.shape[0]):
+                buf = io.BytesIO()
+                Image.fromarray(img8[i]).save(buf, format="PNG")
+                images.append(base64.b64encode(buf.getvalue()).decode())
+            return {
+                "images": images,
+                "media_type": "image/png",
+                "shape": list(out.shape),
+                "latency_s": round(latency, 3),
+            }
         buf = io.BytesIO()
         np.save(buf, out)
         return {
-            "images": [base64.b64encode(buf.getvalue()).decode()],
+            "output": base64.b64encode(buf.getvalue()).decode(),
+            "media_type": "application/x-npy",
             "shape": list(out.shape),
             "latency_s": round(latency, 3),
         }

@@ -78,11 +78,35 @@ def test_one_call_api(tiny_runner):
     assert arr.shape[0] == 1 and np.isfinite(arr).all()
 
 
-def test_save(tiny_runner, tmp_path):
+def test_prompt_string_reaches_image(tiny_runner):
+    """e2e: string -> tokenizer -> T5 -> denoise -> VAE image; the prompt
+    must actually steer the output (no pseudo-embeddings)."""
+    engine, inp = _engine_inp()
+    runner = xDiTParallel(engine, inp)
+    img_a = np.asarray(runner(), np.float32)
+    assert img_a.ndim == 4 and img_a.shape[-1] == 3
+    assert np.isfinite(img_a).all()
+    # same prompt -> identical image (deterministic path)
+    img_a2 = np.asarray(runner(), np.float32)
+    np.testing.assert_array_equal(img_a, img_a2)
+    # different prompt -> different image (embeddings depend on the string)
+    runner.input_config = dataclasses.replace(
+        runner.input_config, prompt=("a very different dog",)
+    )
+    img_b = np.asarray(runner(), np.float32)
+    assert np.abs(img_a - img_b).max() > 0
+
+
+def test_save_png(tiny_runner, tmp_path):
+    from PIL import Image
+
     engine, inp = _engine_inp()
     runner = xDiTParallel(engine, inp)
     path = runner.save(str(tmp_path))
-    assert np.load(path).ndim >= 3
+    assert path.endswith(".png")
+    img = Image.open(path)
+    # tiny_vae has 2 up blocks -> 2x upscale of the 8x8 latent
+    assert img.size == (16, 16)
 
 
 def test_http_service(tiny_runner):
@@ -114,5 +138,13 @@ def test_http_service(tiny_runner):
         with urllib.request.urlopen(req) as r:
             payload = json.load(r)
         assert "images" in payload and payload["latency_s"] > 0
+        # the service must return a decodable PNG (reference contract)
+        import base64
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(payload["images"][0])))
+        assert img.format == "PNG" and img.size == (16, 16)
     finally:
         server.shutdown()

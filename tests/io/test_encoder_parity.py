@@ -101,3 +101,45 @@ def test_clip_text_encoder_matches_transformers():
     hid, pooled = clip_encode(params, jnp.asarray(ids), cfg)
     assert rel_err(np.asarray(hid), ref_h) < 1e-3, rel_err(np.asarray(hid), ref_h)
     assert rel_err(np.asarray(pooled), ref_p) < 1e-3
+
+
+def test_clip_g_style_projection_matches_transformers():
+    """SD3's CLIP-G shape: hidden_act='gelu' + CLIPTextModelWithProjection."""
+    from transformers import CLIPTextConfig as HFCLIPTextConfig
+    from transformers import CLIPTextModelWithProjection
+
+    hf_cfg = HFCLIPTextConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        max_position_embeddings=16,
+        hidden_act="gelu",
+        projection_dim=48,
+        attention_dropout=0.0,
+        eos_token_id=127,
+        bos_token_id=126,
+    )
+    torch.manual_seed(3)
+    model = CLIPTextModelWithProjection(hf_cfg).eval()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    cfg = CLIPTextConfig(
+        vocab_size=128, d_model=64, num_layers=2, num_heads=4, max_len=16,
+        hidden_act="gelu", projection_dim=48, dtype=jnp.float32,
+    )
+    params = hf.convert_clip(state, cfg)
+    assert "text_proj" in params
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, 100, (2, 12))
+    ids[:, -1] = 127
+    with torch.no_grad():
+        ref = model(torch.tensor(ids))
+        ref_h = ref.last_hidden_state.numpy()
+        ref_p = ref.text_embeds.numpy()
+    hid, pooled = clip_encode(params, jnp.asarray(ids), cfg)
+    assert rel_err(np.asarray(hid), ref_h) < 1e-3
+    assert pooled.shape == (2, 48)
+    assert rel_err(np.asarray(pooled), ref_p) < 1e-3
