@@ -343,9 +343,34 @@ def convert_sd3(state: Dict[str, np.ndarray], cfg) -> Any:
     blocks = []
     for i in range(cfg.depth):
         p = f"transformer_blocks.{i}"
+        # final block is context_pre_only: norm1_context is AdaLN-Continuous
+        # with a (d -> 2d) linear emitting [scale, shift]; expand it into the
+        # AdaLN-Zero 6d layout [shift, scale, gate=0, shift_mlp=0, scale_mlp=0,
+        # gate_mlp=0] so the symmetric block math reproduces the continuous
+        # norm and the (dead) text-stream updates are gated off
+        w_ctx = np.asarray(state[f"{p}.norm1_context.linear.weight"]).T
+        b_ctx = np.asarray(state[f"{p}.norm1_context.linear.bias"])
+        if w_ctx.shape[1] == 2 * d:
+            w_scale, w_shift = w_ctx[:, :d], w_ctx[:, d:]
+            b_scale, b_shift = b_ctx[:d], b_ctx[d:]
+            txt_mod = {
+                "w": jnp.asarray(
+                    np.concatenate(
+                        [w_shift, w_scale, np.zeros((d, 4 * d), w_ctx.dtype)],
+                        axis=1,
+                    ),
+                    dt,
+                ),
+                "b": jnp.asarray(
+                    np.concatenate([b_shift, b_scale, np.zeros(4 * d, b_ctx.dtype)]),
+                    dt,
+                ),
+            }
+        else:
+            txt_mod = _lin(state, f"{p}.norm1_context.linear", dt)
         blk = {
             "img_mod": _lin(state, f"{p}.norm1.linear", dt),
-            "txt_mod": _lin(state, f"{p}.norm1_context.linear", dt),
+            "txt_mod": txt_mod,
             "img_qkv": _fused_qkv(
                 state, f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v", dt
             ),
@@ -395,6 +420,67 @@ def convert_sd3(state: Dict[str, np.ndarray], cfg) -> Any:
         "norm_out_mod": _lin(state, "norm_out.linear", dt),
         "proj_out": _lin(state, "proj_out", dt),
     }
+
+
+# ---------------------------------------------------------------------------
+# 3D video VAE decoder (diffusers AutoencoderKLCogVideoX naming)
+# ---------------------------------------------------------------------------
+
+
+def _conv3(state, name, dtype):
+    """torch Conv3d (O, I, T, H, W) -> (T, H, W, I, O)."""
+    return {
+        "w": jnp.asarray(
+            np.transpose(state[f"{name}.weight"], (2, 3, 4, 1, 0)), dtype
+        ),
+        "b": jnp.asarray(state[f"{name}.bias"], dtype),
+    }
+
+
+def convert_vae3d_decoder(state: Dict[str, np.ndarray], cfg) -> Any:
+    """CogVideoX causal 3D VAE decoder (``models/vae3d.py`` layout)."""
+    dt = cfg.dtype
+
+    def spatial_norm(p):
+        return {
+            "norm": _norm(state, f"{p}.norm_layer", dt),
+            "conv_y": _conv3(state, f"{p}.conv_y", dt),
+            "conv_b": _conv3(state, f"{p}.conv_b", dt),
+        }
+
+    def resnet(p):
+        out = {
+            "norm1": spatial_norm(f"{p}.norm1"),
+            "conv1": _conv3(state, f"{p}.conv1.conv", dt),
+            "norm2": spatial_norm(f"{p}.norm2"),
+            "conv2": _conv3(state, f"{p}.conv2.conv", dt),
+        }
+        if f"{p}.conv_shortcut.weight" in state:
+            out["shortcut"] = _conv3(state, f"{p}.conv_shortcut", dt)
+        return out
+
+    mid = "decoder.mid_block"
+    params = {
+        "conv_in": _conv3(state, "decoder.conv_in.conv", dt),
+        "mid_res1": resnet(f"{mid}.resnets.0"),
+        "mid_res2": resnet(f"{mid}.resnets.1"),
+        "norm_out": spatial_norm("decoder.norm_out"),
+        "conv_out": _conv3(state, "decoder.conv_out.conv", dt),
+    }
+    up = []
+    for i in range(len(cfg.block_out_channels)):
+        p = f"decoder.up_blocks.{i}"
+        blk = {
+            "resnets": [
+                resnet(f"{p}.resnets.{j}")
+                for j in range(cfg.layers_per_block + 1)
+            ]
+        }
+        if f"{p}.upsamplers.0.conv.weight" in state:
+            blk["upsample_conv"] = _conv3(state, f"{p}.upsamplers.0.conv", dt)
+        up.append(blk)
+    params["up"] = up
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -124,24 +124,62 @@ def patch_positions_2d(h_patches: int, w_patches: int) -> jax.Array:
     return jnp.stack([rows, cols], axis=-1)
 
 
+def _sincos_embed_1d(x: jax.Array, d: int) -> jax.Array:
+    omega = jnp.arange(d // 2, dtype=jnp.float32) / (d / 2.0)
+    omega = 1.0 / (10000.0**omega)
+    out = x[:, None] * omega[None, :]
+    return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=-1)
+
+
 def sincos_pos_embed_2d(
-    dim: int, h_patches: int, w_patches: int, base_size: Optional[int] = None
+    dim: int,
+    h_patches: int,
+    w_patches: int,
+    base_size: Optional[int] = None,
+    interpolation_scale: float = 1.0,
 ) -> jax.Array:
-    """2D sin-cos positional embedding (H*W, dim), fp32 (DiT/PixArt style)."""
+    """2D sin-cos positional embedding (H*W, dim) in raster order, fp32.
+
+    Matches diffusers ``get_2d_sincos_pos_embed`` exactly (checkpoint
+    compatibility, verified by ``tests/io/test_backbone_parity.py``): the
+    FIRST half of the channels embeds the COLUMN (w) coordinate.  PixArt
+    resolution interpolation: positions are rescaled to the training base
+    grid (``base_size``) then by ``interpolation_scale``.
+    """
     pos = patch_positions_2d(h_patches, w_patches).astype(jnp.float32)
+    rows, cols = pos[:, 0], pos[:, 1]
     if base_size is not None:
-        # PixArt interpolation: scale positions to the training base grid
-        pos = pos * (base_size / h_patches)
+        rows = rows / (h_patches / base_size) / interpolation_scale
+        cols = cols / (w_patches / base_size) / interpolation_scale
     half = dim // 2
-
-    def embed_1d(x, d):
-        omega = jnp.arange(d // 2, dtype=jnp.float32) / (d // 2)
-        omega = 1.0 / (10000.0**omega)
-        out = x[:, None] * omega[None, :]
-        return jnp.concatenate([jnp.sin(out), jnp.cos(out)], axis=-1)
-
     return jnp.concatenate(
-        [embed_1d(pos[:, 0], half), embed_1d(pos[:, 1], half)], axis=-1
+        [_sincos_embed_1d(cols, half), _sincos_embed_1d(rows, half)], axis=-1
+    )
+
+
+def cropped_pos_embed_2d(
+    dim: int,
+    h_patches: int,
+    w_patches: int,
+    max_size: int,
+    base_size: int,
+    interpolation_scale: float = 1.0,
+) -> jax.Array:
+    """SD3-style positional embedding: a (max_size, max_size) table built at
+    ``base_size`` scaling, center-cropped to the actual grid (diffusers
+    ``PatchEmbed.cropped_pos_embed``)."""
+    coords = (
+        jnp.arange(max_size, dtype=jnp.float32)
+        / (max_size / base_size)
+        / interpolation_scale
+    )
+    half = dim // 2
+    top = (max_size - h_patches) // 2
+    left = (max_size - w_patches) // 2
+    rows = jnp.repeat(coords[top : top + h_patches], w_patches)
+    cols = jnp.tile(coords[left : left + w_patches], h_patches)
+    return jnp.concatenate(
+        [_sincos_embed_1d(cols, half), _sincos_embed_1d(rows, half)], axis=-1
     )
 
 

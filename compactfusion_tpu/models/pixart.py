@@ -39,11 +39,18 @@ class PixArtConfig:
     text_dim: int = 4096  # T5-XXL
     ffn_mult: int = 4
     sample_size: int = 64  # latent H=W for 512px
+    #: diffusers PixArt interpolation_scale (= sample_size // 64 for the
+    #: published checkpoints); scales sincos positions with base_size
+    interpolation_scale: float = 1.0
     dtype: Any = jnp.bfloat16
 
     @property
     def head_dim(self):
         return self.dim // self.heads
+
+    @property
+    def base_size(self):
+        return self.sample_size // self.patch
 
 
 def pixart_alpha_512() -> PixArtConfig:
@@ -51,7 +58,7 @@ def pixart_alpha_512() -> PixArtConfig:
 
 
 def pixart_sigma_1024() -> PixArtConfig:
-    return PixArtConfig(sample_size=128)
+    return PixArtConfig(sample_size=128, interpolation_scale=2.0)
 
 
 def pixart_tiny() -> PixArtConfig:

@@ -40,6 +40,9 @@ class SD3Config:
     pooled_dim: int = 2048  # CLIP-L + CLIP-G pooled
     mlp_ratio: int = 4
     pos_embed_max_size: int = 192
+    #: diffusers PatchEmbed base grid (sample_size // patch); positions in
+    #: the max-size table are scaled to this before center-cropping
+    base_size: int = 64
     qk_norm: bool = False  # SD3.5 variants use per-head RMSNorm
     dtype: Any = jnp.bfloat16
 
@@ -55,7 +58,7 @@ def sd3_medium() -> SD3Config:
 def sd3_tiny() -> SD3Config:
     return SD3Config(
         dim=64, depth=2, heads=4, in_channels=4, text_dim=32, pooled_dim=16,
-        pos_embed_max_size=16, qk_norm=True,
+        pos_embed_max_size=16, base_size=4, qk_norm=True,
     )
 
 

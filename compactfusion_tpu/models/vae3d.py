@@ -1,15 +1,24 @@
-"""Causal 3D video VAE decoder (CogVideoX / HunyuanVideo family).
+"""Causal 3D video VAE decoder (CogVideoX family), functional JAX.
 
-Decodes (B, T_latent, h, w, C) video latents to (B, T, H, W, 3) pixels:
-causal 3D convolutions (temporal padding replicates the first frame, so frame
-t never sees the future), spatially-conditioned group norms, spatial 2x
-upsampling per up block and temporal 2x upsampling in the blocks that undo
-the 4x temporal compression.
+Faithful re-implementation of diffusers ``AutoencoderKLCogVideoX``'s decoder
+(the model the reference converts on its VAE ranks, ``base_pipeline.py:
+457-463``, ``pipeline_cogvideox.py:439``):
 
-The reference delegates this to diffusers ``AutoencoderKLCogVideoX`` on the
-VAE ranks (``base_pipeline.py:457-463``); here it is a first-class functional
-decoder that also runs height-sharded via ``parallel/vae.py`` semantics
-(halo exchange generalises directly; in-mesh replicated decode by default).
+  * ``CogVideoXCausalConv3d`` — temporal padding replicates the first frame
+    (frame t never sees the future), spatial padding is zero;
+  * ``CogVideoXSpatialNorm3D`` — GroupNorm on the features, modulated by
+    1x1x1 convs of the RAW LATENT ``zq`` nearest-resized to the feature
+    resolution (first frame resized separately when T is odd);
+  * ``CogVideoXUpsample3D`` — nearest 2x spatial upsample; in
+    ``compress_time`` blocks the first frame is kept un-doubled (T -> 2T-1)
+    so ``T_out = (T_lat - 1) * temporal_ratio + 1``; the upsample conv is a
+    PLAIN (non-causal) 3x3x3 conv;
+  * decode order: conv_in, mid (2 spatial-norm resnets), up blocks
+    (layers_per_block+1 resnets + upsampler), spatial norm_out, silu,
+    conv_out.
+
+Ground-truth parity vs the torch reference: ``tests/io/test_backbone_parity``
+(vae3d case).  Layout here is (B, T, H, W, C) — TPU-native channels-last.
 """
 
 from __future__ import annotations
@@ -31,14 +40,32 @@ class VAE3DConfig:
     block_out_channels: Tuple[int, ...] = (128, 256, 256, 512)
     layers_per_block: int = 3
     norm_num_groups: int = 32
-    #: which up blocks (in decode order) also upsample time 2x
-    temporal_up_blocks: Tuple[int, ...] = (0, 1)
+    #: 2^levels temporal compression undone by the first `levels` up blocks
+    temporal_compress_levels: int = 2
     scaling_factor: float = 1.15258426  # CogVideoX
+    #: CogVideoX-2b/5b invert scaling only; 1.5 variants also scale spatially
     dtype: Any = jnp.bfloat16
+
+    @property
+    def temporal_ratio(self) -> int:
+        return 2**self.temporal_compress_levels
 
 
 def cogvideox_vae() -> VAE3DConfig:
     return VAE3DConfig()
+
+
+def hunyuanvideo_vae() -> VAE3DConfig:
+    """HunyuanVideo causal 3D VAE: same decoder topology, 16ch latents,
+    (128, 256, 512, 512) widths, plain GroupNorm semantics approximated by
+    the spatial-norm path with identity conditioning is NOT valid — this
+    config is only used with ``spatial_norm=False`` style checkpoints; kept
+    for shape compatibility until the HV-specific converter lands."""
+    return VAE3DConfig(
+        block_out_channels=(128, 256, 512, 512),
+        layers_per_block=2,
+        scaling_factor=0.476986,
+    )
 
 
 def tiny_vae3d() -> VAE3DConfig:
@@ -47,8 +74,13 @@ def tiny_vae3d() -> VAE3DConfig:
         block_out_channels=(8, 16),
         layers_per_block=1,
         norm_num_groups=4,
-        temporal_up_blocks=(0,),
+        temporal_compress_levels=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
 
 
 def _init_conv3(key, c_in, c_out, k=(3, 3, 3), dtype=jnp.bfloat16):
@@ -63,41 +95,46 @@ def _init_conv3(key, c_in, c_out, k=(3, 3, 3), dtype=jnp.bfloat16):
     }
 
 
-def _init_norm(c, dtype):
-    return {"g": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+def _init_spatial_norm(key, c, zq_c, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm": {"g": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)},
+        "conv_y": _init_conv3(k1, zq_c, c, (1, 1, 1), dtype),
+        "conv_b": _init_conv3(k2, zq_c, c, (1, 1, 1), dtype),
+    }
 
 
-def _init_resnet(key, c_in, c_out, dtype):
-    ks = jax.random.split(key, 3)
+def _init_resnet(key, c_in, c_out, zq_c, dtype):
+    ks = jax.random.split(key, 5)
     p = {
-        "norm1": _init_norm(c_in, dtype),
-        "conv1": _init_conv3(ks[0], c_in, c_out, dtype=dtype),
-        "norm2": _init_norm(c_out, dtype),
-        "conv2": _init_conv3(ks[1], c_out, c_out, dtype=dtype),
+        "norm1": _init_spatial_norm(ks[0], c_in, zq_c, dtype),
+        "conv1": _init_conv3(ks[1], c_in, c_out, dtype=dtype),
+        "norm2": _init_spatial_norm(ks[2], c_out, zq_c, dtype),
+        "conv2": _init_conv3(ks[3], c_out, c_out, dtype=dtype),
     }
     if c_in != c_out:
-        p["shortcut"] = _init_conv3(ks[2], c_in, c_out, (1, 1, 1), dtype)
+        p["shortcut"] = _init_conv3(ks[4], c_in, c_out, (1, 1, 1), dtype)
     return p
 
 
 def init_vae3d_decoder(key, cfg: VAE3DConfig):
     dt = cfg.dtype
-    chans = cfg.block_out_channels
-    c0 = chans[-1]
-    ks = iter(jax.random.split(key, 64))
+    chans = list(reversed(cfg.block_out_channels))
+    zq = cfg.latent_channels
+    ks = iter(jax.random.split(key, 128))
     p = {
-        "conv_in": _init_conv3(next(ks), cfg.latent_channels, c0, dtype=dt),
-        "mid_res1": _init_resnet(next(ks), c0, c0, dt),
-        "mid_res2": _init_resnet(next(ks), c0, c0, dt),
-        "norm_out": _init_norm(chans[0], dt),
-        "conv_out": _init_conv3(next(ks), chans[0], cfg.out_channels, dtype=dt),
+        "conv_in": _init_conv3(next(ks), zq, chans[0], dtype=dt),
+        "mid_res1": _init_resnet(next(ks), chans[0], chans[0], zq, dt),
+        "mid_res2": _init_resnet(next(ks), chans[0], chans[0], zq, dt),
+        "norm_out": _init_spatial_norm(next(ks), chans[-1], zq, dt),
+        "conv_out": _init_conv3(next(ks), chans[-1], cfg.out_channels, dtype=dt),
     }
     up = []
-    c_prev = c0
-    for i, c in enumerate(reversed(chans)):
+    c_prev = chans[0]
+    for i, c in enumerate(chans):
         blocks = []
-        for _ in range(cfg.layers_per_block):
-            blocks.append(_init_resnet(next(ks), c_prev, c, dt))
+        for _ in range(cfg.layers_per_block + 1):
+            blocks.append(_init_resnet(next(ks), c_prev, c, zq, dt))
             c_prev = c
         blk = {"resnets": blocks}
         if i < len(chans) - 1:
@@ -107,9 +144,13 @@ def init_vae3d_decoder(key, cfg: VAE3DConfig):
     return p
 
 
-def _causal_conv3(p, x, stride=(1, 1, 1)):
-    """(B, T, H, W, C) conv with causal temporal padding (first frame
-    replicated so output frame t depends only on frames <= t)."""
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def _causal_conv3(p, x):
+    """(B, T, H, W, C): replicate-first-frame temporal pad, zero spatial."""
     kt, kh, kw = p["w"].shape[:3]
     if kt > 1:
         front = jnp.repeat(x[:, :1], kt - 1, axis=1)
@@ -118,75 +159,116 @@ def _causal_conv3(p, x, stride=(1, 1, 1)):
     y = lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
-        stride,
+        (1, 1, 1),
         padding=((0, 0), (pad_h, pad_h), (pad_w, pad_w)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
     return y + p["b"].astype(x.dtype)
 
 
-def _groupnorm3(p, x, groups, eps=1e-6):
-    # per-frame statistics (NOT over time) to preserve temporal causality —
-    # torch GroupNorm would reduce over T, but the reference decoder only
-    # ever normalises within short temporal tiles; per-frame is the strictly
-    # causal equivalent
-    b, t, h, w, c = x.shape
-    x32 = x.astype(jnp.float32).reshape(b, t, h, w, groups, c // groups)
-    mu = jnp.mean(x32, axis=(2, 3, 5), keepdims=True)
-    var = jnp.var(x32, axis=(2, 3, 5), keepdims=True)
-    y = ((x32 - mu) * lax.rsqrt(var + eps)).reshape(b, t, h, w, c)
-    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(
-        x.dtype
+def _plain_conv3(p, x):
+    """Non-causal 3x3x3 conv, zero padding on all axes (upsampler conv)."""
+    kt, kh, kw = p["w"].shape[:3]
+    y = lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        (1, 1, 1),
+        padding=(
+            ((kt - 1) // 2, (kt - 1) // 2),
+            ((kh - 1) // 2, (kh - 1) // 2),
+            ((kw - 1) // 2, (kw - 1) // 2),
+        ),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
+    return y + p["b"].astype(x.dtype)
 
 
-def _resnet3(p, x, groups):
-    h = _causal_conv3(p["conv1"], cm.silu(_groupnorm3(p["norm1"], x, groups)))
-    h = _causal_conv3(p["conv2"], cm.silu(_groupnorm3(p["norm2"], h, groups)))
+def _nearest_resize_zq(zq, t, hh, ww):
+    """Nearest-resize zq (B, Tz, hz, wz, C) to (B, t, hh, ww, C) by integer
+    repetition on H/W and CogVideoX's first-frame-split rule on T."""
+    b, tz, hz, wz, c = zq.shape
+    if t != tz:
+        if t % 2 == 1 and t > 1:
+            # first latent frame -> first feature frame; the rest upsample
+            rep = (t - 1) // (tz - 1)
+            rest = jnp.repeat(zq[:, 1:], rep, axis=1)
+            zq = jnp.concatenate([zq[:, :1], rest], axis=1)
+        else:
+            zq = jnp.repeat(zq, t // tz, axis=1)
+    if hh != zq.shape[2]:
+        zq = jnp.repeat(zq, hh // zq.shape[2], axis=2)
+    if ww != zq.shape[3]:
+        zq = jnp.repeat(zq, ww // zq.shape[3], axis=3)
+    return zq
+
+
+def _spatial_norm(p, x, zq, groups, eps=1e-6):
+    """CogVideoXSpatialNorm3D: groupnorm(x) * conv_y(zq') + conv_b(zq')."""
+    b, t, hh, ww, c = x.shape
+    zq = _nearest_resize_zq(zq, t, hh, ww)
+    x32 = x.astype(jnp.float32).reshape(b, t, hh, ww, groups, c // groups)
+    # torch GroupNorm statistics reduce over (T, H, W, C/g) — time included
+    # (causality comes from the conv padding / tiled decode, not the norm)
+    mu = jnp.mean(x32, axis=(1, 2, 3, 5), keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(x32), axis=(1, 2, 3, 5), keepdims=True) - mu * mu,
+        0.0,
+    )
+    y = ((x32 - mu) * lax.rsqrt(var + eps)).reshape(b, t, hh, ww, c)
+    y = y * p["norm"]["g"].astype(jnp.float32) + p["norm"]["b"].astype(
+        jnp.float32
+    )
+    scale = _plain_conv3(p["conv_y"], zq)
+    shift = _plain_conv3(p["conv_b"], zq)
+    return (
+        y * scale.astype(jnp.float32) + shift.astype(jnp.float32)
+    ).astype(x.dtype)
+
+
+def _resnet3(p, x, zq, groups):
+    h = _causal_conv3(p["conv1"], cm.silu(_spatial_norm(p["norm1"], x, zq, groups)))
+    h = _causal_conv3(p["conv2"], cm.silu(_spatial_norm(p["norm2"], h, zq, groups)))
     if "shortcut" in p:
-        x = _causal_conv3(p["shortcut"], x)
+        x = _plain_conv3(p["shortcut"], x)
     return x + h
 
 
 def _upsample3(p, x, temporal: bool):
-    """Nearest 2x spatial (and optionally temporal) upsample + conv.
-
-    Temporal rule matches CogVideoX (`CogVideoXUpsample3D`): the FIRST frame
-    is never doubled — only frames 1..T-1 are nearest-doubled — so a T-frame
-    clip becomes 2T-1 frames and the causal frame-count identity
-    ``T_out = (T_lat - 1) * 2^k + 1`` holds without any output trimming.
-    """
+    """CogVideoXUpsample3D: nearest 2x (h, w); ``temporal`` additionally
+    doubles frames 1..T-1, keeping frame 0 (odd-T rule); plain conv."""
     b, t, h, w, c = x.shape
+    x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
     if temporal and t > 1:
-        first = jax.image.resize(
-            x[:, :1], (b, 1, h * 2, w * 2, c), "nearest"
-        )
-        rest = jax.image.resize(
-            x[:, 1:], (b, 2 * (t - 1), h * 2, w * 2, c), "nearest"
-        )
-        x = jnp.concatenate([first, rest], axis=1)
-    else:
-        x = jax.image.resize(x, (b, t, h * 2, w * 2, c), "nearest")
-    return _causal_conv3(p, x)
+        if t % 2 == 1:
+            rest = jnp.repeat(x[:, 1:], 2, axis=1)
+            x = jnp.concatenate([x[:, :1], rest], axis=1)
+        else:
+            x = jnp.repeat(x, 2, axis=1)
+    return _plain_conv3(p, x)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
 
 
 def vae3d_decode(params, latents: jax.Array, cfg: VAE3DConfig) -> jax.Array:
-    """(B, T_lat, h, w, C_lat) scaled latents -> (B, T, H, W, 3) in [-1, 1].
+    """(B, T_lat, h, w, C_lat) SCALED latents -> (B, T, H, W, 3).
 
-    T = (T_lat - 1) * 2**len(temporal_up_blocks) + 1 after trimming the
-    causally-padded first-frame duplicates (CogVideoX frame count rule
-    num_frames = (n - 1) * 4 + 1).
+    T = (T_lat - 1) * temporal_ratio + 1 (CogVideoX frame-count rule);
+    H = h * 8, W = w * 8.
     """
     g = cfg.norm_num_groups
-    x = latents / cfg.scaling_factor
-    x = _causal_conv3(params["conv_in"], x)
-    x = _resnet3(params["mid_res1"], x, g)
-    x = _resnet3(params["mid_res2"], x, g)
-    n_up = len(params["up"])
+    zq = (latents / cfg.scaling_factor).astype(cfg.dtype)
+    x = _causal_conv3(params["conv_in"], zq)
+    x = _resnet3(params["mid_res1"], x, zq, g)
+    x = _resnet3(params["mid_res2"], x, zq, g)
     for i, up in enumerate(params["up"]):
         for r in up["resnets"]:
-            x = _resnet3(r, x, g)
+            x = _resnet3(r, x, zq, g)
         if "upsample_conv" in up:
-            x = _upsample3(up["upsample_conv"], x, i in cfg.temporal_up_blocks)
-    x = cm.silu(_groupnorm3(params["norm_out"], x, g))
+            x = _upsample3(
+                up["upsample_conv"], x, i < cfg.temporal_compress_levels
+            )
+    x = cm.silu(_spatial_norm(params["norm_out"], x, zq, g))
     return _causal_conv3(params["conv_out"], x)

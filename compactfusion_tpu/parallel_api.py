@@ -177,6 +177,18 @@ def _build_sd3(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str]
     return SD3Pipeline(params, None, pcfg, mesh), pcfg
 
 
+def _load_vae3d(checkpoint: Optional[str], vcfg):
+    """CogVideoX-family 3D VAE params: HF ``vae/`` subdir or random init."""
+    from compactfusion_tpu.io import hf
+    from compactfusion_tpu.models.vae3d import init_vae3d_decoder
+
+    if checkpoint:
+        vae_dir = os.path.join(checkpoint, "vae")
+        if os.path.isdir(vae_dir):
+            return hf.convert_vae3d_decoder(hf.load_safetensors(vae_dir), vcfg)
+    return init_vae3d_decoder(jax.random.PRNGKey(11), vcfg)
+
+
 @register_family("cogvideox", r"cogvideo")
 def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
     from compactfusion_tpu.models.cogvideox import (
@@ -184,6 +196,7 @@ def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
         cogvideox_5b,
         init_cogvideox,
     )
+    from compactfusion_tpu.models.vae3d import cogvideox_vae
     from compactfusion_tpu.pipelines.cogvideox import (
         CogVideoXPipeline,
         CogVideoXPipelineConfig,
@@ -195,6 +208,7 @@ def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
         else cogvideox_2b()
     )
     params = init_cogvideox(jax.random.PRNGKey(0), mcfg)
+    vcfg = cogvideox_vae()
     pcfg = CogVideoXPipelineConfig(
         model=mcfg,
         parallel=engine.parallel_config,
@@ -206,7 +220,11 @@ def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
         num_frames=inp.num_frames,
     )
     mesh = make_mesh(engine.parallel_config)
-    return CogVideoXPipeline(params, pcfg, mesh), pcfg
+    pipe = CogVideoXPipeline(
+        params, pcfg, mesh,
+        vae_params=_load_vae3d(checkpoint, vcfg), vae_cfg=vcfg,
+    )
+    return pipe, pcfg
 
 
 @register_family("latte", r"latte")
@@ -259,10 +277,59 @@ def _build_hunyuanvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Opti
 
 @register_family("consisid", r"consisid")
 def _build_consisid(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
-    # ConsisID is architecturally CogVideoX-5b plus facial-identity injection;
-    # the ID-injection cross-attention lands in a later round — until then the
-    # base video backbone + parallelism run end-to-end.
-    return _build_cogvideox(engine, inp, checkpoint)
+    from compactfusion_tpu.models.consisid import consisid_preview, init_consisid
+    from compactfusion_tpu.models.vae3d import cogvideox_vae
+    from compactfusion_tpu.pipelines.consisid import (
+        ConsisIDPipeline,
+        ConsisIDPipelineConfig,
+    )
+
+    mcfg = consisid_preview()
+    params = init_consisid(jax.random.PRNGKey(0), mcfg)
+    vcfg = cogvideox_vae()
+    pcfg = ConsisIDPipelineConfig(
+        model=mcfg,
+        parallel=engine.parallel_config,
+        compact=engine.compact_config,
+        num_steps=inp.num_inference_steps,
+        guidance_scale=inp.guidance_scale,
+        height=inp.height,
+        width=inp.width,
+        num_frames=inp.num_frames,
+    )
+    mesh = make_mesh(engine.parallel_config)
+    pipe = ConsisIDPipeline(
+        params, pcfg, mesh,
+        vae_params=_load_vae3d(checkpoint, vcfg), vae_cfg=vcfg,
+    )
+    return pipe, pcfg
+
+
+@register_family("stepvideo", r"step[-_]?video")
+def _build_stepvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
+    from compactfusion_tpu.models.stepvideo import (
+        init_stepvideo,
+        stepvideo_t2v,
+    )
+    from compactfusion_tpu.pipelines.stepvideo import (
+        StepVideoPipeline,
+        StepVideoPipelineConfig,
+    )
+
+    mcfg = stepvideo_t2v()
+    params = init_stepvideo(jax.random.PRNGKey(0), mcfg)
+    pcfg = StepVideoPipelineConfig(
+        model=mcfg,
+        parallel=engine.parallel_config,
+        compact=engine.compact_config,
+        num_steps=inp.num_inference_steps,
+        guidance_scale=inp.guidance_scale,
+        height=inp.height,
+        width=inp.width,
+        num_frames=inp.num_frames,
+    )
+    mesh = make_mesh(engine.parallel_config)
+    return StepVideoPipeline(params, pcfg, mesh), pcfg
 
 
 @register_family("hunyuandit", r"hunyuan(?!.?video)")

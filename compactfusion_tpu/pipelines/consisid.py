@@ -1,17 +1,19 @@
-"""CogVideoX text-to-video pipeline.
+"""ConsisID identity-preserving text-to-video pipeline.
 
-TPU-native analog of ``xfuser/model_executor/pipelines/pipeline_cogvideox.py``
-(439 LoC): video tokens (frames x spatial patches) sharded over
-(dp, ring, ulysses), true CFG, v-prediction DDIM with SNR-shifted zero-SNR
-schedule, optional CompactFusion-compressed ring over the video K/V — the
-config-#4 workload (compressed sequence parallelism for video).
+TPU-native analog of ``xfuser/model_executor/pipelines/pipeline_consisid.py``
+(502 LoC): the CogVideoX denoise loop plus replicated face-identity tokens
+(``id_states``) feeding the per-block gated ID cross-attention of
+``models/consisid.py``.  The face encoders (ArcFace global + CLIP-visual
+local, reference ``pipeline_consisid.py`` prepare steps) run outside the
+scan like the text encoders; pass their projected output as ``id_states``.
+Same parallelism axes as CogVideoX (dp, cfg, ring, ulysses) with the
+CompactFusion compressed ring on video K/V.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,71 +21,35 @@ from jax import lax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.config import CompressType
 from compactfusion_tpu.models import common as cm
-from compactfusion_tpu.models.attn_impl import (
-    CompactUSPAttn,
-    SingleDeviceAttn,
-    USPAttn,
+from compactfusion_tpu.models.consisid import (
+    ConsisIDConfig,
+    consisid_forward,
 )
-from compactfusion_tpu.models.cogvideox import (
-    CogVideoXConfig,
-    cogvideox_forward,
-    video_positions,
-)
-from compactfusion_tpu.parallel.mesh import AXIS_DP, AXIS_TP
+from compactfusion_tpu.models.cogvideox import video_positions
+from compactfusion_tpu.parallel.mesh import AXIS_TP
 from compactfusion_tpu.parallel.tp import model_param_specs
 from compactfusion_tpu.pipelines import base
+from compactfusion_tpu.pipelines.cogvideox import (
+    CogVideoXPipelineConfig,
+    _attn_impl,
+)
 from compactfusion_tpu.schedulers.diffusion import ddim_step_v, ddpm_schedule
 
 
 @dataclasses.dataclass(frozen=True)
-class CogVideoXPipelineConfig:
-    model: CogVideoXConfig
-    parallel: ParallelConfig = ParallelConfig()
-    compact: CompactConfig = CompactConfig()
-    num_steps: int = 50
-    guidance_scale: float = 6.0
-    height: int = 480
-    width: int = 720
-    num_frames: int = 49  # pixel frames; latent frames = (n-1)//4 + 1
-
-    @property
-    def latent_frames(self) -> int:
-        return (self.num_frames - 1) // 4 + 1
-
-    @property
-    def grid(self) -> Tuple[int, int, int]:
-        hp = self.height // 8 // self.model.patch
-        wp = self.width // 8 // self.model.patch
-        return self.latent_frames, hp, wp
-
-    @property
-    def tokens(self) -> int:
-        f, hp, wp = self.grid
-        return f * hp * wp
-
-    @property
-    def do_cfg(self) -> bool:
-        return self.guidance_scale > 1.0
+class ConsisIDPipelineConfig(CogVideoXPipelineConfig):
+    model: ConsisIDConfig = None  # type: ignore[assignment]
+    #: number of face-identity tokens fed to the gated cross-attention
+    id_tokens: int = 5
 
 
-def _attn_impl(cfg: CogVideoXPipelineConfig, method: Optional[CompressType]):
-    p = cfg.parallel
-    if cfg.compact.enabled:
-        return CompactUSPAttn(
-            cfg=cfg.compact, method=method,
-            ulysses_size=p.ulysses_degree, ring_size=p.ring_degree,
-        )
-    if p.sp_degree > 1:
-        return USPAttn(ulysses_size=p.ulysses_degree, ring_size=p.ring_degree)
-    return SingleDeviceAttn()
+def build_sample_fn(cfg: ConsisIDPipelineConfig, mesh: Mesh, params_tree=None):
+    """``sample(params, txt, id_states, latents0) -> latents``.
 
-
-def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
-    """``sample(params, txt, latents0) -> latents``.
-
-    txt: (2, B, S_txt, text_dim) [cond, uncond]; latents0: (B, S, p*p*C).
+    txt: (2, B, S_txt, text_dim); id_states: (B, S_id, id_dim) replicated;
+    latents0: (B, S, p*p*C).
     """
     p = cfg.parallel
     mcfg = cfg.model
@@ -95,11 +61,9 @@ def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
         rescale_zero_snr=True,
         timestep_spacing="trailing",
     )
-    pos = video_positions(f, hp, wp)
-    if mcfg.use_rotary:
-        cos_full, sin_full = cm.rope_frequencies(pos, mcfg.axes_dim)
-    else:
-        pos_full = cm.sincos_pos_embed_2d(mcfg.dim, f * hp, wp)
+    cos_full, sin_full = cm.rope_frequencies(
+        video_positions(f, hp, wp), mcfg.axes_dim
+    )
 
     schedule = [
         cfg.compact.type_at(0, s) if cfg.compact.enabled else None
@@ -112,7 +76,7 @@ def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
         else:
             segments.append((m, [s]))
 
-    def spmd(params, txt, latents):
+    def spmd(params, txt, id_states, latents):
         if cfg.do_cfg and p.cfg_degree == 2:
             txt = txt[0]
         elif cfg.do_cfg:
@@ -121,29 +85,26 @@ def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
             txt = txt[0]
 
         b_local = latents.shape[0]
-        n_model_batch = 2 * b_local if (cfg.do_cfg and p.cfg_degree == 1) else b_local
+        n_model_batch = (
+            2 * b_local if (cfg.do_cfg and p.cfg_degree == 1) else b_local
+        )
+        ids = id_states
+        if ids.shape[0] != n_model_batch:
+            ids = jnp.concatenate([ids] * (n_model_batch // ids.shape[0]), 0)
         s_local = cfg.tokens // p.sp_degree
-        if mcfg.use_rotary:
-            rope = (
-                base.slice_local_tokens(cos_full, p.ulysses_degree, p.ring_degree)
-                if p.sp_degree > 1 else cos_full,
-                base.slice_local_tokens(sin_full, p.ulysses_degree, p.ring_degree)
-                if p.sp_degree > 1 else sin_full,
-            )
-            pe = None
-        else:
-            rope = None
-            pe = (
-                base.slice_local_tokens(pos_full, p.ulysses_degree, p.ring_degree)
-                if p.sp_degree > 1 else pos_full
-            )
+        rope = (
+            base.slice_local_tokens(cos_full, p.ulysses_degree, p.ring_degree)
+            if p.sp_degree > 1 else cos_full,
+            base.slice_local_tokens(sin_full, p.ulysses_degree, p.ring_degree)
+            if p.sp_degree > 1 else sin_full,
+        )
 
         carry = (latents, None)
         for method, steps in segments:
             attn = _attn_impl(cfg, method)
             st = attn.init_state(
-                mcfg.depth, n_model_batch, s_local, mcfg.heads, mcfg.head_dim,
-                jnp.float32,
+                mcfg.depth, n_model_batch, s_local, mcfg.heads,
+                mcfg.head_dim, jnp.float32,
             )
             if carry[1] is not None and jax.tree_util.tree_leaves(carry[1]):
                 st = carry[1]
@@ -155,14 +116,14 @@ def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
                 x = latents
                 if cfg.do_cfg and p.cfg_degree == 1:
                     x = jnp.concatenate([latents, latents], axis=0)
-                v, st = cogvideox_forward(
+                v, st = consisid_forward(
                     params,
                     x.astype(mcfg.dtype),
                     txt.astype(mcfg.dtype),
+                    ids.astype(mcfg.dtype),
                     t,
                     mcfg,
                     video_rope=rope,
-                    pos_embed=pe,
                     attn=_attn,
                     attn_state=st,
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
@@ -185,26 +146,20 @@ def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
     fn = jax.shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(param_specs, base.TEXT_SPEC, base.LATENT_SPEC),
+        in_specs=(param_specs, base.TEXT_SPEC, P(), base.LATENT_SPEC),
         out_specs=base.LATENT_SPEC,
         check_vma=False,
     )
     return jax.jit(fn)
 
 
-class CogVideoXPipeline:
-    """User-facing pipeline (the reference's ``xFuserCogVideoXPipeline``).
-
-    With ``vae_params`` + ``vae_cfg`` set, ``__call__`` decodes latents with
-    the causal 3D VAE (``models/vae3d.py``) to pixel video (B, T, H, W, 3),
-    like the reference's ``pipeline_cogvideox.py:439`` decode tail;
-    otherwise it returns latent tokens.
-    """
+class ConsisIDPipeline:
+    """User-facing pipeline (the reference's ``xFuserConsisIDPipeline``)."""
 
     def __init__(
         self,
         params,
-        cfg: CogVideoXPipelineConfig,
+        cfg: ConsisIDPipelineConfig,
         mesh: Mesh,
         vae_params=None,
         vae_cfg=None,
@@ -222,28 +177,35 @@ class CogVideoXPipeline:
             f, hp, wp = cfg.grid
             mcfg = cfg.model
 
-            def decode(vae_params, latent_tokens):
-                # (B, f*hp*wp, p*p*C) -> (B, f, h, w, C) -> pixels
+            def decode(vp, latent_tokens):
                 b = latent_tokens.shape[0]
                 lat = latent_tokens.reshape(b * f, hp * wp, -1)
                 lat = cm.unpatchify(
                     lat, mcfg.patch, hp, wp, mcfg.in_channels
                 ).reshape(b, f, hp * mcfg.patch, wp * mcfg.patch,
                           mcfg.in_channels)
-                return vae3d_decode(vae_params, lat, vae_cfg)
+                return vae3d_decode(vp, lat, vae_cfg)
 
             self._decode = jax.jit(decode)
 
-    def __call__(self, txt, key, decode: Optional[bool] = None):
+    def __call__(self, txt, key, id_states=None,
+                 decode: Optional[bool] = None):
         cfg = self.cfg
+        b = txt.shape[1]
+        if id_states is None:
+            # unconditioned identity: zero tokens; with zero-init gates the
+            # model reduces exactly to CogVideoX
+            id_states = jnp.zeros(
+                (b, cfg.id_tokens, cfg.model.id_dim), jnp.float32
+            )
         latents = base.prepare_latents(
             key,
-            txt.shape[1],
+            b,
             cfg.tokens,
             cfg.model.patch**2 * cfg.model.in_channels,
             jnp.float32,
         )
-        latents = self._sample(self.params, txt, latents)
+        latents = self._sample(self.params, txt, id_states, latents)
         if decode is None:
             decode = self._decode is not None
         if decode:

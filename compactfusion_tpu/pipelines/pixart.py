@@ -123,7 +123,11 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
     attn = _attn_impl(cfg, method)
     p = cfg.parallel
     hp, wp = cfg.grid
-    pos_full = cm.sincos_pos_embed_2d(cfg.model.dim, hp, wp)
+    pos_full = cm.sincos_pos_embed_2d(
+        cfg.model.dim, hp, wp,
+        base_size=cfg.model.base_size,
+        interpolation_scale=cfg.model.interpolation_scale,
+    )
 
     use_cache = cfg.cache.mode != "none"
     cache_cfg = dataclasses.replace(

@@ -59,7 +59,11 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
     assert p.sp_degree == 1, "patch mode shards tokens by patch, not by SP"
     sched = ddpm_schedule(cfg.num_steps)
     hp, wp = cfg.grid
-    pos_full = cm.sincos_pos_embed_2d(mcfg.dim, hp, wp)
+    pos_full = cm.sincos_pos_embed_2d(
+        mcfg.dim, hp, wp,
+        base_size=mcfg.base_size,
+        interpolation_scale=mcfg.interpolation_scale,
+    )
     S = cfg.tokens
     assert S % M == 0
     s_patch = S // M

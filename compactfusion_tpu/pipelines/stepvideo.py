@@ -1,15 +1,18 @@
-"""Stable Diffusion 3 text-to-image pipeline.
+"""Step-Video-T2V pipeline: full-TP 30B video DiT, flow-match sampling.
 
-TPU-native analog of ``xfuser/model_executor/pipelines/
-pipeline_stable_diffusion_3.py`` (820 LoC): SPMD denoise loop with true CFG
-(batch-doubled locally or split over the cfg mesh axis), static-shift
-flow-match Euler, optional compressed ring.
+TPU-native analog of the reference's bespoke Step-Video runner
+(``xfuser/model_executor/models/customized/step_video_t2v/`` ~1.1k LoC +
+its example): the entire transformer is tensor-parallel
+(``stepvideo_param_specs`` shards attention heads column-wise and FFN
+Megatron-style, reference ``tp_applicator.py:7-62``), composing with
+dp/cfg and sequence parallelism (ulysses/ring via the attention strategy,
+CompactFusion-compressed when enabled).  Sampling is flow-match Euler
+(Step-Video's native scheduler).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -25,10 +28,13 @@ from compactfusion_tpu.models.attn_impl import (
     SingleDeviceAttn,
     USPAttn,
 )
-from compactfusion_tpu.models.sd3 import SD3Config, sd3_forward
-from compactfusion_tpu.models.vae import VAEConfig, vae_decode
-from compactfusion_tpu.parallel.mesh import AXIS_DP, AXIS_TP
-from compactfusion_tpu.parallel.tp import tp_param_specs
+from compactfusion_tpu.models.cogvideox import video_positions
+from compactfusion_tpu.models.stepvideo import (
+    StepVideoConfig,
+    stepvideo_forward,
+    stepvideo_param_specs,
+)
+from compactfusion_tpu.parallel.mesh import AXIS_TP
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.flow_match import (
     flow_match_schedule,
@@ -37,32 +43,39 @@ from compactfusion_tpu.schedulers.flow_match import (
 
 
 @dataclasses.dataclass(frozen=True)
-class SD3PipelineConfig:
-    model: SD3Config
-    vae: VAEConfig
+class StepVideoPipelineConfig:
+    model: StepVideoConfig
     parallel: ParallelConfig = ParallelConfig()
     compact: CompactConfig = CompactConfig()
-    num_steps: int = 28
-    guidance_scale: float = 7.0
-    shift: float = 3.0
-    height: int = 1024
-    width: int = 1024
+    num_steps: int = 50
+    guidance_scale: float = 9.0
+    shift: float = 13.0  # Step-Video's large flow-match time shift
+    height: int = 544
+    width: int = 992
+    num_frames: int = 204  # pixel frames; latent frames = n // 17 * 3
 
     @property
-    def grid(self) -> Tuple[int, int]:
-        return self.height // 8 // self.model.patch, self.width // 8 // self.model.patch
+    def latent_frames(self) -> int:
+        # Step-Video VAE: 8x temporal compression (17 frames -> 3 latents)
+        return max(1, self.num_frames // 17 * 3)
+
+    @property
+    def grid(self) -> Tuple[int, int, int]:
+        hp = self.height // 16 // self.model.patch
+        wp = self.width // 16 // self.model.patch
+        return self.latent_frames, hp, wp
 
     @property
     def tokens(self) -> int:
-        hp, wp = self.grid
-        return hp * wp
+        f, hp, wp = self.grid
+        return f * hp * wp
 
     @property
     def do_cfg(self) -> bool:
         return self.guidance_scale > 1.0
 
 
-def _attn_impl(cfg: SD3PipelineConfig, method: Optional[CompressType]):
+def _attn_impl(cfg: StepVideoPipelineConfig, method: Optional[CompressType]):
     p = cfg.parallel
     if cfg.compact.enabled:
         return CompactUSPAttn(
@@ -74,18 +87,17 @@ def _attn_impl(cfg: SD3PipelineConfig, method: Optional[CompressType]):
     return SingleDeviceAttn()
 
 
-def build_sample_fn(cfg: SD3PipelineConfig, mesh: Mesh, params_tree=None):
-    """``sample(params, txt, pooled, latents0) -> latents``.
+def build_sample_fn(cfg: StepVideoPipelineConfig, mesh: Mesh, params_tree=None):
+    """``sample(params, txt, latents0) -> latents``.
 
-    txt: (2, B, S_txt, text_dim) [cond, uncond]; pooled: (2, B, pooled_dim);
-    latents0: (B, S_tokens, p*p*C).
+    txt: (2, B, S_txt, text_dim) [cond, uncond]; latents0: (B, S, C).
     """
     p = cfg.parallel
     mcfg = cfg.model
-    hp, wp = cfg.grid
+    f, hp, wp = cfg.grid
     sched = flow_match_schedule(cfg.num_steps, shift=cfg.shift)
-    pos_full = cm.cropped_pos_embed_2d(
-        mcfg.dim, hp, wp, mcfg.pos_embed_max_size, mcfg.base_size
+    cos_full, sin_full = cm.rope_frequencies(
+        video_positions(f, hp, wp), mcfg.axes_dim
     )
 
     schedule = [
@@ -99,31 +111,33 @@ def build_sample_fn(cfg: SD3PipelineConfig, mesh: Mesh, params_tree=None):
         else:
             segments.append((m, [s]))
 
-    def spmd(params, txt, pooled, latents):
+    def spmd(params, txt, latents):
         if cfg.do_cfg and p.cfg_degree == 2:
-            txt, pooled = txt[0], pooled[0]
+            txt = txt[0]
         elif cfg.do_cfg:
             txt = jnp.concatenate([txt[0], txt[1]], axis=0)
-            pooled = jnp.concatenate([pooled[0], pooled[1]], axis=0)
         else:
-            txt, pooled = txt[0], pooled[0]
+            txt = txt[0]
 
         b_local = latents.shape[0]
-        n_model_batch = 2 * b_local if (cfg.do_cfg and p.cfg_degree == 1) else b_local
+        n_model_batch = (
+            2 * b_local if (cfg.do_cfg and p.cfg_degree == 1) else b_local
+        )
         s_local = cfg.tokens // p.sp_degree
-        pos_local = (
-            base.slice_local_tokens(pos_full, p.ulysses_degree, p.ring_degree)
-            if p.sp_degree > 1
-            else pos_full
+        h_local = mcfg.heads // (p.tp_degree * p.ulysses_degree)
+        rope = (
+            base.slice_local_tokens(cos_full, p.ulysses_degree, p.ring_degree)
+            if p.sp_degree > 1 else cos_full,
+            base.slice_local_tokens(sin_full, p.ulysses_degree, p.ring_degree)
+            if p.sp_degree > 1 else sin_full,
         )
 
         carry = (latents, None)
         for method, steps in segments:
             attn = _attn_impl(cfg, method)
-            # image-kv ring state; the text joint kv is not ring-exchanged
             st = attn.init_state(
-                mcfg.depth, n_model_batch, s_local, mcfg.heads, mcfg.head_dim,
-                jnp.float32,
+                mcfg.depth, n_model_batch, s_local,
+                h_local * p.ulysses_degree, mcfg.head_dim, jnp.float32,
             )
             if carry[1] is not None and jax.tree_util.tree_leaves(carry[1]):
                 st = carry[1]
@@ -135,17 +149,17 @@ def build_sample_fn(cfg: SD3PipelineConfig, mesh: Mesh, params_tree=None):
                 x = latents
                 if cfg.do_cfg and p.cfg_degree == 1:
                     x = jnp.concatenate([latents, latents], axis=0)
-                v, st = sd3_forward(
+                v, st = stepvideo_forward(
                     params,
                     x.astype(mcfg.dtype),
                     txt.astype(mcfg.dtype),
-                    pooled,
                     t,
                     mcfg,
-                    pos_embed=pos_local,
+                    video_rope=rope,
                     attn=_attn,
                     attn_state=st,
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
+                    tp_size=p.tp_degree,
                 )
                 if cfg.do_cfg:
                     v = base.cfg_combine(v, cfg.guidance_scale, p.cfg_degree)
@@ -155,47 +169,31 @@ def build_sample_fn(cfg: SD3PipelineConfig, mesh: Mesh, params_tree=None):
             carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
         return carry[0]
 
-    if p.tp_degree > 1:
-        assert params_tree is not None, "TP needs the param tree for specs"
-        param_specs = tp_param_specs(params_tree)
-    else:
-        param_specs = P()
-    in_specs = (param_specs, base.TEXT_SPEC, base.TEXT_SPEC, base.LATENT_SPEC)
+    param_specs = (
+        stepvideo_param_specs(mcfg) if p.tp_degree > 1 else P()
+    )
     fn = jax.shard_map(
-        spmd, mesh=mesh, in_specs=in_specs, out_specs=base.LATENT_SPEC,
+        spmd,
+        mesh=mesh,
+        in_specs=(param_specs, base.TEXT_SPEC, base.LATENT_SPEC),
+        out_specs=base.LATENT_SPEC,
         check_vma=False,
     )
     return jax.jit(fn)
 
 
-def decode_latents(vae_params, latent_tokens, cfg: SD3PipelineConfig):
-    hp, wp = cfg.grid
-    lat = cm.unpatchify(latent_tokens, cfg.model.patch, hp, wp, cfg.model.in_channels)
-    img = vae_decode(vae_params, lat, cfg.vae)
-    return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+class StepVideoPipeline:
+    """User-facing pipeline (the reference's step_video_t2v runner)."""
 
-
-class SD3Pipeline:
-    """User-facing pipeline (the reference's ``xFuserStableDiffusion3Pipeline``)."""
-
-    def __init__(self, params, vae_params, cfg: SD3PipelineConfig, mesh: Mesh):
+    def __init__(self, params, cfg: StepVideoPipelineConfig, mesh: Mesh):
         self.params = params
-        self.vae_params = vae_params
         self.cfg = cfg
         self.mesh = mesh
         self._sample = build_sample_fn(cfg, mesh, params)
-        self._decode = jax.jit(functools.partial(decode_latents, cfg=cfg))
 
-    def __call__(self, txt, pooled, key, decode: bool = True):
+    def __call__(self, txt, key):
         cfg = self.cfg
         latents = base.prepare_latents(
-            key,
-            txt.shape[1],
-            cfg.tokens,
-            cfg.model.patch**2 * cfg.model.in_channels,
-            jnp.float32,
+            key, txt.shape[1], cfg.tokens, cfg.model.in_channels, jnp.float32
         )
-        latents = self._sample(self.params, txt, pooled, latents)
-        if not decode:
-            return latents
-        return self._decode(self.vae_params, latents)
+        return self._sample(self.params, txt, latents)

@@ -1,0 +1,234 @@
+"""Ground-truth numerical parity of the DiT backbones + VAE vs torch.
+
+diffusers is not installed here, so the oracle is ``tests/torch_ref.py`` —
+independent torch re-implementations of the diffusers modules with the real
+state-dict naming.  Each test: random torch model (fp32) -> state_dict ->
+``io/hf.py`` converter -> JAX forward must match the torch forward.  This
+validates the model math AND the checkpoint converters end-to-end, the same
+way ``test_encoder_parity.py`` does for T5/CLIP against transformers.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from compactfusion_tpu.io import hf
+from compactfusion_tpu.models import common as cm
+
+torch = pytest.importorskip("torch")
+
+from tests import torch_ref  # noqa: E402
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+
+def _state(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# PixArt
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("interp", [1.0, 2.0])
+def test_pixart_matches_torch(interp):
+    from compactfusion_tpu.models.pixart import PixArtConfig, pixart_forward
+
+    torch.manual_seed(0)
+    ref = torch_ref.PixArtRef(
+        dim=64, depth=2, heads=4, patch=2, in_channels=4, out_channels=8,
+        text_dim=32, sample_size=8, interpolation_scale=interp,
+    ).eval()
+    cfg = PixArtConfig(
+        dim=64, depth=2, heads=4, text_dim=32, sample_size=8,
+        interpolation_scale=interp, dtype=jnp.float32,
+    )
+    params = hf.convert_pixart(_state(ref), cfg)
+
+    rng = np.random.default_rng(1)
+    lat = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    t = np.array([37.0, 551.0], np.float32)
+    text = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    mask = np.array([[1, 1, 1, 1, 0, 0], [1, 1, 0, 0, 0, 0]], bool)
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(lat), torch.tensor(t), torch.tensor(text),
+            text_mask=torch.tensor(mask),
+        ).numpy()
+
+    hp = wp = 4
+    pos = cm.sincos_pos_embed_2d(
+        cfg.dim, hp, wp, base_size=cfg.base_size,
+        interpolation_scale=cfg.interpolation_scale,
+    )
+    x_tokens = cm.patchify(jnp.asarray(lat).transpose(0, 2, 3, 1), cfg.patch)
+    out, _ = pixart_forward(
+        params, x_tokens, jnp.asarray(t), jnp.asarray(text), cfg,
+        pos_embed=pos, text_mask=jnp.asarray(mask),
+    )
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
+
+
+# ---------------------------------------------------------------------------
+# FLUX
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("guidance", [True, False])
+def test_flux_matches_torch(guidance):
+    from compactfusion_tpu.models.flux import (
+        FluxConfig,
+        flux_forward,
+        flux_image_positions,
+    )
+
+    torch.manual_seed(2)
+    ref = torch_ref.FluxRef(
+        dim=64, double_layers=2, single_layers=2, heads=4, in_channels=16,
+        text_dim=32, pooled_dim=16, axes_dim=(4, 6, 6), guidance=guidance,
+    ).eval()
+    cfg = FluxConfig(
+        dim=64, double_layers=2, single_layers=2, heads=4, in_channels=16,
+        text_dim=32, pooled_dim=16, axes_dim=(4, 6, 6),
+        guidance_embeds=guidance, dtype=jnp.float32,
+    )
+    params = hf.convert_flux(_state(ref), cfg)
+
+    rng = np.random.default_rng(3)
+    hp = wp = 4
+    img = rng.standard_normal((2, hp * wp, 16)).astype(np.float32)
+    txt = rng.standard_normal((2, 5, 32)).astype(np.float32)
+    pooled = rng.standard_normal((2, 16)).astype(np.float32)
+    t = np.array([311.0, 820.0], np.float32)
+    g = np.array([3500.0, 3500.0], np.float32) if guidance else None
+
+    img_pos = flux_image_positions(hp, wp)
+    txt_pos = jnp.zeros((5, 3), jnp.int32)
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(img), torch.tensor(txt), torch.tensor(pooled),
+            torch.tensor(t),
+            torch.tensor(g) if guidance else None,
+            torch.tensor(np.asarray(img_pos)),
+            torch.tensor(np.asarray(txt_pos)),
+        ).numpy()
+
+    out, _, _ = flux_forward(
+        params, jnp.asarray(img), jnp.asarray(txt), jnp.asarray(pooled),
+        jnp.asarray(t), jnp.asarray(g) if guidance else None, cfg,
+        img_rope=cm.rope_frequencies(img_pos, cfg.axes_dim),
+        txt_rope=cm.rope_frequencies(txt_pos, cfg.axes_dim),
+    )
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
+
+
+# ---------------------------------------------------------------------------
+# SD3 (incl. the context_pre_only final block of real checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def test_sd3_matches_torch():
+    from compactfusion_tpu.models.sd3 import sd3_tiny, sd3_forward
+    import dataclasses
+
+    torch.manual_seed(4)
+    ref = torch_ref.SD3Ref(
+        dim=64, depth=3, heads=4, patch=2, in_channels=4, text_dim=32,
+        pooled_dim=16, sample_size=8, pos_embed_max_size=16, qk_norm=True,
+    ).eval()
+    cfg = dataclasses.replace(sd3_tiny(), depth=3, dtype=jnp.float32)
+    params = hf.convert_sd3(_state(ref), cfg)
+
+    rng = np.random.default_rng(5)
+    lat = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    t = np.array([99.0, 640.0], np.float32)
+    text = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    pooled = rng.standard_normal((2, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(lat), torch.tensor(t), torch.tensor(text),
+            torch.tensor(pooled),
+        ).numpy()
+
+    hp = wp = 4
+    pos = cm.cropped_pos_embed_2d(
+        cfg.dim, hp, wp, cfg.pos_embed_max_size, cfg.base_size
+    )
+    x_tokens = cm.patchify(jnp.asarray(lat).transpose(0, 2, 3, 1), cfg.patch)
+    out, _ = sd3_forward(
+        params, x_tokens, jnp.asarray(text), jnp.asarray(pooled),
+        jnp.asarray(t), cfg, pos_embed=pos,
+    )
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
+
+
+# ---------------------------------------------------------------------------
+# AutoencoderKL decoder
+# ---------------------------------------------------------------------------
+
+
+def test_vae_decoder_matches_torch():
+    from compactfusion_tpu.models.vae import VAEConfig, vae_decode
+
+    torch.manual_seed(6)
+    ref = torch_ref.VAEDecoderRef(
+        latent_channels=4, out_channels=3, block_out_channels=(8, 16),
+        layers_per_block=1, groups=4,
+    ).eval()
+    cfg = VAEConfig(
+        block_out_channels=(8, 16), norm_num_groups=4, layers_per_block=1,
+        scaling_factor=1.0, dtype=jnp.float32,
+    )
+    params = hf.convert_vae_decoder(_state(ref), cfg)
+
+    rng = np.random.default_rng(7)
+    z = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(z)).numpy()  # (B, 3, H, W)
+
+    out = vae_decode(params, jnp.asarray(z).transpose(0, 2, 3, 1), cfg)
+    assert rel_err(np.transpose(np.asarray(out), (0, 3, 1, 2)), out_ref) < 2e-4
+
+
+# ---------------------------------------------------------------------------
+# AutoencoderKLCogVideoX decoder (causal 3D video VAE)
+# ---------------------------------------------------------------------------
+
+
+def test_vae3d_decoder_matches_torch():
+    from compactfusion_tpu.models.vae3d import VAE3DConfig, vae3d_decode
+
+    torch.manual_seed(8)
+    ref = torch_ref.CogVideoXVAEDecoderRef(
+        latent_channels=4, out_channels=3, block_out_channels=(8, 16),
+        layers_per_block=1, groups=4, temporal_compress_levels=1,
+    ).eval()
+    cfg = VAE3DConfig(
+        latent_channels=4, block_out_channels=(8, 16), layers_per_block=1,
+        norm_num_groups=4, temporal_compress_levels=1, scaling_factor=1.0,
+        dtype=jnp.float32,
+    )
+    params = hf.convert_vae3d_decoder(_state(ref), cfg)
+
+    rng = np.random.default_rng(9)
+    # odd latent frame count, the CogVideoX rule: T_out = (3-1)*2 + 1 = 5
+    z = rng.standard_normal((1, 4, 3, 6, 6)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(z)).numpy()  # (B, 3, T, H, W)
+    assert out_ref.shape == (1, 3, 5, 12, 12)
+
+    out = vae3d_decode(
+        params, jnp.asarray(z).transpose(0, 2, 3, 4, 1), cfg
+    )  # (B, T, H, W, 3)
+    assert out.shape == (1, 5, 12, 12, 3)
+    got = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+    assert rel_err(got, out_ref) < 2e-4, rel_err(got, out_ref)

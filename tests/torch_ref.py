@@ -1,0 +1,967 @@
+"""Independent PyTorch reference models for ground-truth backbone parity.
+
+diffusers is NOT installed in this environment (zero egress), so these are
+faithful re-implementations of the diffusers module math and state-dict
+naming — ``PixArtTransformer2DModel``, ``FluxTransformer2DModel``,
+``SD3Transformer2DModel``, ``AutoencoderKL`` (decoder) — written directly
+from the upstream architecture definitions.  They serve the role the
+reference repo gets from diffusers itself (all model math is delegated
+there, SURVEY.md §2.4): an ORACLE that the JAX models + safetensors
+converters must match numerically.
+
+State-dict keys match the real checkpoints, so ``io/hf.py`` converters
+consume ``ref.state_dict()`` unchanged.  Everything runs fp32/eval.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+# ---------------------------------------------------------------------------
+# shared embedding layers (diffusers.models.embeddings)
+# ---------------------------------------------------------------------------
+
+
+def timesteps_proj(t: torch.Tensor, dim: int = 256,
+                   flip_sin_to_cos: bool = True,
+                   downscale_freq_shift: float = 0.0) -> torch.Tensor:
+    """diffusers ``Timesteps`` / get_timestep_embedding."""
+    half = dim // 2
+    exponent = -math.log(10000) * torch.arange(half, dtype=torch.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = t.float()[:, None] * torch.exp(exponent)[None]
+    emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=-1)
+    if flip_sin_to_cos:
+        emb = torch.cat([emb[:, half:], emb[:, :half]], dim=-1)
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear_1 -> SiLU -> linear_2 (diffusers TimestepEmbedding)."""
+
+    def __init__(self, in_dim: int, dim: int):
+        super().__init__()
+        self.linear_1 = nn.Linear(in_dim, dim)
+        self.linear_2 = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        return self.linear_2(F.silu(self.linear_1(x)))
+
+
+class PixArtAlphaTextProjection(nn.Module):
+    """linear_1 -> act -> linear_2 (act: gelu_tanh or silu)."""
+
+    def __init__(self, in_dim: int, dim: int, act: str = "gelu_tanh"):
+        super().__init__()
+        self.linear_1 = nn.Linear(in_dim, dim)
+        self.linear_2 = nn.Linear(dim, dim)
+        self.act = act
+
+    def forward(self, x):
+        h = self.linear_1(x)
+        h = F.gelu(h, approximate="tanh") if self.act == "gelu_tanh" else F.silu(h)
+        return self.linear_2(h)
+
+
+def get_2d_sincos_pos_embed(
+    dim: int,
+    grid_h: int,
+    grid_w: int,
+    base_size: Optional[int] = None,
+    interpolation_scale: float = 1.0,
+) -> np.ndarray:
+    """diffusers get_2d_sincos_pos_embed: NOTE the first half of the channel
+    dim embeds the COLUMN (w) coordinate (grid[0] of meshgrid(w, h))."""
+    ys = np.arange(grid_h, dtype=np.float64)
+    xs = np.arange(grid_w, dtype=np.float64)
+    if base_size is not None:
+        ys = ys / (grid_h / base_size) / interpolation_scale
+        xs = xs / (grid_w / base_size) / interpolation_scale
+    gx, gy = np.meshgrid(xs, ys)  # each (H, W)
+
+    def embed_1d(pos, d):
+        omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
+        omega = 1.0 / 10000.0**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    return np.concatenate(
+        [embed_1d(gx, dim // 2), embed_1d(gy, dim // 2)], axis=1
+    ).astype(np.float32)
+
+
+class PatchEmbed(nn.Module):
+    """diffusers PatchEmbed: conv proj + flatten + sincos pos table, with
+    optional max-size center-cropping (SD3) or interpolation (PixArt)."""
+
+    def __init__(
+        self,
+        height: int,
+        width: int,
+        patch: int,
+        in_channels: int,
+        dim: int,
+        interpolation_scale: float = 1.0,
+        pos_embed_max_size: Optional[int] = None,
+    ):
+        super().__init__()
+        self.patch = patch
+        self.proj = nn.Conv2d(in_channels, dim, patch, stride=patch)
+        self.base_size = height // patch
+        self.interpolation_scale = interpolation_scale
+        self.pos_embed_max_size = pos_embed_max_size
+        grid = pos_embed_max_size or (height // patch)
+        pe = get_2d_sincos_pos_embed(
+            dim, grid, grid, base_size=self.base_size,
+            interpolation_scale=interpolation_scale,
+        )
+        self.register_buffer(
+            "pos_embed_table",
+            torch.from_numpy(pe).reshape(grid, grid, dim),
+            persistent=False,
+        )
+
+    def forward(self, x):  # (B, C, H, W)
+        hp, wp = x.shape[-2] // self.patch, x.shape[-1] // self.patch
+        x = self.proj(x).flatten(2).transpose(1, 2)  # (B, S, dim) raster
+        if self.pos_embed_max_size is not None:
+            top = (self.pos_embed_max_size - hp) // 2
+            left = (self.pos_embed_max_size - wp) // 2
+            pe = self.pos_embed_table[top : top + hp, left : left + wp]
+        else:
+            pe = self.pos_embed_table[:hp, :wp]
+        return x + pe.reshape(1, hp * wp, -1)
+
+
+class FeedForward(nn.Module):
+    """diffusers FeedForward(activation_fn='gelu-approximate')."""
+
+    def __init__(self, dim: int, mult: int = 4):
+        super().__init__()
+
+        class GELUProj(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Linear(dim, mult * dim)
+
+            def forward(self, x):
+                return F.gelu(self.proj(x), approximate="tanh")
+
+        self.net = nn.ModuleList(
+            [GELUProj(), nn.Identity(), nn.Linear(mult * dim, dim)]
+        )
+
+    def forward(self, x):
+        for m in self.net:
+            x = m(x)
+        return x
+
+
+class RMSNorm(nn.Module):
+    def __init__(self, dim: int, eps: float = 1e-6):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+        self.eps = eps
+
+    def forward(self, x):
+        x32 = x.float()
+        y = x32 * torch.rsqrt(x32.pow(2).mean(-1, keepdim=True) + self.eps)
+        return (y * self.weight.float()).to(x.dtype)
+
+
+class AdaLayerNormZero(nn.Module):
+    """linear(silu(emb)) chunk 6 -> (normed x, gate, shift_mlp, scale_mlp, gate_mlp)."""
+
+    def __init__(self, dim: int):
+        super().__init__()
+        self.linear = nn.Linear(dim, 6 * dim)
+        self.norm = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+
+    def forward(self, x, emb):
+        sh, sc, g, sh_m, sc_m, g_m = self.linear(F.silu(emb)).chunk(6, dim=1)
+        return (
+            self.norm(x) * (1 + sc[:, None]) + sh[:, None],
+            g, sh_m, sc_m, g_m,
+        )
+
+
+class AdaLayerNormZeroSingle(nn.Module):
+    def __init__(self, dim: int):
+        super().__init__()
+        self.linear = nn.Linear(dim, 3 * dim)
+        self.norm = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+
+    def forward(self, x, emb):
+        sh, sc, g = self.linear(F.silu(emb)).chunk(3, dim=1)
+        return self.norm(x) * (1 + sc[:, None]) + sh[:, None], g
+
+
+class AdaLayerNormContinuous(nn.Module):
+    """linear(silu(cond)) chunk 2 -> SCALE first, then shift."""
+
+    def __init__(self, dim: int, cond_dim: int):
+        super().__init__()
+        self.linear = nn.Linear(cond_dim, 2 * dim)
+        self.norm = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+
+    def forward(self, x, emb):
+        scale, shift = self.linear(F.silu(emb)).chunk(2, dim=1)
+        return self.norm(x) * (1 + scale[:, None]) + shift[:, None]
+
+
+def _sdpa(q, k, v):  # (B, H, S, D)
+    return F.scaled_dot_product_attention(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# PixArt
+# ---------------------------------------------------------------------------
+
+
+class _PixArtAttention(nn.Module):
+    def __init__(self, dim: int, heads: int, kv_dim: Optional[int] = None):
+        super().__init__()
+        self.heads = heads
+        kv_dim = kv_dim or dim
+        self.to_q = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(kv_dim, dim)
+        self.to_v = nn.Linear(kv_dim, dim)
+        self.to_out = nn.ModuleList([nn.Linear(dim, dim), nn.Identity()])
+
+    def forward(self, x, context=None, mask=None):
+        context = x if context is None else context
+        b, s, d = x.shape
+        h = self.heads
+        q = self.to_q(x).view(b, s, h, d // h).transpose(1, 2)
+        k = self.to_k(context).view(b, -1, h, d // h).transpose(1, 2)
+        v = self.to_v(context).view(b, -1, h, d // h).transpose(1, 2)
+        if mask is not None:
+            bias = torch.where(
+                mask[:, None, None, :], 0.0, torch.finfo(torch.float32).min
+            )
+            o = F.scaled_dot_product_attention(q, k, v, attn_mask=bias)
+        else:
+            o = _sdpa(q, k, v)
+        o = o.transpose(1, 2).reshape(b, s, d)
+        return self.to_out[0](o)
+
+
+class _PixArtBlock(nn.Module):
+    def __init__(self, dim: int, heads: int):
+        super().__init__()
+        self.scale_shift_table = nn.Parameter(torch.randn(6, dim) / dim**0.5)
+        self.norm1 = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.attn1 = _PixArtAttention(dim, heads)
+        self.attn2 = _PixArtAttention(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.ff = FeedForward(dim)
+
+    def forward(self, x, text, t6, text_mask=None):
+        b = x.shape[0]
+        sh, sc, g, sh_m, sc_m, g_m = (
+            self.scale_shift_table[None] + t6.reshape(b, 6, -1)
+        ).chunk(6, dim=1)
+        xn = self.norm1(x) * (1 + sc) + sh
+        x = x + g * self.attn1(xn)
+        x = x + self.attn2(x, context=text, mask=text_mask)
+        xn = self.norm2(x) * (1 + sc_m) + sh_m
+        return x + g_m * self.ff(xn)
+
+
+class AdaLayerNormSingle(nn.Module):
+    """diffusers AdaLayerNormSingle (no additional conditions)."""
+
+    def __init__(self, dim: int):
+        super().__init__()
+
+        class Emb(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.timestep_embedder = TimestepEmbedding(256, dim)
+
+            def forward(self, t):
+                return self.timestep_embedder(timesteps_proj(t))
+
+        self.emb = Emb()
+        self.linear = nn.Linear(dim, 6 * dim)
+
+    def forward(self, t):
+        emb = self.emb(t)
+        return self.linear(F.silu(emb)), emb
+
+
+class PixArtRef(nn.Module):
+    """PixArtTransformer2DModel equivalent (token-space output)."""
+
+    def __init__(self, dim=64, depth=2, heads=4, patch=2, in_channels=4,
+                 out_channels=8, text_dim=32, sample_size=8,
+                 interpolation_scale=1.0):
+        super().__init__()
+        self.patch = patch
+        self.out_channels = out_channels
+        self.pos_embed = PatchEmbed(
+            sample_size, sample_size, patch, in_channels, dim,
+            interpolation_scale=interpolation_scale,
+        )
+        self.adaln_single = AdaLayerNormSingle(dim)
+        self.caption_projection = PixArtAlphaTextProjection(text_dim, dim)
+        self.transformer_blocks = nn.ModuleList(
+            [_PixArtBlock(dim, heads) for _ in range(depth)]
+        )
+        self.scale_shift_table = nn.Parameter(torch.randn(2, dim) / dim**0.5)
+        self.norm_out = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.proj_out = nn.Linear(dim, patch * patch * out_channels)
+
+    def forward(self, latents, t, text, text_mask=None):
+        """latents (B, C, H, W); t (B,); text (B, S, text_dim)."""
+        x = self.pos_embed(latents)
+        t6, emb = self.adaln_single(t)
+        text = self.caption_projection(text)
+        for blk in self.transformer_blocks:
+            x = blk(x, text, t6, text_mask)
+        shift, scale = (
+            self.scale_shift_table[None] + emb[:, None]
+        ).chunk(2, dim=1)
+        x = self.norm_out(x) * (1 + scale) + shift
+        return self.proj_out(x)  # (B, S, p*p*out_channels)
+
+
+# ---------------------------------------------------------------------------
+# FLUX
+# ---------------------------------------------------------------------------
+
+
+def flux_rope(ids: torch.Tensor, axes_dim: Sequence[int], theta=10000.0):
+    """(S, n_axes) -> (cos, sin) each (S, head_dim) with per-pair duplication
+    (diffusers FluxPosEmbed semantics)."""
+    cos_l, sin_l = [], []
+    for i, d in enumerate(axes_dim):
+        pos = ids[:, i].float()
+        freqs = 1.0 / theta ** (
+            torch.arange(0, d, 2, dtype=torch.float32) / d
+        )
+        ang = pos[:, None] * freqs[None]
+        cos_l.append(torch.cos(ang).repeat_interleave(2, dim=1))
+        sin_l.append(torch.sin(ang).repeat_interleave(2, dim=1))
+    return torch.cat(cos_l, -1), torch.cat(sin_l, -1)
+
+
+def apply_rope_torch(x, cos, sin):
+    """x (B, H, S, D); interleaved-pair rotation (use_real_unbind_dim=-1)."""
+    xr, xi = x.float().reshape(*x.shape[:-1], -1, 2).unbind(-1)
+    rot = torch.stack([-xi, xr], dim=-1).flatten(-2)
+    return (x.float() * cos + rot * sin).to(x.dtype)
+
+
+class _FluxJointAttention(nn.Module):
+    """Double-block attention: text stream projected via add_*_proj, concat
+    order [text, image] (diffusers FluxAttnProcessor2_0)."""
+
+    def __init__(self, dim: int, heads: int):
+        super().__init__()
+        self.heads = heads
+        hd = dim // heads
+        self.to_q = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(dim, dim)
+        self.to_v = nn.Linear(dim, dim)
+        self.add_q_proj = nn.Linear(dim, dim)
+        self.add_k_proj = nn.Linear(dim, dim)
+        self.add_v_proj = nn.Linear(dim, dim)
+        self.norm_q = RMSNorm(hd)
+        self.norm_k = RMSNorm(hd)
+        self.norm_added_q = RMSNorm(hd)
+        self.norm_added_k = RMSNorm(hd)
+        self.to_out = nn.ModuleList([nn.Linear(dim, dim), nn.Identity()])
+        self.to_add_out = nn.Linear(dim, dim)
+
+    def forward(self, img, txt, rope):
+        b, si, d = img.shape
+        st = txt.shape[1]
+        h = self.heads
+
+        def split(x, proj):
+            return proj(x).view(b, -1, h, d // h).transpose(1, 2)
+
+        q = self.norm_q(split(img, self.to_q))
+        k = self.norm_k(split(img, self.to_k))
+        v = split(img, self.to_v)
+        tq = self.norm_added_q(split(txt, self.add_q_proj))
+        tk = self.norm_added_k(split(txt, self.add_k_proj))
+        tv = split(txt, self.add_v_proj)
+        q = torch.cat([tq, q], dim=2)
+        k = torch.cat([tk, k], dim=2)
+        v = torch.cat([tv, v], dim=2)
+        cos, sin = rope
+        q = apply_rope_torch(q, cos, sin)
+        k = apply_rope_torch(k, cos, sin)
+        o = _sdpa(q, k, v).transpose(1, 2).reshape(b, st + si, d)
+        txt_o, img_o = o[:, :st], o[:, st:]
+        return self.to_out[0](img_o), self.to_add_out(txt_o)
+
+
+class _FluxSingleAttention(nn.Module):
+    def __init__(self, dim: int, heads: int):
+        super().__init__()
+        self.heads = heads
+        hd = dim // heads
+        self.to_q = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(dim, dim)
+        self.to_v = nn.Linear(dim, dim)
+        self.norm_q = RMSNorm(hd)
+        self.norm_k = RMSNorm(hd)
+
+    def forward(self, x, rope):
+        b, s, d = x.shape
+        h = self.heads
+        q = self.norm_q(self.to_q(x).view(b, s, h, d // h).transpose(1, 2))
+        k = self.norm_k(self.to_k(x).view(b, s, h, d // h).transpose(1, 2))
+        v = self.to_v(x).view(b, s, h, d // h).transpose(1, 2)
+        cos, sin = rope
+        q = apply_rope_torch(q, cos, sin)
+        k = apply_rope_torch(k, cos, sin)
+        return _sdpa(q, k, v).transpose(1, 2).reshape(b, s, d)
+
+
+class _FluxDoubleBlock(nn.Module):
+    def __init__(self, dim: int, heads: int):
+        super().__init__()
+        self.norm1 = AdaLayerNormZero(dim)
+        self.norm1_context = AdaLayerNormZero(dim)
+        self.attn = _FluxJointAttention(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.norm2_context = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.ff = FeedForward(dim)
+        self.ff_context = FeedForward(dim)
+
+    def forward(self, img, txt, temb, rope):
+        img_n, g, sh_m, sc_m, g_m = self.norm1(img, temb)
+        txt_n, cg, csh_m, csc_m, cg_m = self.norm1_context(txt, temb)
+        img_o, txt_o = self.attn(img_n, txt_n, rope)
+        img = img + g[:, None] * img_o
+        txt = txt + cg[:, None] * txt_o
+        img_n = self.norm2(img) * (1 + sc_m[:, None]) + sh_m[:, None]
+        img = img + g_m[:, None] * self.ff(img_n)
+        txt_n = self.norm2_context(txt) * (1 + csc_m[:, None]) + csh_m[:, None]
+        txt = txt + cg_m[:, None] * self.ff_context(txt_n)
+        return img, txt
+
+
+class _FluxSingleBlock(nn.Module):
+    def __init__(self, dim: int, heads: int, mult: int = 4):
+        super().__init__()
+        self.norm = AdaLayerNormZeroSingle(dim)
+        self.proj_mlp = nn.Linear(dim, mult * dim)
+        self.attn = _FluxSingleAttention(dim, heads)
+        self.proj_out = nn.Linear(dim + mult * dim, dim)
+
+    def forward(self, x, temb, rope):
+        res = x
+        xn, gate = self.norm(x, temb)
+        mlp = F.gelu(self.proj_mlp(xn), approximate="tanh")
+        attn = self.attn(xn, rope)
+        return res + gate[:, None] * self.proj_out(torch.cat([attn, mlp], -1))
+
+
+class FluxTimeTextEmbed(nn.Module):
+    def __init__(self, dim: int, pooled_dim: int, guidance: bool):
+        super().__init__()
+        self.timestep_embedder = TimestepEmbedding(256, dim)
+        self.text_embedder = PixArtAlphaTextProjection(pooled_dim, dim, "silu")
+        if guidance:
+            self.guidance_embedder = TimestepEmbedding(256, dim)
+
+    def forward(self, t, guidance, pooled):
+        emb = self.timestep_embedder(timesteps_proj(t))
+        if guidance is not None:
+            emb = emb + self.guidance_embedder(timesteps_proj(guidance))
+        return emb + self.text_embedder(pooled)
+
+
+class FluxRef(nn.Module):
+    """FluxTransformer2DModel equivalent.  Takes PRE-SCALED timesteps
+    (the diffusers model multiplies by 1000 internally; callers here pass
+    the already-scaled value used by the JAX model)."""
+
+    def __init__(self, dim=64, double_layers=2, single_layers=2, heads=4,
+                 in_channels=16, text_dim=32, pooled_dim=16,
+                 axes_dim=(4, 6, 6), guidance=True):
+        super().__init__()
+        self.axes_dim = axes_dim
+        self.x_embedder = nn.Linear(in_channels, dim)
+        self.context_embedder = nn.Linear(text_dim, dim)
+        self.time_text_embed = FluxTimeTextEmbed(dim, pooled_dim, guidance)
+        self.transformer_blocks = nn.ModuleList(
+            [_FluxDoubleBlock(dim, heads) for _ in range(double_layers)]
+        )
+        self.single_transformer_blocks = nn.ModuleList(
+            [_FluxSingleBlock(dim, heads) for _ in range(single_layers)]
+        )
+        self.norm_out = AdaLayerNormContinuous(dim, dim)
+        self.proj_out = nn.Linear(dim, in_channels)
+
+    def forward(self, img, txt, pooled, t, guidance, img_ids, txt_ids):
+        img = self.x_embedder(img)
+        txt = self.context_embedder(txt)
+        temb = self.time_text_embed(t, guidance, pooled)
+        ids = torch.cat([txt_ids, img_ids], dim=0)
+        rope = flux_rope(ids, self.axes_dim)
+        for blk in self.transformer_blocks:
+            img, txt = blk(img, txt, temb, rope)
+        x = torch.cat([txt, img], dim=1)
+        for blk in self.single_transformer_blocks:
+            x = blk(x, temb, rope)
+        img = x[:, txt.shape[1] :]
+        img = self.norm_out(img, temb)
+        return self.proj_out(img)
+
+
+# ---------------------------------------------------------------------------
+# SD3
+# ---------------------------------------------------------------------------
+
+
+class _SD3JointAttention(nn.Module):
+    """Joint attention, concat order [image, text]; context_pre_only drops
+    the text out-projection (diffusers JointAttnProcessor2_0)."""
+
+    def __init__(self, dim: int, heads: int, qk_norm: bool,
+                 context_pre_only: bool):
+        super().__init__()
+        self.heads = heads
+        self.context_pre_only = context_pre_only
+        hd = dim // heads
+        self.to_q = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(dim, dim)
+        self.to_v = nn.Linear(dim, dim)
+        self.add_q_proj = nn.Linear(dim, dim)
+        self.add_k_proj = nn.Linear(dim, dim)
+        self.add_v_proj = nn.Linear(dim, dim)
+        self.to_out = nn.ModuleList([nn.Linear(dim, dim), nn.Identity()])
+        if not context_pre_only:
+            self.to_add_out = nn.Linear(dim, dim)
+        if qk_norm:
+            self.norm_q = RMSNorm(hd)
+            self.norm_k = RMSNorm(hd)
+            self.norm_added_q = RMSNorm(hd)
+            self.norm_added_k = RMSNorm(hd)
+
+    def forward(self, img, txt):
+        b, si, d = img.shape
+        st = txt.shape[1]
+        h = self.heads
+
+        def split(x, proj):
+            return proj(x).view(b, -1, h, d // h).transpose(1, 2)
+
+        q, k, v = split(img, self.to_q), split(img, self.to_k), split(img, self.to_v)
+        tq = split(txt, self.add_q_proj)
+        tk = split(txt, self.add_k_proj)
+        tv = split(txt, self.add_v_proj)
+        if hasattr(self, "norm_q"):
+            q, k = self.norm_q(q), self.norm_k(k)
+            tq, tk = self.norm_added_q(tq), self.norm_added_k(tk)
+        q = torch.cat([q, tq], dim=2)
+        k = torch.cat([k, tk], dim=2)
+        v = torch.cat([v, tv], dim=2)
+        o = _sdpa(q, k, v).transpose(1, 2).reshape(b, si + st, d)
+        img_o, txt_o = o[:, :si], o[:, si:]
+        img_o = self.to_out[0](img_o)
+        if self.context_pre_only:
+            return img_o, None
+        return img_o, self.to_add_out(txt_o)
+
+
+class _SD3JointBlock(nn.Module):
+    def __init__(self, dim: int, heads: int, qk_norm: bool,
+                 context_pre_only: bool):
+        super().__init__()
+        self.context_pre_only = context_pre_only
+        self.norm1 = AdaLayerNormZero(dim)
+        if context_pre_only:
+            self.norm1_context = AdaLayerNormContinuous(dim, dim)
+        else:
+            self.norm1_context = AdaLayerNormZero(dim)
+        self.attn = _SD3JointAttention(dim, heads, qk_norm, context_pre_only)
+        self.norm2 = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.ff = FeedForward(dim)
+        if not context_pre_only:
+            self.norm2_context = nn.LayerNorm(
+                dim, elementwise_affine=False, eps=1e-6
+            )
+            self.ff_context = FeedForward(dim)
+
+    def forward(self, img, txt, temb):
+        img_n, g, sh_m, sc_m, g_m = self.norm1(img, temb)
+        if self.context_pre_only:
+            txt_n = self.norm1_context(txt, temb)
+        else:
+            txt_n, cg, csh_m, csc_m, cg_m = self.norm1_context(txt, temb)
+        img_o, txt_o = self.attn(img_n, txt_n)
+        img = img + g[:, None] * img_o
+        img_n = self.norm2(img) * (1 + sc_m[:, None]) + sh_m[:, None]
+        img = img + g_m[:, None] * self.ff(img_n)
+        if self.context_pre_only:
+            return img, None
+        txt = txt + cg[:, None] * txt_o
+        txt_n = self.norm2_context(txt) * (1 + csc_m[:, None]) + csh_m[:, None]
+        txt = txt + cg_m[:, None] * self.ff_context(txt_n)
+        return img, txt
+
+
+class SD3TimeTextEmbed(nn.Module):
+    def __init__(self, dim: int, pooled_dim: int):
+        super().__init__()
+        self.timestep_embedder = TimestepEmbedding(256, dim)
+        self.text_embedder = PixArtAlphaTextProjection(pooled_dim, dim, "silu")
+
+    def forward(self, t, pooled):
+        return self.timestep_embedder(timesteps_proj(t)) + self.text_embedder(
+            pooled
+        )
+
+
+class SD3Ref(nn.Module):
+    """SD3Transformer2DModel equivalent (token-space output); the final
+    block is context_pre_only like the real checkpoint."""
+
+    def __init__(self, dim=64, depth=2, heads=4, patch=2, in_channels=4,
+                 text_dim=32, pooled_dim=16, sample_size=8,
+                 pos_embed_max_size=16, qk_norm=True):
+        super().__init__()
+        self.patch = patch
+        self.pos_embed = PatchEmbed(
+            sample_size, sample_size, patch, in_channels, dim,
+            pos_embed_max_size=pos_embed_max_size,
+        )
+        self.time_text_embed = SD3TimeTextEmbed(dim, pooled_dim)
+        self.context_embedder = nn.Linear(text_dim, dim)
+        self.transformer_blocks = nn.ModuleList(
+            [
+                _SD3JointBlock(dim, heads, qk_norm, i == depth - 1)
+                for i in range(depth)
+            ]
+        )
+        self.norm_out = AdaLayerNormContinuous(dim, dim)
+        self.proj_out = nn.Linear(dim, patch * patch * in_channels)
+
+    def forward(self, latents, t, text, pooled):
+        x = self.pos_embed(latents)
+        temb = self.time_text_embed(t, pooled)
+        txt = self.context_embedder(text)
+        for blk in self.transformer_blocks:
+            x, txt = blk(x, txt, temb)
+        x = self.norm_out(x, temb)
+        return self.proj_out(x)
+
+
+# ---------------------------------------------------------------------------
+# AutoencoderKL decoder
+# ---------------------------------------------------------------------------
+
+
+class _VAEResnet(nn.Module):
+    def __init__(self, c_in: int, c_out: int, groups: int):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(groups, c_in, eps=1e-6)
+        self.conv1 = nn.Conv2d(c_in, c_out, 3, padding=1)
+        self.norm2 = nn.GroupNorm(groups, c_out, eps=1e-6)
+        self.conv2 = nn.Conv2d(c_out, c_out, 3, padding=1)
+        if c_in != c_out:
+            self.conv_shortcut = nn.Conv2d(c_in, c_out, 1)
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if hasattr(self, "conv_shortcut"):
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class _VAEAttention(nn.Module):
+    """Single-head attention with GroupNorm + residual (diffusers Attention
+    as used in the VAE mid block)."""
+
+    def __init__(self, c: int, groups: int):
+        super().__init__()
+        self.group_norm = nn.GroupNorm(groups, c, eps=1e-6)
+        self.to_q = nn.Linear(c, c)
+        self.to_k = nn.Linear(c, c)
+        self.to_v = nn.Linear(c, c)
+        self.to_out = nn.ModuleList([nn.Linear(c, c), nn.Identity()])
+
+    def forward(self, x):  # (B, C, H, W)
+        b, c, hh, ww = x.shape
+        y = self.group_norm(x).flatten(2).transpose(1, 2)  # (B, S, C)
+        q = self.to_q(y)[:, None]
+        k = self.to_k(y)[:, None]
+        v = self.to_v(y)[:, None]
+        o = _sdpa(q, k, v)[:, 0]
+        o = self.to_out[0](o).transpose(1, 2).reshape(b, c, hh, ww)
+        return x + o
+
+
+class _VAEMid(nn.Module):
+    def __init__(self, c: int, groups: int):
+        super().__init__()
+        self.resnets = nn.ModuleList(
+            [_VAEResnet(c, c, groups), _VAEResnet(c, c, groups)]
+        )
+        self.attentions = nn.ModuleList([_VAEAttention(c, groups)])
+
+    def forward(self, x):
+        x = self.resnets[0](x)
+        x = self.attentions[0](x)
+        return self.resnets[1](x)
+
+
+class _VAEUpBlock(nn.Module):
+    def __init__(self, c_in: int, c_out: int, layers: int, groups: int,
+                 upsample: bool):
+        super().__init__()
+        res = []
+        for i in range(layers + 1):
+            res.append(_VAEResnet(c_in if i == 0 else c_out, c_out, groups))
+        self.resnets = nn.ModuleList(res)
+        if upsample:
+
+            class Up(nn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.conv = nn.Conv2d(c_out, c_out, 3, padding=1)
+
+                def forward(self, x):
+                    return self.conv(
+                        F.interpolate(x, scale_factor=2.0, mode="nearest")
+                    )
+
+            self.upsamplers = nn.ModuleList([Up()])
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if hasattr(self, "upsamplers"):
+            x = self.upsamplers[0](x)
+        return x
+
+
+class VAEDecoderRef(nn.Module):
+    """AutoencoderKL post_quant_conv + Decoder equivalent."""
+
+    def __init__(self, latent_channels=4, out_channels=3,
+                 block_out_channels=(8, 16), layers_per_block=1, groups=4):
+        super().__init__()
+
+        class Decoder(nn.Module):
+            def __init__(self):
+                super().__init__()
+                chans = list(reversed(block_out_channels))
+                self.conv_in = nn.Conv2d(latent_channels, chans[0], 3, padding=1)
+                self.mid_block = _VAEMid(chans[0], groups)
+                ups = []
+                c_prev = chans[0]
+                for i, c in enumerate(chans):
+                    ups.append(
+                        _VAEUpBlock(
+                            c_prev, c, layers_per_block, groups,
+                            upsample=i < len(chans) - 1,
+                        )
+                    )
+                    c_prev = c
+                self.up_blocks = nn.ModuleList(ups)
+                self.conv_norm_out = nn.GroupNorm(groups, chans[-1], eps=1e-6)
+                self.conv_out = nn.Conv2d(chans[-1], out_channels, 3, padding=1)
+
+            def forward(self, z):
+                x = self.conv_in(z)
+                x = self.mid_block(x)
+                for up in self.up_blocks:
+                    x = up(x)
+                return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+        self.post_quant_conv = nn.Conv2d(latent_channels, latent_channels, 1)
+        self.decoder = Decoder()
+
+    def forward(self, z):
+        return self.decoder(self.post_quant_conv(z))
+
+
+# ---------------------------------------------------------------------------
+# AutoencoderKLCogVideoX decoder (causal 3D video VAE)
+# ---------------------------------------------------------------------------
+
+
+class _CausalConv3d(nn.Module):
+    """CogVideoXCausalConv3d: first-frame-replicate temporal pad + zero
+    spatial pad; the conv itself lives under ``.conv``."""
+
+    def __init__(self, c_in: int, c_out: int, k: int = 3):
+        super().__init__()
+        self.k = k
+        self.conv = nn.Conv3d(c_in, c_out, k)
+
+    def forward(self, x):  # (B, C, T, H, W)
+        if self.k > 1:
+            front = x[:, :, :1].repeat(1, 1, self.k - 1, 1, 1)
+            x = torch.cat([front, x], dim=2)
+            p = (self.k - 1) // 2
+            x = F.pad(x, (p, p, p, p))  # W, H zero pad
+        return self.conv(x)
+
+
+class _SpatialNorm3D(nn.Module):
+    """CogVideoXSpatialNorm3D: groupnorm(f) * conv_y(zq) + conv_b(zq)."""
+
+    def __init__(self, c: int, zq_c: int, groups: int):
+        super().__init__()
+        self.norm_layer = nn.GroupNorm(groups, c, eps=1e-6)
+        self.conv_y = nn.Conv3d(zq_c, c, 1)
+        self.conv_b = nn.Conv3d(zq_c, c, 1)
+
+    def forward(self, f, zq):
+        if f.shape[2] > 1 and f.shape[2] % 2 == 1:
+            zf, zr = zq[:, :, :1], zq[:, :, 1:]
+            zf = F.interpolate(zf, size=(1,) + f.shape[-2:])
+            zr = F.interpolate(zr, size=(f.shape[2] - 1,) + f.shape[-2:])
+            zq = torch.cat([zf, zr], dim=2)
+        else:
+            zq = F.interpolate(zq, size=f.shape[-3:])
+        return self.norm_layer(f) * self.conv_y(zq) + self.conv_b(zq)
+
+
+class _CogResnet3D(nn.Module):
+    def __init__(self, c_in: int, c_out: int, zq_c: int, groups: int):
+        super().__init__()
+        self.norm1 = _SpatialNorm3D(c_in, zq_c, groups)
+        self.conv1 = _CausalConv3d(c_in, c_out)
+        self.norm2 = _SpatialNorm3D(c_out, zq_c, groups)
+        self.conv2 = _CausalConv3d(c_out, c_out)
+        if c_in != c_out:
+            self.conv_shortcut = nn.Conv3d(c_in, c_out, 1)
+
+    def forward(self, x, zq):
+        h = self.conv1(F.silu(self.norm1(x, zq)))
+        h = self.conv2(F.silu(self.norm2(h, zq)))
+        if hasattr(self, "conv_shortcut"):
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class _CogUpsample3D(nn.Module):
+    """CogVideoXUpsample3D: nearest 2x; compress_time keeps frame 0
+    un-doubled when T is odd; PLAIN (non-causal) conv."""
+
+    def __init__(self, c: int, compress_time: bool):
+        super().__init__()
+        self.compress_time = compress_time
+        self.conv = nn.Conv3d(c, c, 3, padding=1)
+
+    def forward(self, x):
+        if self.compress_time:
+            if x.shape[2] > 1 and x.shape[2] % 2 == 1:
+                first, rest = x[:, :, :1], x[:, :, 1:]
+                first = F.interpolate(
+                    first.squeeze(2), scale_factor=2.0
+                ).unsqueeze(2)
+                rest = F.interpolate(rest, scale_factor=2.0)
+                x = torch.cat([first, rest], dim=2)
+            elif x.shape[2] > 1:
+                x = F.interpolate(x, scale_factor=2.0)
+            else:
+                x = F.interpolate(x.squeeze(2), scale_factor=2.0).unsqueeze(2)
+        else:
+            b, c, t, h, w = x.shape
+            x = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+            x = F.interpolate(x, scale_factor=2.0)
+            x = x.reshape(b, t, c, 2 * h, 2 * w).permute(0, 2, 1, 3, 4)
+        return self.conv(x)
+
+
+class CogVideoXVAEDecoderRef(nn.Module):
+    """AutoencoderKLCogVideoX decoder equivalent (takes UNscaled z)."""
+
+    def __init__(self, latent_channels=4, out_channels=3,
+                 block_out_channels=(8, 16), layers_per_block=1, groups=4,
+                 temporal_compress_levels=1):
+        super().__init__()
+
+        class Mid(nn.Module):
+            def __init__(self, c):
+                super().__init__()
+                self.resnets = nn.ModuleList(
+                    [
+                        _CogResnet3D(c, c, latent_channels, groups),
+                        _CogResnet3D(c, c, latent_channels, groups),
+                    ]
+                )
+
+            def forward(self, x, zq):
+                for r in self.resnets:
+                    x = r(x, zq)
+                return x
+
+        class UpBlock(nn.Module):
+            def __init__(self, c_in, c_out, upsample, compress_time):
+                super().__init__()
+                res = []
+                for i in range(layers_per_block + 1):
+                    res.append(
+                        _CogResnet3D(
+                            c_in if i == 0 else c_out, c_out,
+                            latent_channels, groups,
+                        )
+                    )
+                self.resnets = nn.ModuleList(res)
+                if upsample:
+                    self.upsamplers = nn.ModuleList(
+                        [_CogUpsample3D(c_out, compress_time)]
+                    )
+
+            def forward(self, x, zq):
+                for r in self.resnets:
+                    x = r(x, zq)
+                if hasattr(self, "upsamplers"):
+                    x = self.upsamplers[0](x)
+                return x
+
+        class Decoder(nn.Module):
+            def __init__(self):
+                super().__init__()
+                chans = list(reversed(block_out_channels))
+                self.conv_in = _CausalConv3d(latent_channels, chans[0])
+                self.mid_block = Mid(chans[0])
+                ups = []
+                c_prev = chans[0]
+                for i, c in enumerate(chans):
+                    ups.append(
+                        UpBlock(
+                            c_prev, c,
+                            upsample=i < len(chans) - 1,
+                            compress_time=i < temporal_compress_levels,
+                        )
+                    )
+                    c_prev = c
+                self.up_blocks = nn.ModuleList(ups)
+                self.norm_out = _SpatialNorm3D(
+                    chans[-1], latent_channels, groups
+                )
+                self.conv_out = _CausalConv3d(chans[-1], out_channels)
+
+            def forward(self, z):
+                x = self.conv_in(z)
+                x = self.mid_block(x, z)
+                for up in self.up_blocks:
+                    x = up(x, z)
+                x = F.silu(self.norm_out(x, z))
+                return self.conv_out(x)
+
+        self.decoder = Decoder()
+
+    def forward(self, z):  # (B, C, T, H, W)
+        return self.decoder(z)
