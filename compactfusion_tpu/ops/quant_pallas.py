@@ -32,6 +32,19 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+# TPU cores have ~16 MB of VMEM; the quant kernels hold roughly four fp32
+# (block_n, C) buffers at once (x, base, new_base + an intermediate), so cap
+# the row-block to stay well inside the scoped-vmem limit at any C.  At
+# C=3072 (FLUX K/V slabs) this picks 128 rows; small C keeps 256.
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _auto_block_n(c: int, requested: int) -> int:
+    rows = _VMEM_BUDGET_BYTES // (16 * max(c, 1))
+    rows = max(8, (rows // 8) * 8)
+    return min(requested, rows)
+
+
 # ---------------------------------------------------------------------------
 # BINARY (1-bit) fastpath
 # ---------------------------------------------------------------------------
@@ -95,7 +108,7 @@ def binary_quant_fastpath(
     n, c = x.shape
     k = u.shape[1]
     assert c % (8 * 128) == 0 or c % 8 == 0
-    block_n = min(block_n, _round_up(n, 8))
+    block_n = _auto_block_n(c, min(block_n, _round_up(n, 8)))
     n_p = _round_up(n, block_n)
     if n_p != n:
         x = jnp.pad(x, ((0, n_p - n), (0, 0)))
@@ -137,7 +150,7 @@ def binary_dequant_fastpath(
     n, c8 = packed.shape
     c = c8 * 8
     k = u.shape[1]
-    block_n = min(block_n, _round_up(n, 8))
+    block_n = _auto_block_n(c, min(block_n, _round_up(n, 8)))
     n_p = _round_up(n, block_n)
     if n_p != n:
         packed = jnp.pad(packed, ((0, n_p - n), (0, 0)))
@@ -213,7 +226,7 @@ def int2_quant_fastpath(
 ):
     n, c = x.shape
     k = u.shape[1]
-    block_n = min(block_n, _round_up(n, 8))
+    block_n = _auto_block_n(c, min(block_n, _round_up(n, 8)))
     n_p = _round_up(n, block_n)
     if n_p != n:
         x = jnp.pad(x, ((0, n_p - n), (0, 0)))
@@ -248,7 +261,7 @@ def int2_dequant_fastpath(
     n, c4 = packed.shape
     c = c4 * 4
     k = u.shape[1]
-    block_n = min(block_n, _round_up(n, 8))
+    block_n = _auto_block_n(c, min(block_n, _round_up(n, 8)))
     n_p = _round_up(n, block_n)
     if n_p != n:
         packed = jnp.pad(packed, ((0, n_p - n), (0, 0)))
