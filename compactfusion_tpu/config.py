@@ -77,6 +77,15 @@ class CompactConfig:
     patch_gather: bool = False
     #: DistriFusion-style one-step-stale async gather (patch_gather mode).
     patch_async: bool = False
+    #: optional per-(layer, step) policy, the reference's ``compress_func``
+    #: (``compact/utils.py:51``, consulted per-forward at
+    #: ``compact/ring.py:180-181``).  Resolved at TRACE time to a static
+    #: (steps x layers) method table; pipelines compile one scan segment per
+    #: contiguous (step-range, layer-range) method block.  When None, the
+    #: layer-uniform warmup/steady schedule below applies.
+    compress_func: Optional[Callable[[int, int], "CompressType"]] = dataclasses.field(
+        default=None, compare=False
+    )
 
     def __post_init__(self):
         if self.residual not in (0, 1, 2):
@@ -89,13 +98,18 @@ class CompactConfig:
             raise ValueError("comp_rank must be >= 1 or -1 (mean scale)")
 
     def type_at(self, layer: int, step: int) -> CompressType:
-        """Static compression schedule: warmup then steady-state codec."""
-        del layer
+        """Static compression schedule (per layer when compress_func set)."""
         if not self.enabled:
             return CompressType.IDENTITY
+        if self.compress_func is not None:
+            return self.compress_func(layer, step)
         if step < self.warmup_steps:
             return CompressType.WARMUP
         return self.compress_type
+
+    def layer_plan(self, step: int, depth: int) -> Tuple["CompressType", ...]:
+        """The static per-layer method tuple for one denoise step."""
+        return tuple(self.type_at(l, step) for l in range(depth))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -182,30 +182,37 @@ def pixart_forward(
     if text_mask is not None:
         kv_mask = text_mask[:, None, None, :]  # (B,1,1,St) — broadcast in scores
 
-    def block(carry, xs):
-        x = carry
-        p, state = xs
-        table = p["scale_shift_table"][None] + mod6  # (B, 6, d)
-        sh_a, sc_a, g_a, sh_m, sc_m, g_m = [table[:, i][:, None] for i in range(6)]
+    def make_block(attn_impl):
+        def block(carry, xs):
+            x = carry
+            p, state = xs
+            table = p["scale_shift_table"][None] + mod6  # (B, 6, d)
+            sh_a, sc_a, g_a, sh_m, sc_m, g_m = [
+                table[:, i][:, None] for i in range(6)
+            ]
 
-        # self attention (AdaLN-single, reference diffusers BasicTransformerBlock)
-        xn = cm.layernorm({}, x) * (1 + sc_a) + sh_a
-        qkv = cm.linear(p["attn_qkv"], xn)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        o, state = attn(_heads(q, h), _heads(k, h), _heads(v, h), state)
-        x = x + g_a * cm.linear(p["attn_out"], _unheads(o))
+            # self attention (AdaLN-single, diffusers BasicTransformerBlock)
+            xn = cm.layernorm({}, x) * (1 + sc_a) + sh_a
+            qkv = cm.linear(p["attn_qkv"], xn)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            o, state = attn_impl(_heads(q, h), _heads(k, h), _heads(v, h), state)
+            x = x + g_a * cm.linear(p["attn_out"], _unheads(o))
 
-        # cross attention to text (token-parallel: queries local, text replicated)
-        q = cm.linear(p["cross_q"], x)
-        kv = cm.linear(p["cross_kv"], text)
-        k, v = jnp.split(kv, 2, axis=-1)
-        o = _cross_attn(_heads(q, h), _heads(k, h), _heads(v, h), kv_mask)
-        x = x + cm.linear(p["cross_out"], _unheads(o))
+            # cross attention to text (queries local, text replicated)
+            q = cm.linear(p["cross_q"], x)
+            kv = cm.linear(p["cross_kv"], text)
+            k, v = jnp.split(kv, 2, axis=-1)
+            o = _cross_attn(_heads(q, h), _heads(k, h), _heads(v, h), kv_mask)
+            x = x + cm.linear(p["cross_out"], _unheads(o))
 
-        # mlp
-        xn = cm.layernorm({}, x) * (1 + sc_m) + sh_m
-        x = x + g_m * cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
-        return x, state
+            # mlp
+            xn = cm.layernorm({}, x) * (1 + sc_m) + sh_m
+            x = x + g_m * cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
+            return x, state
+
+        return block
+
+    block = make_block(attn if not isinstance(attn, (tuple, list)) else None)
 
     if cache_cfg is not None and cache_cfg.mode != "none":
         # TeaCache / FBCache: run block 0, decide, conditionally skip the rest
@@ -252,6 +259,24 @@ def pixart_forward(
             attn_state,
             pp_stages,
         )
+        new_cache = cache_state
+    elif isinstance(attn, (tuple, list)):
+        # per-layer compression plan: consecutive scans over contiguous
+        # layer segments, one attention strategy (and EF state pytree) each
+        # (reference compress_func(layer, step), compact/utils.py:51)
+        new_state = []
+        l0 = 0
+        for (seg_attn, n_l), seg_state in zip(attn, attn_state):
+            seg_params = jax.tree_util.tree_map(
+                lambda a, _l0=l0, _n=n_l: a[_l0 : _l0 + _n], params["blocks"]
+            )
+            x, st = jax.lax.scan(
+                make_block(seg_attn), x, (seg_params, seg_state)
+            )
+            new_state.append(st)
+            l0 += n_l
+        assert l0 == cfg.depth, "layer segments must cover all blocks"
+        new_state = tuple(new_state)
         new_cache = cache_state
     else:
         x, new_state = jax.lax.scan(block, x, (params["blocks"], attn_state))

@@ -117,10 +117,41 @@ def _attn_impl(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
     return SingleDeviceAttn()
 
 
-def denoise_step_fn(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
-    """Build the per-step body (per-device views inside shard_map)."""
+def layer_plan_segments(plans, depth):
+    """Resolve per-step per-layer plans to a COMMON layer segmentation.
+
+    ``plans``: one per-layer method tuple per step.  Returns (bounds, segs)
+    where bounds are the union of every step's method-run boundaries — using
+    one segmentation for all steps keeps the EF-cache pytree structure
+    identical across step segments so caches carry through (the reference's
+    per-(layer, src) dict does this for free, ``compact/ring.py:184-205``).
+    """
+    bounds = {0, depth}
+    for plan in plans:
+        for l in range(1, depth):
+            if plan[l] != plan[l - 1]:
+                bounds.add(l)
+    edges = sorted(bounds)
+    return tuple(zip(edges[:-1], edges[1:]))
+
+
+def denoise_step_fn(cfg: PixArtPipelineConfig, plan):
+    """Build the per-step body (per-device views inside shard_map).
+
+    ``plan`` is None (compression off), a single CompressType (layer-uniform
+    step), or a tuple of (method, n_layers) segments (per-layer
+    compress_func plans) — the latter compiles one block-scan per segment.
+    """
     sched = ddpm_schedule(cfg.num_steps)
-    attn = _attn_impl(cfg, method)
+    if plan is None or isinstance(plan, CompressType):
+        attn = _attn_impl(cfg, plan)
+    elif len(plan) == 1:
+        attn = _attn_impl(cfg, plan[0][0])
+    else:
+        assert cfg.parallel.pp_degree == 1 and cfg.cache.mode == "none", (
+            "per-layer compression plans compose with SP/CFG/DP only"
+        )
+        attn = tuple((_attn_impl(cfg, m), n) for m, n in plan)
     p = cfg.parallel
     hp, wp = cfg.grid
     pos_full = cm.sincos_pos_embed_2d(
@@ -190,11 +221,25 @@ def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh, params_tree=None):
       latents0: (B, S_tokens, p*p*C) noise tokens.
     """
     p = cfg.parallel
-    schedule = [
-        cfg.compact.type_at(0, s) if cfg.compact.enabled else None
-        for s in range(cfg.num_steps)
-    ]
-    # split into contiguous segments of equal method (warmup | steady)
+    # per-step plan: (method, n_layers) segment tuples when compress_func is
+    # set (shared segmentation across steps), a single method otherwise
+    schedule = []
+    if cfg.compact.enabled and cfg.compact.compress_func is not None:
+        depth = cfg.model.depth
+        plans = [
+            cfg.compact.layer_plan(s, depth) for s in range(cfg.num_steps)
+        ]
+        seg_ranges = layer_plan_segments(plans, depth)
+        for plan in plans:
+            schedule.append(
+                tuple((plan[l0], l1 - l0) for l0, l1 in seg_ranges)
+            )
+    else:
+        for s in range(cfg.num_steps):
+            schedule.append(
+                cfg.compact.type_at(0, s) if cfg.compact.enabled else None
+            )
+    # split into contiguous step segments of equal plan (warmup | steady)
     segments = []
     for s, m in enumerate(schedule):
         if segments and segments[-1][0] == m:
@@ -241,16 +286,31 @@ def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh, params_tree=None):
                 if p.sp_degree > 1
                 else pos_full
             )
-            attn_state = attn.init_state(
-                cfg.model.depth // p.pp_degree,
-                n_model_batch,
-                s_local,
-                cfg.model.heads,
-                cfg.model.head_dim,
-                jnp.float32,
-            )
-            if carry[2] is not None and jax.tree_util.tree_leaves(carry[2]):
-                attn_state = carry[2]  # carry EF caches across segments
+            if isinstance(attn, tuple):
+                attn_state = tuple(
+                    seg_attn.init_state(
+                        n_l, n_model_batch, s_local, cfg.model.heads,
+                        cfg.model.head_dim, jnp.float32,
+                    )
+                    for seg_attn, n_l in attn
+                )
+            else:
+                attn_state = attn.init_state(
+                    cfg.model.depth // p.pp_degree,
+                    n_model_batch,
+                    s_local,
+                    cfg.model.heads,
+                    cfg.model.head_dim,
+                    jnp.float32,
+                )
+            prev = carry[2]
+            if (
+                prev is not None
+                and jax.tree_util.tree_leaves(prev)
+                and jax.tree_util.tree_structure(prev)
+                == jax.tree_util.tree_structure(attn_state)
+            ):
+                attn_state = prev  # carry EF caches across step segments
             carry = (carry[0], carry[1], attn_state, carry[3])
 
             def body(c, i, _step=step_fn, _pos=pos_local):

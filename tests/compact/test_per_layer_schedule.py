@@ -1,0 +1,130 @@
+"""Per-layer compression plans (reference ``compress_func(layer, step)``).
+
+The reference consults a callable per forward (``compact/ring.py:180-181``);
+here it resolves to a static (steps x layer-segments) table and the PixArt
+pipeline compiles one block-scan per contiguous layer segment.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.models.pixart import init_pixart, pixart_tiny
+from compactfusion_tpu.parallel.mesh import make_mesh
+from compactfusion_tpu.pipelines.pixart import (
+    PixArtPipeline,
+    PixArtPipelineConfig,
+    layer_plan_segments,
+)
+from tests.helpers import rel_err, spice_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mcfg = pixart_tiny()
+    params = spice_params(init_pixart(jax.random.PRNGKey(0), mcfg))
+    rng = np.random.default_rng(1)
+    text = jnp.asarray(
+        np.stack(
+            [rng.standard_normal((1, 8, mcfg.text_dim)),
+             np.zeros((1, 8, mcfg.text_dim))]
+        ),
+        jnp.float32,
+    )
+    mask = jnp.ones((2, 1, 8), bool)
+    return mcfg, params, text, mask
+
+
+def _cfg(mcfg, compact, steps=6):
+    return PixArtPipelineConfig(
+        model=mcfg,
+        vae=None,
+        parallel=ParallelConfig(ring_degree=4),
+        compact=compact,
+        num_steps=steps,
+        height=64,
+        width=64,
+    )
+
+
+def test_layer_plan_segments():
+    plans = [
+        (CompressType.WARMUP,) * 4,
+        (CompressType.BINARY,) * 2 + (CompressType.INT2,) * 2,
+    ]
+    assert layer_plan_segments(plans, 4) == ((0, 2), (2, 4))
+    assert layer_plan_segments([plans[0]], 4) == ((0, 4),)
+
+
+def test_uniform_compress_func_matches_builtin_schedule(setup):
+    mcfg, params, text, mask = setup
+    key = jax.random.PRNGKey(2)
+    mesh = make_mesh(ParallelConfig(ring_degree=4))
+
+    base_cfg = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY,
+        warmup_steps=2, residual=1, error_feedback=True,
+    )
+    out_builtin = PixArtPipeline(
+        params, None, _cfg(mcfg, base_cfg), mesh
+    )(text, mask, key, decode=False)
+
+    fn_cfg = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY,
+        warmup_steps=2, residual=1, error_feedback=True,
+        compress_func=lambda layer, step: (
+            CompressType.WARMUP if step < 2 else CompressType.BINARY
+        ),
+    )
+    out_fn = PixArtPipeline(
+        params, None, _cfg(mcfg, fn_cfg), mesh
+    )(text, mask, key, decode=False)
+    np.testing.assert_array_equal(np.asarray(out_builtin), np.asarray(out_fn))
+
+
+def test_per_layer_plan_runs_and_is_between_extremes(setup):
+    """First layer uncompressed (IDENTITY), second layer 1-bit: the error vs
+    the lossless run must sit strictly between all-lossless (0) and
+    all-compressed."""
+    mcfg, params, text, mask = setup
+    key = jax.random.PRNGKey(3)
+    mesh = make_mesh(ParallelConfig(ring_degree=4))
+    mesh1 = make_mesh(ParallelConfig(), devices=jax.devices()[:1])
+
+    ref = PixArtPipeline(
+        params, None,
+        _cfg(mcfg, CompactConfig()).__class__(
+            model=mcfg, vae=None, parallel=ParallelConfig(),
+            num_steps=6, height=64, width=64,
+        ),
+        mesh1,
+    )(text, mask, key, decode=False)
+
+    def plan(methods):
+        return CompactConfig(
+            enabled=True, compress_type=CompressType.BINARY,
+            warmup_steps=1, residual=1, error_feedback=True,
+            compress_func=lambda layer, step: (
+                CompressType.WARMUP if step < 1 else methods[layer]
+            ),
+        )
+
+    out_mixed = PixArtPipeline(
+        params, None,
+        _cfg(mcfg, plan({0: CompressType.IDENTITY, 1: CompressType.BINARY})),
+        mesh,
+    )(text, mask, key, decode=False)
+    out_full = PixArtPipeline(
+        params, None,
+        _cfg(mcfg, plan({0: CompressType.BINARY, 1: CompressType.BINARY})),
+        mesh,
+    )(text, mask, key, decode=False)
+
+    err_mixed = rel_err(out_mixed, ref)
+    err_full = rel_err(out_full, ref)
+    assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
+    assert err_mixed > 1e-6, "mixed plan identical to lossless - test blind"
+    assert err_mixed < err_full, (err_mixed, err_full)
+    assert err_full < 0.3
