@@ -110,7 +110,6 @@ class PatchKVAttn:
         self, q, k, v, state, *, joint_q=None, joint_k=None, joint_v=None,
         joint_strategy="front",
     ):
-        assert joint_q is None
         off = state["offset"]
         kc = jax.lax.dynamic_update_slice(
             state["k_cache"], k.astype(state["k_cache"].dtype), (0, off, 0, 0)
@@ -118,7 +117,15 @@ class PatchKVAttn:
         vc = jax.lax.dynamic_update_slice(
             state["v_cache"], v.astype(state["v_cache"].dtype), (0, off, 0, 0)
         )
-        out = sdpa(q, kc.astype(q.dtype), vc.astype(q.dtype))
+        k_full = kc.astype(q.dtype)
+        v_full = vc.astype(q.dtype)
+        if joint_q is not None:
+            # joint (text) tokens are NOT cached: fresh every patch forward
+            # (reference patched FLUX/SD3 attention — only image K/V ages)
+            q = jnp.concatenate([joint_q, q], axis=1)
+            k_full = jnp.concatenate([joint_k, k_full], axis=1)
+            v_full = jnp.concatenate([joint_v, v_full], axis=1)
+        out = sdpa(q, k_full, v_full)
         return out, {"k_cache": kc, "v_cache": vc, "offset": off}
 
 

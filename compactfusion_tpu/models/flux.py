@@ -171,6 +171,111 @@ def flux_image_positions(hp: int, wp: int) -> jax.Array:
     return jnp.concatenate([jnp.zeros((hp * wp, 1), pos.dtype), pos], axis=-1)
 
 
+def flux_time_embed(params, pooled, t, guidance, cfg: FluxConfig):
+    """Combined timestep + pooled-CLIP (+ guidance) conditioning (B, d)."""
+    temb = cm.timestep_embedder(params["t_embed"], t, 256)
+    temb = temb + cm.mlp_embedder(
+        params["pooled_embed"], pooled.astype(cfg.dtype)
+    )
+    if cfg.guidance_embeds:
+        assert guidance is not None
+        temb = temb + cm.timestep_embedder(params["guidance_embed"], guidance, 256)
+    return temb
+
+
+def flux_double_scan(
+    blocks, img, txt, temb, cfg: FluxConfig, *, img_rope, txt_rope,
+    attn=SingleDeviceAttn(), attn_state=(), tp_axis=None,
+):
+    """Scan the (stacked) MMDiT double blocks: -> (img, txt, new_state)."""
+    h = cfg.heads
+    cos_i, sin_i = img_rope
+    cos_t, sin_t = txt_rope
+
+    def double_block(carry, xs):
+        img, txt = carry
+        p, state = xs
+        i_sh_a, i_sc_a, i_g_a, i_sh_m, i_sc_m, i_g_m = _mod(p["img_mod"], temb, 6)
+        t_sh_a, t_sc_a, t_g_a, t_sh_m, t_sc_m, t_g_m = _mod(p["txt_mod"], temb, 6)
+
+        img_n = cm.layernorm({}, img) * (1 + i_sc_a) + i_sh_a
+        txt_n = cm.layernorm({}, txt) * (1 + t_sc_a) + t_sh_a
+
+        iq, ik, iv = [_heads(x, h) for x in jnp.split(cm.linear(p["img_qkv"], img_n), 3, -1)]
+        tq, tk, tv = [_heads(x, h) for x in jnp.split(cm.linear(p["txt_qkv"], txt_n), 3, -1)]
+        iq, ik = _qk_norm(p["img_q_norm"], p["img_k_norm"], iq, ik)
+        tq, tk = _qk_norm(p["txt_q_norm"], p["txt_k_norm"], tq, tk)
+        iq, ik = cm.apply_rope(iq, cos_i, sin_i), cm.apply_rope(ik, cos_i, sin_i)
+        tq, tk = cm.apply_rope(tq, cos_t, sin_t), cm.apply_rope(tk, cos_t, sin_t)
+
+        o, state = attn(iq, ik, iv, state, joint_q=tq, joint_k=tk, joint_v=tv)
+        s_txt = txt.shape[1]
+        txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
+
+        img = img + i_g_a * cm.linear(p["img_out"], _unheads(img_o))
+        txt = txt + t_g_a * cm.linear(p["txt_out"], _unheads(txt_o))
+
+        img_n = cm.layernorm({}, img) * (1 + i_sc_m) + i_sh_m
+        img = img + i_g_m * cm.ffn(p["img_ffn"], img_n, tp_axis=tp_axis)
+        txt_n = cm.layernorm({}, txt) * (1 + t_sc_m) + t_sh_m
+        txt = txt + t_g_m * cm.ffn(p["txt_ffn"], txt_n, tp_axis=tp_axis)
+        return (img, txt), state
+
+    (img, txt), new_state = jax.lax.scan(
+        double_block, (img, txt), (blocks, attn_state)
+    )
+    return img, txt, new_state
+
+
+def flux_single_scan(
+    blocks, img, txt, temb, cfg: FluxConfig, *, img_rope, txt_rope,
+    attn=SingleDeviceAttn(), attn_state=(), tp_axis=None,
+):
+    """Scan the (stacked) single blocks on the fused stream:
+    -> (img, txt, new_state)."""
+    h = cfg.heads
+    cos_i, sin_i = img_rope
+    cos_t, sin_t = txt_rope
+    s_txt = txt.shape[1]
+
+    def single_block(carry, xs):
+        img, txt = carry
+        p, state = xs
+        sh, sc, g = _mod(p["mod"], temb, 3)
+        x = jnp.concatenate([txt, img], axis=1)
+        xn = cm.layernorm({}, x) * (1 + sc) + sh
+        q, k, v = [_heads(y, h) for y in jnp.split(cm.linear(p["qkv"], xn), 3, -1)]
+        q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k)
+        # joint (text) rows are the first s_txt tokens of the fused stream
+        tq, iq = q[:, :s_txt], q[:, s_txt:]
+        tk, ik = k[:, :s_txt], k[:, s_txt:]
+        tv, iv = v[:, :s_txt], v[:, s_txt:]
+        iq, ik = cm.apply_rope(iq, cos_i, sin_i), cm.apply_rope(ik, cos_i, sin_i)
+        tq, tk = cm.apply_rope(tq, cos_t, sin_t), cm.apply_rope(tk, cos_t, sin_t)
+        o, state = attn(iq, ik, iv, state, joint_q=tq, joint_k=tk, joint_v=tv)
+        attn_out = _unheads(o)
+        # y = [attn_out, gelu(mlp)] @ proj_out, with the mlp half running as
+        # a TP-shardable GELU FFN and the attn half replicated
+        y = cm.linear(p["out_attn"], attn_out) + cm.ffn(
+            p["mlp"], xn, tp_axis=tp_axis
+        )
+        x = x + g * y
+        return (x[:, s_txt:], x[:, :s_txt]), state
+
+    (img, txt), new_state = jax.lax.scan(
+        single_block, (img, txt), (blocks, attn_state)
+    )
+    return img, txt, new_state
+
+
+def flux_head(params, img, temb, cfg: FluxConfig):
+    """AdaLN-Continuous norm_out + proj_out -> velocity tokens."""
+    mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
+    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+    img = cm.layernorm({}, img) * (1 + scale) + shift
+    return cm.linear(params["proj_out"], img)
+
+
 def flux_forward(
     params,
     img: jax.Array,
@@ -206,77 +311,9 @@ def flux_forward(
       (velocity, new_state_double, new_state_single):
         velocity (B, S_img_local, in_channels).
     """
-    h = cfg.heads
     img = cm.linear(params["x_embedder"], img)
     txt = cm.linear(params["context_embedder"], txt)
-
-    temb = cm.timestep_embedder(params["t_embed"], t, 256)
-    temb = temb + cm.mlp_embedder(params["pooled_embed"], pooled.astype(cfg.dtype))
-    if cfg.guidance_embeds:
-        assert guidance is not None
-        temb = temb + cm.timestep_embedder(params["guidance_embed"], guidance, 256)
-
-    cos_i, sin_i = img_rope
-    cos_t, sin_t = txt_rope
-
-    # ---------------- double (MMDiT) blocks ----------------
-    def double_block(carry, xs):
-        img, txt = carry
-        p, state = xs
-        i_sh_a, i_sc_a, i_g_a, i_sh_m, i_sc_m, i_g_m = _mod(p["img_mod"], temb, 6)
-        t_sh_a, t_sc_a, t_g_a, t_sh_m, t_sc_m, t_g_m = _mod(p["txt_mod"], temb, 6)
-
-        img_n = cm.layernorm({}, img) * (1 + i_sc_a) + i_sh_a
-        txt_n = cm.layernorm({}, txt) * (1 + t_sc_a) + t_sh_a
-
-        iq, ik, iv = [_heads(x, h) for x in jnp.split(cm.linear(p["img_qkv"], img_n), 3, -1)]
-        tq, tk, tv = [_heads(x, h) for x in jnp.split(cm.linear(p["txt_qkv"], txt_n), 3, -1)]
-        iq, ik = _qk_norm(p["img_q_norm"], p["img_k_norm"], iq, ik)
-        tq, tk = _qk_norm(p["txt_q_norm"], p["txt_k_norm"], tq, tk)
-        iq, ik = cm.apply_rope(iq, cos_i, sin_i), cm.apply_rope(ik, cos_i, sin_i)
-        tq, tk = cm.apply_rope(tq, cos_t, sin_t), cm.apply_rope(tk, cos_t, sin_t)
-
-        o, state = attn(iq, ik, iv, state, joint_q=tq, joint_k=tk, joint_v=tv)
-        s_txt = txt.shape[1]
-        txt_o, img_o = o[:, :s_txt], o[:, s_txt:]
-
-        img = img + i_g_a * cm.linear(p["img_out"], _unheads(img_o))
-        txt = txt + t_g_a * cm.linear(p["txt_out"], _unheads(txt_o))
-
-        img_n = cm.layernorm({}, img) * (1 + i_sc_m) + i_sh_m
-        img = img + i_g_m * cm.ffn(p["img_ffn"], img_n, tp_axis=tp_axis)
-        txt_n = cm.layernorm({}, txt) * (1 + t_sc_m) + t_sh_m
-        txt = txt + t_g_m * cm.ffn(p["txt_ffn"], txt_n, tp_axis=tp_axis)
-        return (img, txt), state
-
-    # ---------------- single blocks (fused stream) ----------------
-    s_txt = txt.shape[1]
-    cos_c = jnp.concatenate([cos_t, cos_i], axis=0)
-    sin_c = jnp.concatenate([sin_t, sin_i], axis=0)
-
-    def single_block(carry, xs):
-        img, txt = carry
-        p, state = xs
-        sh, sc, g = _mod(p["mod"], temb, 3)
-        x = jnp.concatenate([txt, img], axis=1)
-        xn = cm.layernorm({}, x) * (1 + sc) + sh
-        q, k, v = [_heads(y, h) for y in jnp.split(cm.linear(p["qkv"], xn), 3, -1)]
-        q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k)
-        # joint (text) rows are the first s_txt tokens of the fused stream
-        tq, iq = q[:, :s_txt], q[:, s_txt:]
-        tk, ik = k[:, :s_txt], k[:, s_txt:]
-        tv, iv = v[:, :s_txt], v[:, s_txt:]
-        iq, ik = cm.apply_rope(iq, cos_i, sin_i), cm.apply_rope(ik, cos_i, sin_i)
-        tq, tk = cm.apply_rope(tq, cos_t, sin_t), cm.apply_rope(tk, cos_t, sin_t)
-        o, state = attn(iq, ik, iv, state, joint_q=tq, joint_k=tk, joint_v=tv)
-        attn_out = _unheads(o)
-        # y = [attn_out, gelu(mlp)] @ proj_out, with the mlp half running as
-        # a TP-shardable GELU FFN and the attn half replicated
-        y = cm.linear(p["out_attn"], attn_out) + cm.ffn(
-            p["mlp"], xn, tp_axis=tp_axis
-        )
-        x = x + g * y
-        return (x[:, s_txt:], x[:, :s_txt]), state
+    temb = flux_time_embed(params, pooled, t, guidance, cfg)
 
     if cache_cfg is not None and cache_cfg.mode != "none":
         # TeaCache / FBCache over the whole block stack (reference FLUX
@@ -296,7 +333,11 @@ def flux_forward(
             mod0[:, None, cfg.dim : 2 * cfg.dim],
         )
         probe_in = cm.layernorm({}, img) * (1 + sc0) + sh0
-        (img1, txt1), _ = double_block((img, txt), (p0, ()))
+        img1, txt1, _ = flux_double_scan(
+            jax.tree_util.tree_map(lambda a: a[:1], params["double_blocks"]),
+            img, txt, temb, cfg, img_rope=img_rope, txt_rope=txt_rope,
+            attn=attn, attn_state=(), tp_axis=tp_axis,
+        )
         probe = img1 if cache_cfg.mode == "fbcache" else probe_in
         skip, accum = should_skip(cache_cfg, cache_state, probe)
 
@@ -304,11 +345,15 @@ def flux_forward(
 
         def run_rest(arg):
             img1, txt1 = arg
-            (img2, txt2), _ = jax.lax.scan(
-                double_block, (img1, txt1), (p_rest, ())
+            img2, txt2, _ = flux_double_scan(
+                p_rest, img1, txt1, temb, cfg,
+                img_rope=img_rope, txt_rope=txt_rope,
+                attn=attn, attn_state=(), tp_axis=tp_axis,
             )
-            (img_f, _), _ = jax.lax.scan(
-                single_block, (img2, txt2), (params["single_blocks"], ())
+            img_f, _, _ = flux_single_scan(
+                params["single_blocks"], img2, txt2, temb, cfg,
+                img_rope=img_rope, txt_rope=txt_rope,
+                attn=attn, attn_state=(), tp_axis=tp_axis,
             )
             return img_f, (img_f - img1).astype(cache_state.residual.dtype)
 
@@ -324,22 +369,17 @@ def flux_forward(
             has_prev=jnp.ones((), jnp.int32),
             skips=cache_state.skips + skip.astype(jnp.int32),
         )
-        mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
-        scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
-        img = cm.layernorm({}, img) * (1 + scale) + shift
-        out = cm.linear(params["proj_out"], img)
+        out = flux_head(params, img, temb, cfg)
         return out, attn_state_double, attn_state_single, new_cache
 
-    (img, txt), new_state_double = jax.lax.scan(
-        double_block, (img, txt), (params["double_blocks"], attn_state_double)
+    img, txt, new_state_double = flux_double_scan(
+        params["double_blocks"], img, txt, temb, cfg,
+        img_rope=img_rope, txt_rope=txt_rope,
+        attn=attn, attn_state=attn_state_double, tp_axis=tp_axis,
     )
-
-    (img, txt), new_state_single = jax.lax.scan(
-        single_block, (img, txt), (params["single_blocks"], attn_state_single)
+    img, txt, new_state_single = flux_single_scan(
+        params["single_blocks"], img, txt, temb, cfg,
+        img_rope=img_rope, txt_rope=txt_rope,
+        attn=attn, attn_state=attn_state_single, tp_axis=tp_axis,
     )
-
-    # ---------------- head ----------------
-    mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
-    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
-    img = cm.layernorm({}, img) * (1 + scale) + shift
-    return cm.linear(params["proj_out"], img), new_state_double, new_state_single
+    return flux_head(params, img, temb, cfg), new_state_double, new_state_single

@@ -115,32 +115,10 @@ def _unheads(x):
     return x.reshape(b, s, h * hd)
 
 
-def hunyuandit_forward(
-    params,
-    x: jax.Array,
-    t: jax.Array,
-    text: jax.Array,
-    cfg: HunyuanDiTConfig,
-    *,
-    rope: Tuple[jax.Array, jax.Array],
-    attn=SingleDeviceAttn(),
-    attn_state_down=(),
-    attn_state_up=(),
-    text_mask: Optional[jax.Array] = None,
-    tp_axis: Optional[str] = None,
-    pp_stages: int = 1,
-):
-    """HunyuanDiT denoiser on local token shards.
-
-    x: (B, S_local, p*p*C); text: (B, S_txt, text_dim) replicated;
-    rope: (cos, sin) for the local tokens.
-    Returns (out, new_state_down, new_state_up).
-    """
+def _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis):
+    """One HunyuanDiT block body closure (shared by down/up scans)."""
     h = cfg.heads
     cos, sin = rope
-    x = cm.linear(params["patch_embed"], x)
-    temb = cm.timestep_embedder(params["t_embed"], t, 256)
-    kv_mask = text_mask[:, None, None, :] if text_mask is not None else None
 
     def block_body(p, x, state):
         # AdaLN-shift self attention with RoPE + QK norm
@@ -168,10 +146,81 @@ def hunyuandit_forward(
         x = x + cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
         return x, state
 
+    return block_body
+
+
+def hunyuandit_down_scan(
+    blocks, x, temb, text, cfg, *, rope, attn=SingleDeviceAttn(),
+    attn_state=(), kv_mask=None, tp_axis=None,
+):
+    """Scan the (stacked) down blocks: -> (x, new_state, skip stack)."""
+    body = _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis)
+
     def down(carry, xs):
         p, state = xs
+        x, state = body(p, carry, state)
+        return x, (state, x)  # ys: (state, skip activation)
+
+    x, (new_state, skips) = jax.lax.scan(down, x, (blocks, attn_state))
+    return x, new_state, skips
+
+
+def hunyuandit_up_scan(
+    blocks, x, skips, temb, text, cfg, *, rope, attn=SingleDeviceAttn(),
+    attn_state=(), kv_mask=None, tp_axis=None,
+):
+    """Scan the (stacked) up blocks consuming skips (already in consumption
+    order): -> (x, new_state)."""
+    body = _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis)
+
+    def up(carry, xs):
+        p, state, skip = xs
         x = carry
-        x, state = block_body(p, x, state)
+        cat = jnp.concatenate([x, skip], axis=-1)
+        x = cm.linear(p["skip_proj"], cm.layernorm(p["skip_norm"], cat))
+        x, state = body(p, x, state)
+        return x, state
+
+    x, new_state = jax.lax.scan(up, x, (blocks, attn_state, skips))
+    return x, new_state
+
+
+def hunyuandit_head(params, x, temb, cfg: HunyuanDiTConfig):
+    mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
+    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+    x = cm.layernorm({}, x) * (1 + scale) + shift
+    return cm.linear(params["proj_out"], x)
+
+
+def hunyuandit_forward(
+    params,
+    x: jax.Array,
+    t: jax.Array,
+    text: jax.Array,
+    cfg: HunyuanDiTConfig,
+    *,
+    rope: Tuple[jax.Array, jax.Array],
+    attn=SingleDeviceAttn(),
+    attn_state_down=(),
+    attn_state_up=(),
+    text_mask: Optional[jax.Array] = None,
+    tp_axis: Optional[str] = None,
+    pp_stages: int = 1,
+):
+    """HunyuanDiT denoiser on local token shards.
+
+    x: (B, S_local, p*p*C); text: (B, S_txt, text_dim) replicated;
+    rope: (cos, sin) for the local tokens.
+    Returns (out, new_state_down, new_state_up).
+    """
+    x = cm.linear(params["patch_embed"], x)
+    temb = cm.timestep_embedder(params["t_embed"], t, 256)
+    kv_mask = text_mask[:, None, None, :] if text_mask is not None else None
+    body = _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis)
+
+    def down(carry, xs):
+        p, state = xs
+        x, state = body(p, carry, state)
         return x, (state, x)  # ys: (state, skip activation)
 
     def up(carry, xs):
@@ -179,7 +228,7 @@ def hunyuandit_forward(
         x = carry
         cat = jnp.concatenate([x, skip], axis=-1)
         x = cm.linear(p["skip_proj"], cm.layernorm(p["skip_norm"], cat))
-        x, state = block_body(p, x, state)
+        x, state = body(p, x, state)
         return x, state
 
     if pp_stages > 1:
@@ -229,7 +278,4 @@ def hunyuandit_forward(
             up, x, (params["up_blocks"], attn_state_up, skips_rev)
         )
 
-    mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
-    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
-    x = cm.layernorm({}, x) * (1 + scale) + shift
-    return cm.linear(params["proj_out"], x), state_down, state_up
+    return hunyuandit_head(params, x, temb, cfg), state_down, state_up

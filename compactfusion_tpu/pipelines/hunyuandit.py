@@ -49,6 +49,11 @@ class HunyuanDiTPipelineConfig:
     guidance_scale: float = 5.0
     height: int = 1024
     width: int = 1024
+    #: PipeFusion micro-patches per image (M > 1 with pp_degree > 1 enables
+    #: the patch-pipelined async path with the skip train)
+    num_pipeline_patch: int = 1
+    #: full-sequence synchronous steps before patch mode
+    runtime_warmup_steps: int = 1
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -185,7 +190,16 @@ class HunyuanDiTPipeline:
         self.vae_params = vae_params
         self.cfg = cfg
         self.mesh = mesh
-        self._sample = build_sample_fn(cfg, mesh, params)
+        if cfg.parallel.pp_degree > 1 and cfg.num_pipeline_patch > 1:
+            from compactfusion_tpu.pipelines.hunyuandit_patch_pp import (
+                build_hunyuandit_patch_pp_sample_fn,
+            )
+
+            self._sample = build_hunyuandit_patch_pp_sample_fn(
+                cfg, mesh, params
+            )
+        else:
+            self._sample = build_sample_fn(cfg, mesh, params)
 
     def __call__(self, text, text_mask, key, decode: bool = True):
         cfg = self.cfg

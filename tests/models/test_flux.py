@@ -180,3 +180,62 @@ def test_flux_tp_matches_single_device(tiny):
         txt, pooled, key, decode=False
     )
     assert rel_err(out, ref) < 2e-2
+
+
+def test_flux_patch_pipelined_pipefusion(tiny):
+    """pp=2 stages x M=4 micro-patches over the 2*PS virtual pipeline
+    (reference pipeline_flux.py:555-721 _async_pipeline): stale-KV patches
+    approximate the sync result; must stay close and be sensitive."""
+    import dataclasses as _dc
+
+    mcfg, params = tiny
+    txt, pooled = _inputs(mcfg)
+    key = jax.random.PRNGKey(9)
+    steps = 6
+
+    cfg1 = _pipe_cfg(mcfg, ParallelConfig(), steps=steps)
+    ref = FluxPipeline(
+        params, None, cfg1, make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key, decode=False)
+
+    cfgP = _dc.replace(
+        _pipe_cfg(mcfg, ParallelConfig(pp_degree=2), steps=steps),
+        num_pipeline_patch=4,
+        runtime_warmup_steps=2,
+    )
+    out = FluxPipeline(params, None, cfgP, make_mesh(cfgP.parallel))(
+        txt, pooled, key, decode=False
+    )
+    err = rel_err(out, ref)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err > 1e-6, "patch pipeline identical to sync - stale KV not exercised"
+    assert err < 0.3, f"patch-pipelined FLUX PipeFusion diverged: {err}"
+
+
+def test_flux_patch_pp_more_warmup_is_closer(tiny):
+    """More sync warmup steps must reduce the stale-KV error (sanity that
+    the pipeline actually switches between sync and patch mode)."""
+    import dataclasses as _dc
+
+    mcfg, params = tiny
+    txt, pooled = _inputs(mcfg)
+    key = jax.random.PRNGKey(10)
+    steps = 6
+
+    cfg1 = _pipe_cfg(mcfg, ParallelConfig(), steps=steps)
+    ref = FluxPipeline(
+        params, None, cfg1, make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key, decode=False)
+
+    errs = []
+    for warm in (1, 5):
+        cfgP = _dc.replace(
+            _pipe_cfg(mcfg, ParallelConfig(pp_degree=2), steps=steps),
+            num_pipeline_patch=4,
+            runtime_warmup_steps=warm,
+        )
+        out = FluxPipeline(params, None, cfgP, make_mesh(cfgP.parallel))(
+            txt, pooled, key, decode=False
+        )
+        errs.append(rel_err(out, ref))
+    assert errs[1] < errs[0], errs

@@ -119,3 +119,57 @@ def test_hunyuan_pipefusion_with_skip_channel(tiny):
         text, mask, key, decode=False
     )
     assert rel_err(out, ref) < 2e-2
+
+
+def test_hunyuandit_patch_pipelined_pipefusion(tiny):
+    """pp=2 x M=4 async patch pipeline with the skip train (reference
+    pipeline_hunyuandit.py:552-825): stale-KV patches approximate the sync
+    result; must stay close and be sensitive."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    from compactfusion_tpu.config import ParallelConfig
+    from compactfusion_tpu.parallel.mesh import make_mesh
+    from compactfusion_tpu.pipelines.hunyuandit import (
+        HunyuanDiTPipeline,
+        HunyuanDiTPipelineConfig,
+    )
+    from tests.helpers import rel_err
+
+    mcfg, params = tiny
+    rng = np.random.default_rng(5)
+    text = jnp.asarray(
+        np.stack(
+            [rng.standard_normal((1, 8, mcfg.text_dim)),
+             np.zeros((1, 8, mcfg.text_dim))]
+        ),
+        jnp.float32,
+    )
+    mask = jnp.ones((2, 1, 8), bool)
+    key = jax.random.PRNGKey(11)
+    steps = 6
+
+    def cfg(parallel, **kw):
+        return HunyuanDiTPipelineConfig(
+            model=mcfg, parallel=parallel, num_steps=steps,
+            height=8 * 16, width=8 * 16, **kw,  # 8x8 = 64 tokens
+        )
+
+    c1 = cfg(ParallelConfig())
+    ref = HunyuanDiTPipeline(
+        params, None, c1, make_mesh(c1.parallel, devices=jax.devices()[:1])
+    )(text, mask, key, decode=False)
+
+    cP = _dc.replace(
+        cfg(ParallelConfig(pp_degree=2)),
+        num_pipeline_patch=4,
+        runtime_warmup_steps=2,
+    )
+    out = HunyuanDiTPipeline(params, None, cP, make_mesh(cP.parallel))(
+        text, mask, key, decode=False
+    )
+    err = rel_err(out, ref)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err > 1e-6, "patch pipeline identical to sync - stale KV not exercised"
+    assert err < 0.3, f"patch-pipelined HunyuanDiT diverged: {err}"
