@@ -36,10 +36,22 @@ class CacheAccelConfig:
     mode: str = "none"  # "none" | "fbcache" | "teacache"
     threshold: float = 0.12
     #: polynomial rescale coefficients (highest order first), TeaCache only.
-    #: Default: identity.  FLUX reference uses a fitted degree-4 polynomial.
+    #: Default: identity.  FLUX uses the fitted degree-4 polynomial below.
     poly: Tuple[float, ...] = (1.0, 0.0)
     #: mesh axes to psum the probe over (sp axes) so all ranks agree.
     sp_axes: Tuple[str, ...] = ()
+
+
+#: TeaCache's fitted degree-4 rescale polynomial for FLUX (highest order
+#: first) — maps the relative-L1 probe change to an accumulated skip signal
+#: (reference ``cache/utils.py:22`` flux_coef).
+FLUX_TEACACHE_POLY: Tuple[float, ...] = (
+    498.651651,
+    -283.781631,
+    55.8554382,
+    -3.82021401,
+    0.264230861,
+)
 
 
 class CacheAccelState(NamedTuple):

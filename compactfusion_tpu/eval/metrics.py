@@ -91,20 +91,47 @@ def video_ssim(a: jax.Array, b: jax.Array, data_range: float = 1.0) -> jax.Array
 # ---------------------------------------------------------------------------
 
 
+def frechet_distance(
+    mu_a: np.ndarray, cov_a: np.ndarray, mu_b: np.ndarray, cov_b: np.ndarray
+) -> float:
+    """Frechet distance between two Gaussians — usable directly with
+    published precomputed statistics (e.g. cleanfid / FID .npz files with
+    ``mu``/``sigma`` arrays), so FID is runnable without the extractor."""
+    import scipy.linalg
+
+    diff = mu_a - mu_b
+    covmean = scipy.linalg.sqrtm(cov_a @ cov_b)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(cov_a + cov_b - 2.0 * covmean))
+
+
+def feature_stats(feat: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, D) features -> (mu, cov), the sufficient statistics for FID/FVD."""
+    return feat.mean(0), np.cov(feat, rowvar=False)
+
+
+def load_fid_stats_npz(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Load precomputed FID statistics (cleanfid/pytorch-fid .npz layout:
+    ``mu`` + ``sigma``)."""
+    with np.load(path) as z:
+        return np.asarray(z["mu"]), np.asarray(z["sigma"])
+
+
 def fid_from_features(feat_a: np.ndarray, feat_b: np.ndarray) -> float:
     """Frechet distance between two feature sets (N, D) — the math behind
     ``benchmark/fid/compute_fid.py``; features come from any extractor
     (InceptionV3 pool3 for standard FID)."""
-    import scipy.linalg
+    return frechet_distance(*feature_stats(feat_a), *feature_stats(feat_b))
 
-    mu_a, mu_b = feat_a.mean(0), feat_b.mean(0)
-    cov_a = np.cov(feat_a, rowvar=False)
-    cov_b = np.cov(feat_b, rowvar=False)
-    diff = mu_a - mu_b
-    covmean, _ = scipy.linalg.sqrtm(cov_a @ cov_b, disp=False)
-    if np.iscomplexobj(covmean):
-        covmean = covmean.real
-    return float(diff @ diff + np.trace(cov_a + cov_b - 2.0 * covmean))
+
+def fvd_from_features(feat_a: np.ndarray, feat_b: np.ndarray) -> float:
+    """Frechet Video Distance over per-CLIP video features (N, D) — the
+    reference's ``common_metrics_on_video_quality/calculate_fvd.py``
+    computes exactly this Frechet distance over I3D (or VideoMAE) logits;
+    any such extractor's features plug in here (precomputed stats via
+    :func:`load_fid_stats_npz` + :func:`frechet_distance` also work)."""
+    return fid_from_features(feat_a, feat_b)
 
 
 class LPIPS:

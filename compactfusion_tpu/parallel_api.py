@@ -29,14 +29,18 @@ from compactfusion_tpu.utils.logger import init_logger
 logger = init_logger(__name__)
 
 
-def _cache_cfg(engine: EngineConfig) -> CacheAccelConfig:
+def _cache_cfg(engine: EngineConfig, family: str = "") -> CacheAccelConfig:
     """Map the runtime toggles (--use_fbcache / --use_teacache) to a cache
-    config with the reference's default thresholds."""
+    config with the reference's default thresholds.  FLUX TeaCache uses the
+    fitted degree-4 rescale polynomial (reference cache/utils.py:22)."""
     rt = engine.runtime_config
     if rt.use_fbcache:
         return CacheAccelConfig(mode="fbcache", threshold=0.12)
     if rt.use_teacache:
-        return CacheAccelConfig(mode="teacache", threshold=0.25)
+        from compactfusion_tpu.cache.accel import FLUX_TEACACHE_POLY
+
+        poly = FLUX_TEACACHE_POLY if family == "flux" else (1.0, 0.0)
+        return CacheAccelConfig(mode="teacache", threshold=0.25, poly=poly)
     return CacheAccelConfig()
 
 
@@ -141,7 +145,7 @@ def _build_flux(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str
         vae=flux_vae(),
         parallel=engine.parallel_config,
         compact=engine.compact_config,
-        cache=_cache_cfg(engine),
+        cache=_cache_cfg(engine, family="flux"),
         num_steps=inp.num_inference_steps,
         guidance_scale=inp.guidance_scale,
         height=inp.height,
