@@ -333,6 +333,69 @@ def convert_flux(state: Dict[str, np.ndarray], cfg) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# HunyuanVideo (diffusers HunyuanVideoTransformer3DModel naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_hunyuanvideo(state: Dict[str, np.ndarray], cfg) -> Any:
+    """FLUX-style dual/single blocks + the token refiner.
+
+    The double/single block tensors share the FLUX naming, so the FLUX
+    converter handles them; x_embedder is a (1, 2, 2) Conv3d flattened to a
+    linear over the (t, h, w, c) patch vector, and ``context_embedder.*`` is
+    the HunyuanVideoTokenRefiner."""
+    dt = cfg.dtype
+    # strip the refiner tensors so convert_flux sees a FLUX-shaped dict;
+    # synthesise a placeholder context_embedder it expects, then drop it
+    flux_state = {
+        k: v for k, v in state.items() if not k.startswith("context_embedder")
+    }
+    flux_state["context_embedder.weight"] = np.zeros(
+        (cfg.dim, cfg.text_dim), np.float32
+    )
+    flux_state["context_embedder.bias"] = np.zeros((cfg.dim,), np.float32)
+    # x_embedder: Conv3d (O, I, 1, p, p) -> (p*p*I, O) linear
+    w = state["x_embedder.proj.weight"]
+    o, i_, kt, kh, kw = w.shape
+    flux_state["x_embedder.weight"] = w.reshape(o, i_ * kt * kh * kw)
+    # conv flatten order is (I, kt, kh, kw); our patch vector is
+    # (kt, kh, kw, I) raster — reorder
+    wr = np.transpose(w, (0, 2, 3, 4, 1)).reshape(o, kt * kh * kw * i_)
+    flux_state["x_embedder.weight"] = wr
+    flux_state["x_embedder.bias"] = state["x_embedder.proj.bias"]
+    params = convert_flux(flux_state, cfg)
+    del params["context_embedder"]
+
+    ref = "context_embedder"
+    blocks = []
+    for i in range(cfg.refiner_layers):
+        p = f"{ref}.token_refiner.refiner_blocks.{i}"
+        blocks.append(
+            {
+                "norm1": _norm(state, f"{p}.norm1", dt),
+                "attn_qkv": _fused_qkv(
+                    state, f"{p}.attn.to_q", f"{p}.attn.to_k",
+                    f"{p}.attn.to_v", dt,
+                ),
+                "attn_out": _lin(state, f"{p}.attn.to_out.0", dt),
+                "norm2": _norm(state, f"{p}.norm2", dt),
+                "ffn": {
+                    "fc1": _lin(state, f"{p}.ff.net.0.proj", dt),
+                    "fc2": _lin(state, f"{p}.ff.net.2", dt),
+                },
+                "ada": _lin(state, f"{p}.norm_out.linear", dt),
+            }
+        )
+    params["refiner"] = {
+        "t_embed": _embedder(state, f"{ref}.time_text_embed.timestep_embedder", dt),
+        "c_embed": _embedder(state, f"{ref}.time_text_embed.text_embedder", dt),
+        "proj_in": _lin(state, f"{ref}.proj_in", dt),
+        "blocks": _stack(blocks),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
 # SD3 (diffusers SD3Transformer2DModel naming)
 # ---------------------------------------------------------------------------
 

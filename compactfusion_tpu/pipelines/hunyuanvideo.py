@@ -82,7 +82,8 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
     f, hp, wp = cfg.grid
     sched = flow_match_schedule(cfg.num_steps, shift=cfg.shift)
     pos = hunyuanvideo_positions(f, hp, wp)
-    cos_full, sin_full = cm.rope_frequencies(pos, mcfg.axes_dim)
+    theta = getattr(mcfg, "rope_theta", 10000.0)
+    cos_full, sin_full = cm.rope_frequencies(pos, mcfg.axes_dim, theta=theta)
 
     schedule = [
         cfg.compact.type_at(0, s) if cfg.compact.enabled else None
@@ -95,10 +96,11 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
         else:
             segments.append((m, [s]))
 
-    def spmd(params, txt, pooled, latents):
+    def spmd(params, txt, text_mask, pooled, latents):
         s_txt = txt.shape[1]
         txt_rope = cm.rope_frequencies(
-            jnp.zeros((s_txt, len(mcfg.axes_dim)), jnp.int32), mcfg.axes_dim
+            jnp.zeros((s_txt, len(mcfg.axes_dim)), jnp.int32), mcfg.axes_dim,
+            theta=theta,
         )
         if p.sp_degree > 1:
             rope = (
@@ -138,8 +140,9 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
                     t,
                     guidance,
                     mcfg,
-                    img_rope=rope,
+                    video_rope=rope,
                     txt_rope=txt_rope,
+                    text_mask=text_mask,
                     attn=_attn,
                     attn_state_double=sd,
                     attn_state_single=ss,
@@ -161,7 +164,9 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
     fn = jax.shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(param_specs, P(AXIS_DP), P(AXIS_DP), base.LATENT_SPEC),
+        in_specs=(
+            param_specs, P(AXIS_DP), P(AXIS_DP), P(AXIS_DP), base.LATENT_SPEC,
+        ),
         out_specs=base.LATENT_SPEC,
         check_vma=False,
     )
@@ -169,7 +174,8 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
 
 
 class HunyuanVideoPipeline:
-    """User-facing pipeline.  Video VAE decode lands in a later round."""
+    """User-facing pipeline: raw LLaMA text states go through the in-model
+    token refiner; CLIP pooled rides the timestep conditioning."""
 
     def __init__(self, params, cfg: HunyuanVideoPipelineConfig, mesh: Mesh):
         self.params = params
@@ -177,9 +183,16 @@ class HunyuanVideoPipeline:
         self.mesh = mesh
         self._sample = build_sample_fn(cfg, mesh, params)
 
-    def __call__(self, txt, pooled, key):
+    def __call__(self, txt, key, pooled=None, text_mask=None):
         cfg = self.cfg
+        if txt.ndim == 4:  # (2, B, S, D) registry convention: cond only
+            txt = txt[0]
+        b = txt.shape[0]
+        if pooled is None:
+            pooled = jnp.zeros((b, cfg.model.pooled_dim), jnp.float32)
+        if text_mask is None:
+            text_mask = jnp.ones(txt.shape[:2], bool)
         latents = base.prepare_latents(
-            key, txt.shape[0], cfg.tokens, cfg.model.in_channels, jnp.float32
+            key, b, cfg.tokens, cfg.model.in_channels, jnp.float32
         )
-        return self._sample(self.params, txt, pooled, latents)
+        return self._sample(self.params, txt, text_mask, pooled, latents)

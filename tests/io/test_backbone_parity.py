@@ -131,6 +131,56 @@ def test_flux_matches_torch(guidance):
 
 
 # ---------------------------------------------------------------------------
+# HunyuanVideo (token refiner + rope theta 256)
+# ---------------------------------------------------------------------------
+
+
+def test_hunyuanvideo_matches_torch():
+    from compactfusion_tpu.models.hunyuanvideo import (
+        hunyuanvideo_forward,
+        hunyuanvideo_positions,
+        hunyuanvideo_tiny,
+    )
+    import dataclasses
+
+    torch.manual_seed(10)
+    ref = torch_ref.HunyuanVideoRef(
+        dim=64, double_layers=2, single_layers=2, heads=4, in_channels=16,
+        text_dim=32, pooled_dim=16, axes_dim=(8, 4, 4), refiner_layers=2,
+    ).eval()
+    cfg = dataclasses.replace(hunyuanvideo_tiny(), dtype=jnp.float32)
+    params = hf.convert_hunyuanvideo(_state(ref), cfg)
+
+    rng = np.random.default_rng(11)
+    f, hp, wp = 2, 4, 4
+    vid = rng.standard_normal((2, f * hp * wp, 16)).astype(np.float32)
+    txt = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    pooled = rng.standard_normal((2, 16)).astype(np.float32)
+    t = np.array([212.0, 780.0], np.float32)
+    g = np.array([6000.0, 6000.0], np.float32)
+    mask = np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 0, 0, 0]], bool)
+
+    vid_pos = hunyuanvideo_positions(f, hp, wp)
+    txt_pos = jnp.zeros((6, 3), jnp.int32)
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(vid), torch.tensor(txt), torch.tensor(pooled),
+            torch.tensor(t), torch.tensor(g),
+            torch.tensor(np.asarray(vid_pos)), torch.tensor(np.asarray(txt_pos)),
+            torch.tensor(mask),
+        ).numpy()
+
+    out, _, _ = hunyuanvideo_forward(
+        params, jnp.asarray(vid), jnp.asarray(txt), jnp.asarray(pooled),
+        jnp.asarray(t), jnp.asarray(g), cfg,
+        video_rope=cm.rope_frequencies(vid_pos, cfg.axes_dim, theta=cfg.rope_theta),
+        txt_rope=cm.rope_frequencies(txt_pos, cfg.axes_dim, theta=cfg.rope_theta),
+        text_mask=jnp.asarray(mask),
+    )
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
+
+
+# ---------------------------------------------------------------------------
 # SD3 (incl. the context_pre_only final block of real checkpoints)
 # ---------------------------------------------------------------------------
 

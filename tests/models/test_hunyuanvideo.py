@@ -43,12 +43,10 @@ def test_hunyuanvideo_sharded_and_compact():
     c1 = _cfg(mcfg, ParallelConfig())
     ref = HunyuanVideoPipeline(
         params, c1, make_mesh(c1.parallel, devices=jax.devices()[:1])
-    )(txt, pooled, key)
+    )(txt, key, pooled=pooled)
 
     cN = _cfg(mcfg, ParallelConfig(ulysses_degree=2, ring_degree=2))
-    out = HunyuanVideoPipeline(params, cN, make_mesh(cN.parallel))(
-        txt, pooled, key
-    )
+    out = HunyuanVideoPipeline(params, cN, make_mesh(cN.parallel))(txt, key, pooled=pooled)
     assert rel_err(out, ref) < 5e-3
 
     compact = CompactConfig(
@@ -59,10 +57,8 @@ def test_hunyuanvideo_sharded_and_compact():
     c1b = _cfg(mcfg, ParallelConfig(), steps=6)
     ref6 = HunyuanVideoPipeline(
         params, c1b, make_mesh(c1b.parallel, devices=jax.devices()[:1])
-    )(txt, pooled, key)
-    outc = HunyuanVideoPipeline(params, cC, make_mesh(cC.parallel))(
-        txt, pooled, key
-    )
+    )(txt, key, pooled=pooled)
+    outc = HunyuanVideoPipeline(params, cC, make_mesh(cC.parallel))(txt, key, pooled=pooled)
     err = rel_err(outc, ref6)
     assert np.isfinite(np.asarray(outc, np.float32)).all()
     assert err > 1e-5, "compact pipeline identical to lossless - test blind"

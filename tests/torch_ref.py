@@ -523,6 +523,180 @@ class FluxRef(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# HunyuanVideo (FLUX-style blocks + token refiner, rope theta 256)
+# ---------------------------------------------------------------------------
+
+
+class _RefinerSelfAttention(nn.Module):
+    def __init__(self, dim: int, heads: int):
+        super().__init__()
+        self.heads = heads
+        self.to_q = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(dim, dim)
+        self.to_v = nn.Linear(dim, dim)
+        self.to_out = nn.ModuleList([nn.Linear(dim, dim), nn.Identity()])
+
+    def forward(self, x, mask):  # mask (B, 1, S, S) bool
+        b, s, d = x.shape
+        h = self.heads
+        q = self.to_q(x).view(b, s, h, d // h).transpose(1, 2)
+        k = self.to_k(x).view(b, s, h, d // h).transpose(1, 2)
+        v = self.to_v(x).view(b, s, h, d // h).transpose(1, 2)
+        o = F.scaled_dot_product_attention(q, k, v, attn_mask=mask)
+        return self.to_out[0](o.transpose(1, 2).reshape(b, s, d))
+
+
+class _RefinerBlock(nn.Module):
+    def __init__(self, dim: int, heads: int, mult: int = 4):
+        super().__init__()
+
+        class FFLinearSilu(nn.Module):
+            """FeedForward(activation_fn='linear-silu') naming."""
+
+            def __init__(self):
+                super().__init__()
+
+                class Proj(nn.Module):
+                    def __init__(self):
+                        super().__init__()
+                        self.proj = nn.Linear(dim, mult * dim)
+
+                    def forward(self, x):
+                        return F.silu(self.proj(x))
+
+                self.net = nn.ModuleList(
+                    [Proj(), nn.Identity(), nn.Linear(mult * dim, dim)]
+                )
+
+            def forward(self, x):
+                for m in self.net:
+                    x = m(x)
+                return x
+
+        class AdaNorm(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.linear = nn.Linear(dim, 2 * dim)
+
+            def forward(self, temb):
+                g = self.linear(F.silu(temb))
+                ga, gf = g.chunk(2, dim=1)
+                return ga[:, None], gf[:, None]
+
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = _RefinerSelfAttention(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.ff = FFLinearSilu()
+        self.norm_out = AdaNorm()
+
+    def forward(self, x, temb, mask):
+        ga, gf = self.norm_out(temb)
+        x = x + ga * self.attn(self.norm1(x), mask)
+        x = x + gf * self.ff(self.norm2(x))
+        return x
+
+
+class _TokenRefiner(nn.Module):
+    def __init__(self, text_dim: int, dim: int, heads: int, layers: int):
+        super().__init__()
+
+        class TimeText(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.timestep_embedder = TimestepEmbedding(256, dim)
+                self.text_embedder = PixArtAlphaTextProjection(
+                    text_dim, dim, "silu"
+                )
+
+            def forward(self, t, pooled):
+                return self.timestep_embedder(
+                    timesteps_proj(t)
+                ) + self.text_embedder(pooled)
+
+        class Inner(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.refiner_blocks = nn.ModuleList(
+                    [_RefinerBlock(dim, heads) for _ in range(layers)]
+                )
+
+        self.time_text_embed = TimeText()
+        self.proj_in = nn.Linear(text_dim, dim)
+        self.token_refiner = Inner()
+
+    def forward(self, text, t, mask):  # text (B, S, text_dim); mask (B, S)
+        m = mask.float()
+        pooled = (text * m[..., None]).sum(1) / (
+            m.sum(1, keepdim=True) + 1e-6
+        )
+        temb = self.time_text_embed(t, pooled)
+        x = self.proj_in(text)
+        attn_mask = (m[:, None, :, None] * m[:, None, None, :]).bool()
+        attn_mask[:, :, :, 0] = True
+        for blk in self.token_refiner.refiner_blocks:
+            x = blk(x, temb, attn_mask)
+        return x
+
+
+class HunyuanVideoRef(nn.Module):
+    """HunyuanVideoTransformer3DModel equivalent (token-space in/out)."""
+
+    def __init__(self, dim=64, double_layers=2, single_layers=2, heads=4,
+                 in_channels=16, text_dim=32, pooled_dim=16,
+                 axes_dim=(8, 4, 4), refiner_layers=2, theta=256.0):
+        super().__init__()
+        self.axes_dim = axes_dim
+        self.theta = theta
+
+        class XEmbed(nn.Module):
+            def __init__(self):
+                super().__init__()
+                # Conv3d over (1, 2, 2) patches; tokens here arrive already
+                # packed, so forward reshapes the patch vector back
+                self.proj = nn.Conv3d(in_channels // 4, dim, (1, 2, 2),
+                                      stride=(1, 2, 2))
+
+            def forward(self, tokens):  # (B, S, p*p*c) raster (ph, pw, c)
+                b, s, pc = tokens.shape
+                c = in_channels // 4
+                x = tokens.view(b * s, 2, 2, c).permute(0, 3, 1, 2)[
+                    :, :, None
+                ]  # (B*S, c, 1, 2, 2)
+                y = self.proj(x).view(b, s, dim)
+                return y
+
+        self.x_embedder = XEmbed()
+        self.context_embedder = _TokenRefiner(
+            text_dim, dim, heads, refiner_layers
+        )
+        self.time_text_embed = FluxTimeTextEmbed(dim, pooled_dim, True)
+        self.transformer_blocks = nn.ModuleList(
+            [_FluxDoubleBlock(dim, heads) for _ in range(double_layers)]
+        )
+        self.single_transformer_blocks = nn.ModuleList(
+            [_FluxSingleBlock(dim, heads) for _ in range(single_layers)]
+        )
+        self.norm_out = AdaLayerNormContinuous(dim, dim)
+        self.proj_out = nn.Linear(dim, in_channels)
+
+    def forward(self, video, text, pooled, t, guidance, vid_ids, txt_ids,
+                text_mask):
+        img = self.x_embedder(video)
+        txt = self.context_embedder(text, t, text_mask)
+        temb = self.time_text_embed(t, guidance, pooled)
+        ids = torch.cat([txt_ids, vid_ids], dim=0)
+        rope = flux_rope(ids, self.axes_dim, theta=self.theta)
+        for blk in self.transformer_blocks:
+            img, txt = blk(img, txt, temb, rope)
+        x = torch.cat([txt, img], dim=1)
+        for blk in self.single_transformer_blocks:
+            x = blk(x, temb, rope)
+        img = x[:, txt.shape[1]:]
+        img = self.norm_out(img, temb)
+        return self.proj_out(img)
+
+
+# ---------------------------------------------------------------------------
 # SD3
 # ---------------------------------------------------------------------------
 
