@@ -130,6 +130,80 @@ class PatchKVAttn:
 
 
 @dataclasses.dataclass(frozen=True)
+class PatchKVUlyssesAttn:
+    """PipeFusion patched attention UNDER Ulysses sequence parallelism.
+
+    Reference semantics: ``CacheManager._sequence_parallel_cache_update``
+    (``cache_manager.py:140``) — the stale full-sequence K/V cache lives
+    sharded by HEADS (each ulysses rank holds H/U heads of ALL tokens);
+    the fresh patch K/V arrives token-sharded, the ulysses all-to-all swaps
+    it to head sharding, the cache is slice-updated at the patch offset,
+    patch queries attend the full (partially stale) sequence, and the
+    inverse all-to-all restores token sharding.
+    """
+
+    ulysses_size: int
+    ulysses_axis: str = AXIS_ULYSSES
+
+    def init_state(self, n_layers, batch, seq_total, heads, head_dim, dtype):
+        z = jnp.zeros(
+            (n_layers, batch, seq_total, heads // self.ulysses_size, head_dim),
+            dtype,
+        )
+        return {
+            "k_cache": z,
+            "v_cache": z,
+            "offset": jnp.zeros((n_layers,), jnp.int32),
+        }
+
+    def __call__(
+        self, q, k, v, state, *, joint_q=None, joint_k=None, joint_v=None,
+        joint_strategy="front",
+    ):
+        from compactfusion_tpu.parallel.ulysses import (
+            scatter_heads_gather_seq,
+            scatter_seq_gather_heads,
+            slice_joint_heads,
+        )
+
+        ax = self.ulysses_axis
+        q = scatter_heads_gather_seq(q, ax)  # (B, s_patch, H/U, D)
+        k = scatter_heads_gather_seq(k, ax)
+        v = scatter_heads_gather_seq(v, ax)
+        off = state["offset"]
+        kc = jax.lax.dynamic_update_slice(
+            state["k_cache"], k.astype(state["k_cache"].dtype), (0, off, 0, 0)
+        )
+        vc = jax.lax.dynamic_update_slice(
+            state["v_cache"], v.astype(state["v_cache"].dtype), (0, off, 0, 0)
+        )
+        k_full = kc.astype(q.dtype)
+        v_full = vc.astype(q.dtype)
+        if joint_q is not None:
+            # joint (text) tensors are replicated: take this rank's heads
+            jq = slice_joint_heads(joint_q, ax, self.ulysses_size)
+            jk = slice_joint_heads(joint_k, ax, self.ulysses_size)
+            jv = slice_joint_heads(joint_v, ax, self.ulysses_size)
+            q = jnp.concatenate([jq, q], axis=1)
+            k_full = jnp.concatenate([jk, k_full], axis=1)
+            v_full = jnp.concatenate([jv, v_full], axis=1)
+        out = sdpa(q, k_full, v_full)
+        if joint_q is not None:
+            s_j = joint_q.shape[1]
+            # joint rows stay head-sharded on every rank (replicated-joint
+            # convention of the USP path); gather heads for them separately
+            out_j = jax.lax.all_gather(
+                out[:, :s_j], ax, axis=2, tiled=True
+            )
+            out_p = scatter_seq_gather_heads(out[:, s_j:], ax)
+            return (out_j, out_p), {
+                "k_cache": kc, "v_cache": vc, "offset": off,
+            }
+        out = scatter_seq_gather_heads(out, ax)
+        return out, {"k_cache": kc, "v_cache": vc, "offset": off}
+
+
+@dataclasses.dataclass(frozen=True)
 class CompactUSPAttn:
     """CompactFusion: USP with the compressed ring and EF state threading.
 

@@ -37,7 +37,7 @@ from compactfusion_tpu.models.pixart import (
     pixart_forward,
     pixart_head,
 )
-from compactfusion_tpu.parallel.mesh import AXIS_CFG, AXIS_PP
+from compactfusion_tpu.parallel.mesh import AXIS_CFG, AXIS_PP, AXIS_ULYSSES
 from compactfusion_tpu.parallel.tp import model_param_specs
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.diffusion import ddpm_schedule, dpm_step_patch
@@ -55,8 +55,12 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
     mcfg = cfg.model
     M = cfg.num_pipeline_patch
     PS = p.pp_degree
+    U = p.ulysses_degree
     assert PS > 1 and M >= PS, "patch pipeline needs pp>1 and M >= pp stages"
-    assert p.sp_degree == 1, "patch mode shards tokens by patch, not by SP"
+    assert p.ring_degree == 1, (
+        "patch mode composes with ULYSSES SP only (reference "
+        "_sequence_parallel_cache_update is ulysses-aware, ring is not)"
+    )
     sched = ddpm_schedule(cfg.num_steps)
     hp, wp = cfg.grid
     pos_full = cm.sincos_pos_embed_2d(
@@ -67,6 +71,8 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
     S = cfg.tokens
     assert S % M == 0
     s_patch = S // M
+    assert s_patch % U == 0
+    spl = s_patch // U  # per-ulysses-rank token slice of one patch
     warmup = min(cfg.runtime_warmup_steps, cfg.num_steps)
     L_local = mcfg.depth // PS
 
@@ -82,7 +88,18 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
         b = latents.shape[0]
         nb = 2 * b if (cfg.do_cfg and p.cfg_degree == 1) else b
         my = lax.axis_index(AXIS_PP)
-        attn = PatchKVAttn()
+        if U > 1:
+            from compactfusion_tpu.models.attn_impl import PatchKVUlyssesAttn
+
+            u_idx = lax.axis_index(AXIS_ULYSSES)
+            attn = PatchKVUlyssesAttn(ulysses_size=U)
+            # LATENT_SPEC shards tokens over ulysses (contiguous blocks in
+            # rank order since ring==1); the scheduler/bookkeeping here runs
+            # on the full sequence, so gather on entry and re-slice on exit
+            latents = lax.all_gather(latents, AXIS_ULYSSES, axis=1, tiled=True)
+        else:
+            u_idx = 0
+            attn = PatchKVAttn()
         kv_state = attn.init_state(
             L_local, nb, S, mcfg.heads, mcfg.head_dim, mcfg.dtype
         )
@@ -120,19 +137,30 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             jnp.arange(warmup, dtype=jnp.int32),
         )
 
-        # ---- prime KV caches with one cache-filling full forward
+        # ---- prime KV caches with one cache-filling full forward (under
+        # ulysses each rank feeds its contiguous token slice; the all-to-all
+        # inside the strategy reassembles the full sequence head-sharded)
         t = jnp.full((nb,), sched.timesteps[jnp.minimum(warmup, cfg.num_steps - 1)], jnp.float32)
         kv_state = dict(kv_state, offset=jnp.zeros((L_local,), jnp.int32))
+        if U > 1:
+            x_prime = lax.dynamic_slice_in_dim(
+                latents, u_idx * (S // U), S // U, axis=1
+            )
+            pos_prime = lax.dynamic_slice_in_dim(
+                pos_full, u_idx * (S // U), S // U, axis=0
+            )
+        else:
+            x_prime, pos_prime = latents, pos_full
         _, kv_state = pixart_forward(
-            params, model_batch(latents).astype(mcfg.dtype), t, text, mcfg,
-            pos_embed=pos_full, attn=attn, attn_state=kv_state, pp_stages=PS,
+            params, model_batch(x_prime).astype(mcfg.dtype), t, text, mcfg,
+            pos_embed=pos_prime, attn=attn, attn_state=kv_state, pp_stages=PS,
         )
 
         # ---- patch-pipelined steady state
         steady = cfg.num_steps - warmup
         total_patches = steady * M
         rounds = total_patches + PS - 1
-        inbox = jnp.zeros((nb, s_patch, mcfg.dim), mcfg.dtype)
+        inbox = jnp.zeros((nb, spl, mcfg.dim), mcfg.dtype)
 
         def round_body(carry, u):
             latents, inbox, kv_state, px0, plam, phave = carry
@@ -141,13 +169,14 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             gc = jnp.clip(g, 0, total_patches - 1)
             m = gc % M
             i = warmup + gc // M
-            off = m * s_patch
+            off = m * s_patch  # the patch's GLOBAL token offset (cache slot)
+            loc = off + u_idx * spl  # this ulysses rank's slice of the patch
             t = jnp.full((nb,), sched.timesteps[i], jnp.float32)
             temb = cm.timestep_embedder(params["t_embed"], t, 256)
 
             # stage 0 embeds the latent patch; other stages take the inbox
-            x_patch = lax.dynamic_slice_in_dim(latents, off, s_patch, axis=1)
-            pos_patch = lax.dynamic_slice_in_dim(pos_full, off, s_patch, axis=0)
+            x_patch = lax.dynamic_slice_in_dim(latents, loc, spl, axis=1)
+            pos_patch = lax.dynamic_slice_in_dim(pos_full, loc, spl, axis=0)
             h0 = pixart_embed(
                 params, model_batch(x_patch).astype(mcfg.dtype), pos_patch, mcfg
             )
@@ -164,39 +193,35 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
                 lambda new, old: jnp.where(valid, new, old), kv_new, kv_state
             )
 
-            # last stage: head + per-patch scheduler update
+            # last stage: head + per-patch scheduler update on the local slice
             out = pixart_head(params, h_out, temb, mcfg)
             eps = out[..., : out.shape[-1] // 2]
             if cfg.do_cfg:
                 eps = base.cfg_combine(eps, cfg.guidance_scale, p.cfg_degree)
-            px0_patch = lax.dynamic_slice_in_dim(px0, off, s_patch, axis=1)
+            px0_patch = lax.dynamic_slice_in_dim(px0, loc, spl, axis=1)
             new_patch, x0_patch, lam = dpm_step_patch(
                 sched, i, cfg.num_steps, x_patch, eps, px0_patch,
                 plam[m], phave[m],
             )
             write = valid & (my == PS - 1)
-            latents = jnp.where(
-                write,
-                lax.dynamic_update_slice_in_dim(latents, new_patch, off, axis=1),
-                latents,
-            )
-            px0 = jnp.where(
-                write,
-                lax.dynamic_update_slice_in_dim(px0, x0_patch, off, axis=1),
-                px0,
-            )
+            sum_axes = (AXIS_PP, AXIS_ULYSSES) if U > 1 else (AXIS_PP,)
+
+            def shard_write(full, piece):
+                upd = lax.dynamic_update_slice_in_dim(full, piece, loc, axis=1)
+                delta = jnp.where(write, upd - full, jnp.zeros_like(full))
+                return full + lax.psum(delta, sum_axes)
+
+            latents = shard_write(latents, new_patch)
+            px0 = shard_write(px0, x0_patch)
+            # lam/phave are identical on every ulysses rank: pp-broadcast only
             plam = jnp.where(write, plam.at[m].set(lam), plam)
             phave = jnp.where(write, phave.at[m].set(1), phave)
-
-            # broadcast the last stage's latents/scheduler state to all stages
             bcast = lambda a: lax.psum(
                 jnp.where(my == PS - 1, a, jnp.zeros_like(a)), AXIS_PP
             )
-            latents, px0, plam, phave = (
-                bcast(latents), bcast(px0), bcast(plam), bcast(phave),
-            )
+            plam, phave = bcast(plam), bcast(phave)
 
-            # hand the hidden patch to the next stage
+            # hand the hidden patch slice to the next stage
             perm = [(s_, (s_ + 1) % PS) for s_ in range(PS)]
             inbox = lax.ppermute(h_out, AXIS_PP, perm)
             return (latents, inbox, kv_state, px0, plam, phave), None
@@ -205,7 +230,10 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
         carry, _ = lax.scan(
             round_body, carry, jnp.arange(rounds, dtype=jnp.int32)
         )
-        return carry[0]
+        out = carry[0]
+        if U > 1:
+            out = lax.dynamic_slice_in_dim(out, u_idx * (S // U), S // U, axis=1)
+        return out
 
     if p.tp_degree > 1 or p.pp_degree > 1:
         param_specs = model_param_specs(

@@ -250,3 +250,30 @@ def test_patch_pipelined_pipefusion(tiny_setup):
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert err > 1e-6, "patch pipeline identical to sync - stale KV not exercised"
     assert err < 0.3, f"patch-pipelined PipeFusion diverged: {err}"
+
+
+def test_patch_pipelined_pipefusion_with_ulysses(tiny_setup):
+    """pp=2 x ulysses=2 x M=4: PipeFusion composed with Ulysses SP
+    (reference cache_manager._sequence_parallel_cache_update) must match the
+    pp-only patch pipeline EXACTLY (same stale-KV math, different sharding)."""
+    mcfg, params, vcfg, vae_params = tiny_setup
+    text, mask = _text()
+    key = jax.random.PRNGKey(12)
+    steps = 6
+
+    import dataclasses as _dc
+
+    def run(parallel):
+        cfgP = _dc.replace(
+            _pipe_cfg(mcfg, vcfg, parallel, steps=steps),
+            num_pipeline_patch=4,
+            runtime_warmup_steps=2,
+        )
+        return PixArtPipeline(params, vae_params, cfgP, make_mesh(cfgP.parallel))(
+            text, mask, key, decode=False
+        )
+
+    ref = run(ParallelConfig(pp_degree=2))
+    out = run(ParallelConfig(pp_degree=2, ulysses_degree=2))
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert rel_err(out, ref) < 5e-3, rel_err(out, ref)
