@@ -117,31 +117,26 @@ def _mod(p, temb, n):
     return jnp.split(out[:, None, :], n, axis=-1)
 
 
-def sd3_forward(
-    params,
-    img: jax.Array,
-    txt: jax.Array,
-    pooled: jax.Array,
-    t: jax.Array,
-    cfg: SD3Config,
-    *,
-    pos_embed: jax.Array,
-    attn=SingleDeviceAttn(),
-    attn_state=(),
-    tp_axis: Optional[str] = None,
-):
-    """SD3 denoiser on local image-token shards.
-
-    img: (B, S_img_local, p*p*C); txt: (B, S_txt, text_dim) replicated;
-    pooled: (B, pooled_dim); t: (B,) in train units.
-    pos_embed: (S_img_local, dim) sincos table for the local tokens.
-    Returns (velocity, new_attn_state).
-    """
-    h = cfg.heads
-    img = cm.linear(params["patch_embed"], img) + pos_embed.astype(cfg.dtype)[None]
-    txt = cm.linear(params["context_embedder"], txt)
+def sd3_time_embed(params, pooled, t, cfg: SD3Config):
     temb = cm.timestep_embedder(params["t_embed"], t, 256)
-    temb = temb + cm.mlp_embedder(params["pooled_embed"], pooled.astype(cfg.dtype))
+    return temb + cm.mlp_embedder(
+        params["pooled_embed"], pooled.astype(cfg.dtype)
+    )
+
+
+def sd3_head(params, img, temb, cfg: SD3Config):
+    mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
+    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+    img = cm.layernorm({}, img) * (1 + scale) + shift
+    return cm.linear(params["proj_out"], img)
+
+
+def sd3_joint_scan(
+    blocks, img, txt, temb, cfg: SD3Config, *, attn=SingleDeviceAttn(),
+    attn_state=(), tp_axis=None,
+):
+    """Scan the (stacked) MMDiT joint blocks: -> (img, txt, new_state)."""
+    h = cfg.heads
 
     def joint_block(carry, xs):
         img, txt = carry
@@ -176,10 +171,36 @@ def sd3_forward(
         return (img, txt), state
 
     (img, txt), new_state = jax.lax.scan(
-        joint_block, (img, txt), (params["blocks"], attn_state)
+        joint_block, (img, txt), (blocks, attn_state)
     )
+    return img, txt, new_state
 
-    mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
-    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
-    img = cm.layernorm({}, img) * (1 + scale) + shift
-    return cm.linear(params["proj_out"], img), new_state
+
+def sd3_forward(
+    params,
+    img: jax.Array,
+    txt: jax.Array,
+    pooled: jax.Array,
+    t: jax.Array,
+    cfg: SD3Config,
+    *,
+    pos_embed: jax.Array,
+    attn=SingleDeviceAttn(),
+    attn_state=(),
+    tp_axis: Optional[str] = None,
+):
+    """SD3 denoiser on local image-token shards.
+
+    img: (B, S_img_local, p*p*C); txt: (B, S_txt, text_dim) replicated;
+    pooled: (B, pooled_dim); t: (B,) in train units.
+    pos_embed: (S_img_local, dim) sincos table for the local tokens.
+    Returns (velocity, new_attn_state).
+    """
+    img = cm.linear(params["patch_embed"], img) + pos_embed.astype(cfg.dtype)[None]
+    txt = cm.linear(params["context_embedder"], txt)
+    temb = sd3_time_embed(params, pooled, t, cfg)
+    img, txt, new_state = sd3_joint_scan(
+        params["blocks"], img, txt, temb, cfg,
+        attn=attn, attn_state=attn_state, tp_axis=tp_axis,
+    )
+    return sd3_head(params, img, temb, cfg), new_state

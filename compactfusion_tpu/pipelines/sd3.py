@@ -47,6 +47,11 @@ class SD3PipelineConfig:
     shift: float = 3.0
     height: int = 1024
     width: int = 1024
+    #: PipeFusion micro-patches per image (M > 1 with pp_degree > 1 enables
+    #: the patch-pipelined async path)
+    num_pipeline_patch: int = 1
+    #: full-sequence synchronous steps before patch mode
+    runtime_warmup_steps: int = 1
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -183,7 +188,14 @@ class SD3Pipeline:
         self.vae_params = vae_params
         self.cfg = cfg
         self.mesh = mesh
-        self._sample = build_sample_fn(cfg, mesh, params)
+        if cfg.parallel.pp_degree > 1 and cfg.num_pipeline_patch > 1:
+            from compactfusion_tpu.pipelines.sd3_patch_pp import (
+                build_sd3_patch_pp_sample_fn,
+            )
+
+            self._sample = build_sd3_patch_pp_sample_fn(cfg, mesh, params)
+        else:
+            self._sample = build_sample_fn(cfg, mesh, params)
         self._decode = jax.jit(functools.partial(decode_latents, cfg=cfg))
 
     def __call__(self, txt, pooled, key, decode: bool = True):

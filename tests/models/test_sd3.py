@@ -124,3 +124,33 @@ def test_sd3_compact(tiny):
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert err > 1e-5, "compact pipeline identical to lossless - test blind"
     assert err < 0.2, f"compact SD3 diverged: {err}"
+
+
+def test_sd3_patch_pipelined_pipefusion(tiny):
+    """pp=2 x M=4 async patch pipeline (reference SD3 _async_pipeline):
+    stale image K/V + always-fresh text stream must approximate the sync
+    result; close and sensitive."""
+    import dataclasses as _dc
+
+    mcfg, params = tiny
+    txt, pooled = _inputs(mcfg)
+    key = jax.random.PRNGKey(13)
+    steps = 6
+
+    cfg1 = _pipe_cfg(mcfg, ParallelConfig(), steps=steps)
+    ref = SD3Pipeline(
+        params, None, cfg1, make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key, decode=False)
+
+    cfgP = _dc.replace(
+        _pipe_cfg(mcfg, ParallelConfig(pp_degree=2), steps=steps),
+        num_pipeline_patch=4,
+        runtime_warmup_steps=2,
+    )
+    out = SD3Pipeline(params, None, cfgP, make_mesh(cfgP.parallel))(
+        txt, pooled, key, decode=False
+    )
+    err = rel_err(out, ref)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert err > 1e-6, "patch pipeline identical to sync - stale KV not exercised"
+    assert err < 0.3, f"patch-pipelined SD3 diverged: {err}"
