@@ -20,6 +20,16 @@ Architecture stance (vs the reference, see SURVEY.md):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # Honour an explicit JAX_PLATFORMS=cpu even when a TPU plugin (e.g. the
+    # axon tunnel) force-appends itself to jax_platforms — the virtual
+    # multi-device CPU mesh is the documented test/dev harness.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from compactfusion_tpu.config import (  # noqa: F401
     CompactConfig,
     EngineConfig,

@@ -486,6 +486,47 @@ def convert_sd3(state: Dict[str, np.ndarray], cfg) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# CogVideoX (diffusers CogVideoXTransformer3DModel naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_cogvideox(state: Dict[str, np.ndarray], cfg) -> Any:
+    dt = cfg.dtype
+    blocks = []
+    for i in range(cfg.depth):
+        p = f"transformer_blocks.{i}"
+        blocks.append(
+            {
+                "mod_attn": _lin(state, f"{p}.norm1.linear", dt),
+                "norm1": _norm(state, f"{p}.norm1.norm", dt),
+                "mod_ff": _lin(state, f"{p}.norm2.linear", dt),
+                "norm2": _norm(state, f"{p}.norm2.norm", dt),
+                "qkv": _fused_qkv(
+                    state, f"{p}.attn1.to_q", f"{p}.attn1.to_k",
+                    f"{p}.attn1.to_v", dt,
+                ),
+                "q_norm": _norm(state, f"{p}.attn1.norm_q", dt),
+                "k_norm": _norm(state, f"{p}.attn1.norm_k", dt),
+                "attn_out": _lin(state, f"{p}.attn1.to_out.0", dt),
+                "ffn": {
+                    "fc1": _lin(state, f"{p}.ff.net.0.proj", dt),
+                    "fc2": _lin(state, f"{p}.ff.net.2", dt),
+                },
+            }
+        )
+    return {
+        "patch_embed": _patch_conv_as_linear(state, "patch_embed.proj", dt),
+        "text_proj": _lin(state, "patch_embed.text_proj", dt),
+        "t_embed": _embedder(state, "time_embedding", dt),
+        "blocks": _stack(blocks),
+        "norm_final": _norm(state, "norm_final", dt),
+        "norm_out_mod": _lin(state, "norm_out.linear", dt),
+        "norm_out_norm": _norm(state, "norm_out.norm", dt),
+        "proj_out": _lin(state, "proj_out", dt),
+    }
+
+
+# ---------------------------------------------------------------------------
 # 3D video VAE decoder (diffusers AutoencoderKLCogVideoX naming)
 # ---------------------------------------------------------------------------
 

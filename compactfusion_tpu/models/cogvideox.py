@@ -70,12 +70,17 @@ def _init_block(key, cfg: CogVideoXConfig):
     ks = jax.random.split(key, 6)
     return {
         # CogVideoXLayerNormZero: temb -> 6*dim = (shift, scale, gate) for the
-        # video stream AND the text stream, twice (attn + ff)
+        # video stream AND the text stream, twice (attn + ff); the norm
+        # itself is an AFFINE LayerNorm (eps 1e-5) in the checkpoint
         "mod_attn": cm.init_linear(ks[0], cfg.time_embed_dim, 6 * d, dtype=dt),
+        "norm1": cm.init_layernorm(d, dtype=dt),
         "mod_ff": cm.init_linear(ks[1], cfg.time_embed_dim, 6 * d, dtype=dt),
+        "norm2": cm.init_layernorm(d, dtype=dt),
         "qkv": cm.init_linear(ks[2], d, 3 * d, dtype=dt),
-        "q_norm": cm.init_rmsnorm(hd, dt),
-        "k_norm": cm.init_rmsnorm(hd, dt),
+        # qk norm is a per-head AFFINE LayerNorm (diffusers qk_norm
+        # "layer_norm", eps 1e-6) — not RMSNorm
+        "q_norm": cm.init_layernorm(hd, dtype=dt),
+        "k_norm": cm.init_layernorm(hd, dtype=dt),
         "attn_out": cm.init_linear(ks[3], d, d, dtype=dt),
         "ffn": cm.init_ffn(ks[4], d, cfg.ffn_mult * d, dtype=dt),
     }
@@ -90,13 +95,17 @@ def init_cogvideox(key, cfg: CogVideoXConfig):
             ks[1], cfg.patch * cfg.patch * cfg.in_channels, d, dtype=dt
         ),
         "text_proj": cm.init_linear(ks[2], cfg.text_dim, d, dtype=dt),
+        # diffusers: Timesteps(inner_dim) -> TimestepEmbedding(inner_dim,
+        # time_embed_dim) — the sinusoid is DIM-wide, not 256
         "t_embed": cm.init_timestep_embedder(
-            ks[3], 256, cfg.time_embed_dim, dtype=dt
+            ks[3], d, cfg.time_embed_dim, dtype=dt
         ),
         "blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *blocks),
+        "norm_final": cm.init_layernorm(d, dtype=dt),
         "norm_out_mod": cm.init_linear(
             ks[4], cfg.time_embed_dim, 2 * d, dtype=dt
         ),
+        "norm_out_norm": cm.init_layernorm(d, dtype=dt),
         "proj_out": cm.init_linear(
             ks[5], d, cfg.patch * cfg.patch * cfg.out_channels, dtype=dt
         ),
@@ -147,7 +156,7 @@ def cogvideox_forward(
     if pos_embed is not None:
         vid = vid + pos_embed.astype(cfg.dtype)[None]
     txt = cm.linear(params["text_proj"], txt)
-    temb = cm.timestep_embedder(params["t_embed"], t, 256)
+    temb = cm.timestep_embedder(params["t_embed"], t, cfg.dim)
 
     def _mod6(p, temb):
         out = cm.linear(p, cm.silu(temb))
@@ -156,9 +165,11 @@ def cogvideox_forward(
     def block(carry, xs):
         vid, txt = carry
         p, state = xs
+        # CogVideoXLayerNormZero chunk order: (shift, scale, gate) for the
+        # VIDEO stream first, then the text stream; affine LN eps 1e-5
         v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_attn"], temb)
-        vid_n = cm.layernorm({}, vid) * (1 + v_sc) + v_sh
-        txt_n = cm.layernorm({}, txt) * (1 + t_sc) + t_sh
+        vid_n = cm.layernorm(p["norm1"], vid, eps=1e-5) * (1 + v_sc) + v_sh
+        txt_n = cm.layernorm(p["norm1"], txt, eps=1e-5) * (1 + t_sc) + t_sh
 
         # one projection serves both streams (CogVideoX weight sharing)
         vq, vk, vv = [
@@ -167,8 +178,11 @@ def cogvideox_forward(
         tq, tk, tv = [
             _heads(x, h) for x in jnp.split(cm.linear(p["qkv"], txt_n), 3, -1)
         ]
-        vq, vk = cm.rmsnorm(p["q_norm"], vq), cm.rmsnorm(p["k_norm"], vk)
-        tq, tk = cm.rmsnorm(p["q_norm"], tq), cm.rmsnorm(p["k_norm"], tk)
+        qk_eps = 1e-6  # diffusers Attention(qk_norm="layer_norm", eps=1e-6)
+        vq = cm.layernorm(p["q_norm"], vq, eps=qk_eps)
+        vk = cm.layernorm(p["k_norm"], vk, eps=qk_eps)
+        tq = cm.layernorm(p["q_norm"], tq, eps=qk_eps)
+        tk = cm.layernorm(p["k_norm"], tk, eps=qk_eps)
         if video_rope is not None:
             cos_v, sin_v = video_rope
             vq = cm.apply_rope(vq, cos_v, sin_v)
@@ -182,8 +196,8 @@ def cogvideox_forward(
         vid = vid + v_g * proj[:, s_txt:]
 
         v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_ff"], temb)
-        vid_n = cm.layernorm({}, vid) * (1 + v_sc) + v_sh
-        txt_n = cm.layernorm({}, txt) * (1 + t_sc) + t_sh
+        vid_n = cm.layernorm(p["norm2"], vid, eps=1e-5) * (1 + v_sc) + v_sh
+        txt_n = cm.layernorm(p["norm2"], txt, eps=1e-5) * (1 + t_sc) + t_sh
         ff = cm.ffn(
             p["ffn"], jnp.concatenate([txt_n, vid_n], axis=1), tp_axis=tp_axis
         )
@@ -195,7 +209,12 @@ def cogvideox_forward(
         block, (vid, txt), (params["blocks"], attn_state)
     )
 
+    # norm_final over the joint sequence (video part kept), then
+    # AdaLayerNorm: SHIFT first, affine inner norm (diffusers AdaLayerNorm
+    # with chunk_dim=1 + norm_elementwise_affine=True, eps 1e-5)
+    joint = jnp.concatenate([txt, vid], axis=1)
+    vid = cm.layernorm(params["norm_final"], joint, eps=1e-5)[:, txt.shape[1]:]
     mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
-    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
-    vid = cm.layernorm({}, vid) * (1 + scale) + shift
+    shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
+    vid = cm.layernorm(params["norm_out_norm"], vid, eps=1e-5) * (1 + scale) + shift
     return cm.linear(params["proj_out"], vid), new_state

@@ -69,10 +69,12 @@ def init_consisid(key, cfg: ConsisIDConfig):
             ks[2], cfg.patch * cfg.patch * cfg.in_channels, d, dtype=dt
         ),
         "text_proj": cm.init_linear(ks[3], cfg.text_dim, d, dtype=dt),
-        "t_embed": cm.init_timestep_embedder(ks[4], 256, cfg.time_embed_dim, dtype=dt),
+        "t_embed": cm.init_timestep_embedder(ks[4], cfg.dim, cfg.time_embed_dim, dtype=dt),
         "blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *blocks),
         "id_attns": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *id_attns),
+        "norm_final": cm.init_layernorm(d, dtype=dt),
         "norm_out_mod": cm.init_linear(ks[5], cfg.time_embed_dim, 2 * d, dtype=dt),
+        "norm_out_norm": cm.init_layernorm(d, dtype=dt),
         "proj_out": cm.init_linear(
             ks[6], d, cfg.patch * cfg.patch * cfg.out_channels, dtype=dt
         ),
@@ -110,7 +112,7 @@ def consisid_forward(
     h = cfg.heads
     vid = cm.linear(params["patch_embed"], video)
     txt = cm.linear(params["text_proj"], txt)
-    temb = cm.timestep_embedder(params["t_embed"], t, 256)
+    temb = cm.timestep_embedder(params["t_embed"], t, cfg.dim)
 
     def _mod6(p, temb):
         out = cm.linear(p, cm.silu(temb))
@@ -120,16 +122,18 @@ def consisid_forward(
         vid, txt = carry
         p, pid, state = xs
         v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_attn"], temb)
-        vid_n = cm.layernorm({}, vid) * (1 + v_sc) + v_sh
-        txt_n = cm.layernorm({}, txt) * (1 + t_sc) + t_sh
+        vid_n = cm.layernorm(p["norm1"], vid, eps=1e-5) * (1 + v_sc) + v_sh
+        txt_n = cm.layernorm(p["norm1"], txt, eps=1e-5) * (1 + t_sc) + t_sh
         vq, vk, vv = [
             _heads(x, h) for x in jnp.split(cm.linear(p["qkv"], vid_n), 3, -1)
         ]
         tq, tk, tv = [
             _heads(x, h) for x in jnp.split(cm.linear(p["qkv"], txt_n), 3, -1)
         ]
-        vq, vk = cm.rmsnorm(p["q_norm"], vq), cm.rmsnorm(p["k_norm"], vk)
-        tq, tk = cm.rmsnorm(p["q_norm"], tq), cm.rmsnorm(p["k_norm"], tk)
+        vq = cm.layernorm(p["q_norm"], vq, eps=1e-6)
+        vk = cm.layernorm(p["k_norm"], vk, eps=1e-6)
+        tq = cm.layernorm(p["q_norm"], tq, eps=1e-6)
+        tk = cm.layernorm(p["k_norm"], tk, eps=1e-6)
         if video_rope is not None:
             cos_v, sin_v = video_rope
             vq = cm.apply_rope(vq, cos_v, sin_v)
@@ -149,8 +153,8 @@ def consisid_forward(
             vid = vid + pid["gate"] * cm.linear(pid["out"], _unheads(o_id))
 
         v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_ff"], temb)
-        vid_n = cm.layernorm({}, vid) * (1 + v_sc) + v_sh
-        txt_n = cm.layernorm({}, txt) * (1 + t_sc) + t_sh
+        vid_n = cm.layernorm(p["norm2"], vid, eps=1e-5) * (1 + v_sc) + v_sh
+        txt_n = cm.layernorm(p["norm2"], txt, eps=1e-5) * (1 + t_sc) + t_sh
         ff = cm.ffn(p["ffn"], jnp.concatenate([txt_n, vid_n], 1), tp_axis=tp_axis)
         txt = txt + t_g * ff[:, :s_txt]
         vid = vid + v_g * ff[:, s_txt:]
@@ -159,7 +163,9 @@ def consisid_forward(
     (vid, txt), new_state = jax.lax.scan(
         block, (vid, txt), (params["blocks"], params["id_attns"], attn_state)
     )
+    joint = jnp.concatenate([txt, vid], axis=1)
+    vid = cm.layernorm(params["norm_final"], joint, eps=1e-5)[:, txt.shape[1]:]
     mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
-    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
-    vid = cm.layernorm({}, vid) * (1 + scale) + shift
+    shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
+    vid = cm.layernorm(params["norm_out_norm"], vid, eps=1e-5) * (1 + scale) + shift
     return cm.linear(params["proj_out"], vid), new_state

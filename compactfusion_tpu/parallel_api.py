@@ -211,7 +211,14 @@ def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
         if "5b" in engine.model_config.model.lower()
         else cogvideox_2b()
     )
-    params = init_cogvideox(jax.random.PRNGKey(0), mcfg)
+    if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
+        from compactfusion_tpu.io import hf
+
+        params = hf.convert_cogvideox(
+            hf.load_safetensors(os.path.join(checkpoint, "transformer")), mcfg
+        )
+    else:
+        params = init_cogvideox(jax.random.PRNGKey(0), mcfg)
     vcfg = cogvideox_vae()
     pcfg = CogVideoXPipelineConfig(
         model=mcfg,

@@ -222,6 +222,48 @@ def test_sd3_matches_torch():
 
 
 # ---------------------------------------------------------------------------
+# CogVideoX (rotary path; ConsisID shares the block structure)
+# ---------------------------------------------------------------------------
+
+
+def test_cogvideox_matches_torch():
+    import dataclasses
+
+    from compactfusion_tpu.models.cogvideox import (
+        cogvideox_tiny,
+        cogvideox_forward,
+        video_positions,
+    )
+
+    torch.manual_seed(12)
+    ref = torch_ref.CogVideoXRef(
+        dim=64, depth=2, heads=4, patch=2, in_channels=16, text_dim=32,
+        time_embed_dim=32, axes_dim=(8, 4, 4),
+    ).eval()
+    cfg = dataclasses.replace(cogvideox_tiny(), dtype=jnp.float32)
+    params = hf.convert_cogvideox(_state(ref), cfg)
+
+    rng = np.random.default_rng(13)
+    f, hp, wp = 2, 4, 4
+    vid = rng.standard_normal((2, f * hp * wp, 4 * 16)).astype(np.float32)
+    txt = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    t = np.array([44.0, 912.0], np.float32)
+    pos = video_positions(f, hp, wp)
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(vid), torch.tensor(txt), torch.tensor(t),
+            torch.tensor(np.asarray(pos)),
+        ).numpy()
+
+    out, _ = cogvideox_forward(
+        params, jnp.asarray(vid), jnp.asarray(txt), jnp.asarray(t), cfg,
+        video_rope=cm.rope_frequencies(pos, cfg.axes_dim),
+    )
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
+
+
+# ---------------------------------------------------------------------------
 # AutoencoderKL decoder
 # ---------------------------------------------------------------------------
 

@@ -836,6 +836,150 @@ class SD3Ref(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# CogVideoX (joint text+video blocks with shared weights)
+# ---------------------------------------------------------------------------
+
+
+class _CogLayerNormZero(nn.Module):
+    """CogVideoXLayerNormZero: affine LN + 6-way modulation for BOTH
+    streams (video shift/scale/gate first, then text)."""
+
+    def __init__(self, cond_dim: int, dim: int):
+        super().__init__()
+        self.linear = nn.Linear(cond_dim, 6 * dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-5)
+
+    def forward(self, hidden, encoder, temb):
+        sh, sc, g, esh, esc, eg = self.linear(F.silu(temb)).chunk(6, dim=1)
+        hidden = self.norm(hidden) * (1 + sc[:, None]) + sh[:, None]
+        encoder = self.norm(encoder) * (1 + esc[:, None]) + esh[:, None]
+        return hidden, encoder, g[:, None], eg[:, None]
+
+
+class _CogAttention(nn.Module):
+    """Single qkv over the [text, video] concat, per-head LayerNorm qk norm
+    (eps 1e-6), rope on the video part only."""
+
+    def __init__(self, dim: int, heads: int):
+        super().__init__()
+        self.heads = heads
+        hd = dim // heads
+        self.to_q = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(dim, dim)
+        self.to_v = nn.Linear(dim, dim)
+        self.norm_q = nn.LayerNorm(hd, eps=1e-6)
+        self.norm_k = nn.LayerNorm(hd, eps=1e-6)
+        self.to_out = nn.ModuleList([nn.Linear(dim, dim), nn.Identity()])
+
+    def forward(self, x, s_txt, rope):  # x = cat([text, video])
+        b, s, d = x.shape
+        h = self.heads
+        q = self.norm_q(self.to_q(x).view(b, s, h, d // h)).transpose(1, 2)
+        k = self.norm_k(self.to_k(x).view(b, s, h, d // h)).transpose(1, 2)
+        v = self.to_v(x).view(b, s, h, d // h).transpose(1, 2)
+        if rope is not None:
+            cos, sin = rope
+            q = torch.cat(
+                [q[:, :, :s_txt], apply_rope_torch(q[:, :, s_txt:], cos, sin)],
+                dim=2,
+            )
+            k = torch.cat(
+                [k[:, :, :s_txt], apply_rope_torch(k[:, :, s_txt:], cos, sin)],
+                dim=2,
+            )
+        o = _sdpa(q, k, v).transpose(1, 2).reshape(b, s, d)
+        return self.to_out[0](o)
+
+
+class _CogBlock(nn.Module):
+    def __init__(self, cond_dim: int, dim: int, heads: int):
+        super().__init__()
+        self.norm1 = _CogLayerNormZero(cond_dim, dim)
+        self.attn1 = _CogAttention(dim, heads)
+        self.norm2 = _CogLayerNormZero(cond_dim, dim)
+        self.ff = FeedForward(dim)
+
+    def forward(self, vid, txt, temb, rope):
+        s_txt = txt.shape[1]
+        vid_n, txt_n, g, eg = self.norm1(vid, txt, temb)
+        attn = self.attn1(torch.cat([txt_n, vid_n], dim=1), s_txt, rope)
+        txt = txt + eg * attn[:, :s_txt]
+        vid = vid + g * attn[:, s_txt:]
+        vid_n, txt_n, g, eg = self.norm2(vid, txt, temb)
+        ff = self.ff(torch.cat([txt_n, vid_n], dim=1))
+        txt = txt + eg * ff[:, :s_txt]
+        vid = vid + g * ff[:, s_txt:]
+        return vid, txt
+
+
+class CogVideoXRef(nn.Module):
+    """CogVideoXTransformer3DModel equivalent (rotary path, token-space)."""
+
+    def __init__(self, dim=64, depth=2, heads=4, patch=2, in_channels=16,
+                 text_dim=32, time_embed_dim=32, axes_dim=(8, 4, 4)):
+        super().__init__()
+        self.axes_dim = axes_dim
+        self.patch = patch
+
+        class PatchEmbedCog(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Conv2d(in_channels, dim, patch, stride=patch)
+                self.text_proj = nn.Linear(text_dim, dim)
+
+            def forward(self, tokens, text):
+                # tokens (B, S, p*p*C) raster (ph, pw, c): run the conv on
+                # each packed patch
+                b, s, pc = tokens.shape
+                x = tokens.view(b * s, patch, patch, in_channels).permute(
+                    0, 3, 1, 2
+                )
+                vid = self.proj(x).view(b, s, dim)
+                return vid, self.text_proj(text)
+
+        class TimeEmb(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.linear_1 = nn.Linear(dim, time_embed_dim)
+                self.linear_2 = nn.Linear(time_embed_dim, time_embed_dim)
+
+            def forward(self, t):
+                e = timesteps_proj(t, dim)
+                return self.linear_2(F.silu(self.linear_1(e)))
+
+        class AdaNormOut(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.linear = nn.Linear(time_embed_dim, 2 * dim)
+                self.norm = nn.LayerNorm(dim, eps=1e-5)
+
+            def forward(self, x, temb):
+                shift, scale = self.linear(F.silu(temb)).chunk(2, dim=1)
+                return self.norm(x) * (1 + scale[:, None]) + shift[:, None]
+
+        self.patch_embed = PatchEmbedCog()
+        self.time_embedding = TimeEmb()
+        self.transformer_blocks = nn.ModuleList(
+            [_CogBlock(time_embed_dim, dim, heads) for _ in range(depth)]
+        )
+        self.norm_final = nn.LayerNorm(dim, eps=1e-5)
+        self.norm_out = AdaNormOut()
+        self.proj_out = nn.Linear(dim, patch * patch * in_channels)
+
+    def forward(self, video_tokens, text, t, vid_ids):
+        vid, txt = self.patch_embed(video_tokens, text)
+        temb = self.time_embedding(t)
+        rope = flux_rope(vid_ids, self.axes_dim)
+        for blk in self.transformer_blocks:
+            vid, txt = blk(vid, txt, temb, rope)
+        s_txt = txt.shape[1]
+        joint = self.norm_final(torch.cat([txt, vid], dim=1))
+        vid = joint[:, s_txt:]
+        vid = self.norm_out(vid, temb)
+        return self.proj_out(vid)
+
+
+# ---------------------------------------------------------------------------
 # AutoencoderKL decoder
 # ---------------------------------------------------------------------------
 
