@@ -486,6 +486,58 @@ def convert_sd3(state: Dict[str, np.ndarray], cfg) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Latte (diffusers LatteTransformer3DModel naming)
+# ---------------------------------------------------------------------------
+
+
+def convert_latte(state: Dict[str, np.ndarray], cfg) -> Any:
+    dt = cfg.dtype
+
+    def spatial(i):
+        p = f"transformer_blocks.{i}"
+        return {
+            "scale_shift_table": jnp.asarray(state[f"{p}.scale_shift_table"], dt),
+            "attn_qkv": _fused_qkv(
+                state, f"{p}.attn1.to_q", f"{p}.attn1.to_k", f"{p}.attn1.to_v", dt
+            ),
+            "attn_out": _lin(state, f"{p}.attn1.to_out.0", dt),
+            "cross_q": _lin(state, f"{p}.attn2.to_q", dt),
+            "cross_kv": _fused_kv(state, f"{p}.attn2.to_k", f"{p}.attn2.to_v", dt),
+            "cross_out": _lin(state, f"{p}.attn2.to_out.0", dt),
+            "ffn": {
+                "fc1": _lin(state, f"{p}.ff.net.0.proj", dt),
+                "fc2": _lin(state, f"{p}.ff.net.2", dt),
+            },
+        }
+
+    def temporal(i):
+        p = f"temporal_transformer_blocks.{i}"
+        return {
+            "scale_shift_table": jnp.asarray(state[f"{p}.scale_shift_table"], dt),
+            "attn_qkv": _fused_qkv(
+                state, f"{p}.attn1.to_q", f"{p}.attn1.to_k", f"{p}.attn1.to_v", dt
+            ),
+            "attn_out": _lin(state, f"{p}.attn1.to_out.0", dt),
+            "ffn": {
+                "fc1": _lin(state, f"{p}.ff.net.0.proj", dt),
+                "fc2": _lin(state, f"{p}.ff.net.2", dt),
+            },
+        }
+
+    return {
+        "patch_embed": _patch_conv_as_linear(state, "pos_embed.proj", dt),
+        "t_embed": _embedder(state, "adaln_single.emb.timestep_embedder", dt),
+        "adaln_single": _lin(state, "adaln_single.linear", dt),
+        "caption_fc1": _lin(state, "caption_projection.linear_1", dt),
+        "caption_fc2": _lin(state, "caption_projection.linear_2", dt),
+        "spatial_blocks": _stack([spatial(i) for i in range(cfg.num_pairs)]),
+        "temporal_blocks": _stack([temporal(i) for i in range(cfg.num_pairs)]),
+        "final_scale_shift": jnp.asarray(state["scale_shift_table"], dt),
+        "proj_out": _lin(state, "proj_out", dt),
+    }
+
+
+# ---------------------------------------------------------------------------
 # CogVideoX (diffusers CogVideoXTransformer3DModel naming)
 # ---------------------------------------------------------------------------
 

@@ -244,7 +244,14 @@ def _build_latte(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[st
     from compactfusion_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
 
     mcfg = latte_1()
-    params = init_latte(jax.random.PRNGKey(0), mcfg)
+    if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
+        from compactfusion_tpu.io import hf
+
+        params = hf.convert_latte(
+            hf.load_safetensors(os.path.join(checkpoint, "transformer")), mcfg
+        )
+    else:
+        params = init_latte(jax.random.PRNGKey(0), mcfg)
     pcfg = LattePipelineConfig(
         model=mcfg,
         parallel=engine.parallel_config,

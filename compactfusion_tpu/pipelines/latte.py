@@ -64,7 +64,7 @@ def build_sample_fn(cfg: LattePipelineConfig, mesh: Mesh):
     hp, wp = cfg.grid
     sched = ddpm_schedule(cfg.num_steps)
     pos = cm.sincos_pos_embed_2d(mcfg.dim, hp, wp)
-    tpos = cm.sinusoidal_embedding(jnp.arange(cfg.num_frames), mcfg.dim)
+    tpos = cm._sincos_embed_1d(jnp.arange(cfg.num_frames, dtype=jnp.float32), mcfg.dim)
     sp_axes = (AXIS_RING, AXIS_ULYSSES) if p.sp_degree > 1 else ()
     assert cfg.num_frames % p.sp_degree == 0, "frames must divide sp_degree"
 

@@ -78,6 +78,51 @@ def test_pixart_matches_torch(interp):
 
 
 # ---------------------------------------------------------------------------
+# Latte (spatial/temporal block pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_latte_matches_torch():
+    import dataclasses
+
+    from compactfusion_tpu.models.latte import latte_tiny, latte_forward
+
+    torch.manual_seed(14)
+    ref = torch_ref.LatteRef(
+        dim=64, num_pairs=2, heads=4, patch=2, in_channels=4, out_channels=8,
+        text_dim=32, sample_size=8, max_frames=8,
+    ).eval()
+    cfg = dataclasses.replace(latte_tiny(), dtype=jnp.float32)
+    params = hf.convert_latte(_state(ref), cfg)
+
+    rng = np.random.default_rng(15)
+    b, f, hp, wp = 2, 3, 4, 4
+    lat = rng.standard_normal((b, f, 4, 8, 8)).astype(np.float32)
+    t = np.array([123.0, 704.0], np.float32)
+    text = rng.standard_normal((b, 6, 32)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(lat), torch.tensor(t), torch.tensor(text), f
+        ).numpy()
+
+    tokens = jnp.concatenate(
+        [
+            cm.patchify(jnp.asarray(lat[:, i]).transpose(0, 2, 3, 1), cfg.patch)
+            for i in range(f)
+        ],
+        axis=1,
+    )  # frame-major (B, F*S_sp, p*p*C)
+    pos = cm.sincos_pos_embed_2d(cfg.dim, hp, wp)
+    tpos = cm._sincos_embed_1d(jnp.arange(f, dtype=jnp.float32), cfg.dim)
+    out, _ = latte_forward(
+        params, tokens, jnp.asarray(t), jnp.asarray(text), cfg,
+        frames_local=f, frames_total=f, spatial_tokens=hp * wp,
+        pos_embed=pos, temporal_pos_embed=tpos,
+    )
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
+
+
+# ---------------------------------------------------------------------------
 # FLUX
 # ---------------------------------------------------------------------------
 

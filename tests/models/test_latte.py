@@ -32,7 +32,7 @@ def test_latte_forward_sharded_matches_single(u, r):
     t = jnp.full((b,), 500.0)
     text = jnp.asarray(rng.standard_normal((b, 8, mcfg.text_dim)), jnp.float32)
     pos = cm.sincos_pos_embed_2d(mcfg.dim, hp, wp)
-    tpos = cm.sinusoidal_embedding(jnp.arange(frames), mcfg.dim)
+    tpos = cm._sincos_embed_1d(jnp.arange(frames, dtype=jnp.float32), mcfg.dim)
 
     def fwd(x, frames_local, sp_axes):
         out, _ = latte_forward(

@@ -334,6 +334,102 @@ class PixArtRef(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# Latte (alternating spatial / temporal PixArt-style blocks)
+# ---------------------------------------------------------------------------
+
+
+class _LatteTemporalBlock(nn.Module):
+    """BasicTransformerBlock(ada_norm_single) WITHOUT cross attention."""
+
+    def __init__(self, dim: int, heads: int):
+        super().__init__()
+        self.scale_shift_table = nn.Parameter(torch.randn(6, dim) / dim**0.5)
+        self.norm1 = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.attn1 = _PixArtAttention(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.ff = FeedForward(dim)
+
+    def forward(self, x, t6):
+        b = x.shape[0]
+        sh, sc, g, sh_m, sc_m, g_m = (
+            self.scale_shift_table[None] + t6.reshape(b, 6, -1)
+        ).chunk(6, dim=1)
+        xn = self.norm1(x) * (1 + sc) + sh
+        x = x + g * self.attn1(xn)
+        xn = self.norm2(x) * (1 + sc_m) + sh_m
+        return x + g_m * self.ff(xn)
+
+
+class LatteRef(nn.Module):
+    """LatteTransformer3DModel equivalent (token-space in/out).
+
+    Takes frame-major video tokens (B, F*S_sp, p*p*C); the temporal pos
+    table is sin-first 1D sincos added before the first temporal block."""
+
+    def __init__(self, dim=64, num_pairs=2, heads=4, patch=2, in_channels=4,
+                 out_channels=8, text_dim=32, sample_size=8, max_frames=8):
+        super().__init__()
+        self.patch = patch
+        self.pos_embed = PatchEmbed(
+            sample_size, sample_size, patch, in_channels, dim
+        )
+        self.adaln_single = AdaLayerNormSingle(dim)
+        self.caption_projection = PixArtAlphaTextProjection(text_dim, dim)
+        self.transformer_blocks = nn.ModuleList(
+            [_PixArtBlock(dim, heads) for _ in range(num_pairs)]
+        )
+        self.temporal_transformer_blocks = nn.ModuleList(
+            [_LatteTemporalBlock(dim, heads) for _ in range(num_pairs)]
+        )
+        # 1D sincos (sin first), like diffusers get_1d_sincos_pos_embed
+        omega = 1.0 / 10000.0 ** (
+            np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        )
+        ang = np.arange(max_frames)[:, None] * omega[None]
+        tpe = np.concatenate([np.sin(ang), np.cos(ang)], axis=1)
+        self.register_buffer(
+            "temp_pos_embed", torch.tensor(tpe, dtype=torch.float32),
+            persistent=False,
+        )
+        self.scale_shift_table = nn.Parameter(torch.randn(2, dim) / dim**0.5)
+        self.norm_out = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.proj_out = nn.Linear(dim, patch * patch * out_channels)
+
+    def forward(self, latents, t, text, frames):
+        # latents (B, F, C, H, W)
+        b, f = latents.shape[:2]
+        x = self.pos_embed(latents.flatten(0, 1))  # (B*F, S_sp, D)
+        s_sp = x.shape[1]
+        t6, emb = self.adaln_single(t)
+        text = self.caption_projection(text)
+        d = x.shape[-1]
+        for i, (sp, tb) in enumerate(
+            zip(self.transformer_blocks, self.temporal_transformer_blocks)
+        ):
+            t6_s = t6.repeat_interleave(f, dim=0)
+            text_s = text.repeat_interleave(f, dim=0)
+            x = sp(x, text_s, t6_s)
+            # to temporal: (B*F, S, D) -> (B*S, F, D)
+            xt = x.view(b, f, s_sp, d).permute(0, 2, 1, 3).reshape(
+                b * s_sp, f, d
+            )
+            if i == 0:
+                xt = xt + self.temp_pos_embed[:f][None]
+            t6_t = t6.repeat_interleave(s_sp, dim=0)
+            xt = tb(xt, t6_t)
+            x = xt.view(b, s_sp, f, d).permute(0, 2, 1, 3).reshape(
+                b * f, s_sp, d
+            )
+        shift, scale = (
+            self.scale_shift_table[None]
+            + emb.repeat_interleave(f, dim=0)[:, None]
+        ).chunk(2, dim=1)
+        x = self.norm_out(x) * (1 + scale) + shift
+        x = self.proj_out(x)
+        return x.view(b, f * s_sp, -1)
+
+
+# ---------------------------------------------------------------------------
 # FLUX
 # ---------------------------------------------------------------------------
 
