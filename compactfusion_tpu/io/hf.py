@@ -486,6 +486,75 @@ def convert_sd3(state: Dict[str, np.ndarray], cfg) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# HunyuanDiT (diffusers HunyuanDiT2DModel naming, v1.2: no style/size cond)
+# ---------------------------------------------------------------------------
+
+
+def convert_hunyuandit(state: Dict[str, np.ndarray], cfg) -> Any:
+    dt = cfg.dtype
+
+    def block(i, with_skip):
+        p = f"blocks.{i}"
+        out = {
+            "mod_shift": _lin(state, f"{p}.norm1.linear", dt),
+            "norm1": _norm(state, f"{p}.norm1.norm", dt),
+            "attn_qkv": _fused_qkv(
+                state, f"{p}.attn1.to_q", f"{p}.attn1.to_k",
+                f"{p}.attn1.to_v", dt,
+            ),
+            "q_norm": _norm(state, f"{p}.attn1.norm_q", dt),
+            "k_norm": _norm(state, f"{p}.attn1.norm_k", dt),
+            "attn_out": _lin(state, f"{p}.attn1.to_out.0", dt),
+            "norm2": _norm(state, f"{p}.norm2", dt),
+            "cross_q": _lin(state, f"{p}.attn2.to_q", dt),
+            "cross_kv": _fused_kv(
+                state, f"{p}.attn2.to_k", f"{p}.attn2.to_v", dt
+            ),
+            "cross_q_norm": _norm(state, f"{p}.attn2.norm_q", dt),
+            "cross_k_norm": _norm(state, f"{p}.attn2.norm_k", dt),
+            "cross_out": _lin(state, f"{p}.attn2.to_out.0", dt),
+            "norm3": _norm(state, f"{p}.norm3", dt),
+            "ffn": {
+                "fc1": _lin(state, f"{p}.ff.net.0.proj", dt),
+                "fc2": _lin(state, f"{p}.ff.net.2", dt),
+            },
+        }
+        if with_skip:
+            out["skip_norm"] = _norm(state, f"{p}.skip_norm", dt)
+            out["skip_proj"] = _lin(state, f"{p}.skip_linear", dt)
+        return out
+
+    half = cfg.depth // 2
+    te = "time_extra_emb"
+    return {
+        "patch_embed": _patch_conv_as_linear(state, "pos_embed.proj", dt),
+        "t_embed": _embedder(state, f"{te}.timestep_embedder", dt),
+        "text_embedder": {
+            "fc1": _lin(state, "text_embedder.linear_1", dt),
+            "fc2": _lin(state, "text_embedder.linear_2", dt),
+        },
+        "text_pad": jnp.asarray(state["text_embedding_padding"], dt),
+        "pooler": {
+            "pos": jnp.asarray(state[f"{te}.pooler.positional_embedding"], dt),
+            "q": _lin(state, f"{te}.pooler.q_proj", dt),
+            "k": _lin(state, f"{te}.pooler.k_proj", dt),
+            "v": _lin(state, f"{te}.pooler.v_proj", dt),
+            "out": _lin(state, f"{te}.pooler.c_proj", dt),
+        },
+        "extra_embedder": {
+            "fc1": _lin(state, f"{te}.extra_embedder.linear_1", dt),
+            "fc2": _lin(state, f"{te}.extra_embedder.linear_2", dt),
+        },
+        "down_blocks": _stack([block(i, False) for i in range(half)]),
+        "up_blocks": _stack(
+            [block(i, True) for i in range(half, cfg.depth)]
+        ),
+        "norm_out_mod": _lin(state, "norm_out.linear", dt),
+        "proj_out": _lin(state, "proj_out", dt),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Latte (diffusers LatteTransformer3DModel naming)
 # ---------------------------------------------------------------------------
 

@@ -38,9 +38,15 @@ class HunyuanDiTConfig:
     patch: int = 2
     in_channels: int = 4
     out_channels: int = 8
-    text_dim: int = 1024  # projected CLIP+T5 states
-    ffn_mult: int = 4
-    rope_axes: Tuple[int, ...] = (44, 44)  # head_dim 88 split over (h, w)
+    text_dim: int = 1024  # CLIP (Chinese BERT) states / projected T5 width
+    #: raw mT5 state width (projected to text_dim by text_embedder)
+    t5_dim: int = 2048
+    #: CLIP / T5 token counts (the 77+256=333 joint context)
+    text_len: int = 77
+    text_len_t5: int = 256
+    #: FFN hidden width — the real checkpoint uses mlp_ratio 4.3637 -> 6144
+    ffn_hidden: int = 6144
+    rope_axes: Tuple[int, ...] = (44, 44)  # head_dim 88 split over (w, h)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -52,9 +58,20 @@ def hunyuandit_v12() -> HunyuanDiTConfig:
     return HunyuanDiTConfig()
 
 
+def hunyuandit_positions(hp: int, wp: int) -> jnp.ndarray:
+    """(hp*wp, 2) rope ids in raster order, COLUMN coordinate first.
+
+    diffusers ``get_2d_rotary_pos_embed`` builds its grid with
+    ``np.meshgrid(w, h)`` so the first half of the rope dims embeds the
+    column (w) coordinate — same convention as the 2D sincos tables."""
+    pos = cm.patch_positions_2d(hp, wp)  # (S, 2) = (row, col)
+    return pos[:, ::-1]
+
+
 def hunyuandit_tiny() -> HunyuanDiTConfig:
     return HunyuanDiTConfig(
-        dim=64, depth=4, heads=4, text_dim=32, rope_axes=(8, 8)
+        dim=64, depth=4, heads=4, text_dim=32, t5_dim=48, text_len=6,
+        text_len_t5=8, ffn_hidden=128, rope_axes=(8, 8),
     )
 
 
@@ -62,19 +79,22 @@ def _init_block(key, cfg: HunyuanDiTConfig, with_skip: bool):
     d, dt, hd = cfg.dim, cfg.dtype, cfg.head_dim
     ks = jax.random.split(key, 8)
     p = {
+        # AdaLayerNormShift: AFFINE LayerNorm + shift from linear(silu(temb))
         "mod_shift": cm.init_linear(ks[0], d, d, dtype=dt),
+        "norm1": cm.init_layernorm(d, dtype=dt),
         "attn_qkv": cm.init_linear(ks[1], d, 3 * d, dtype=dt),
-        "q_norm": cm.init_rmsnorm(hd, dt),
-        "k_norm": cm.init_rmsnorm(hd, dt),
+        # qk norms are per-head AFFINE LayerNorms (qk_norm="layer_norm")
+        "q_norm": cm.init_layernorm(hd, dtype=dt),
+        "k_norm": cm.init_layernorm(hd, dtype=dt),
         "attn_out": cm.init_linear(ks[2], d, d, dtype=dt),
         "norm2": cm.init_layernorm(d, dtype=dt),
         "cross_q": cm.init_linear(ks[3], d, d, dtype=dt),
         "cross_kv": cm.init_linear(ks[4], cfg.text_dim, 2 * d, dtype=dt),
-        "cross_q_norm": cm.init_rmsnorm(hd, dt),
-        "cross_k_norm": cm.init_rmsnorm(hd, dt),
+        "cross_q_norm": cm.init_layernorm(hd, dtype=dt),
+        "cross_k_norm": cm.init_layernorm(hd, dtype=dt),
         "cross_out": cm.init_linear(ks[5], d, d, dtype=dt),
         "norm3": cm.init_layernorm(d, dtype=dt),
-        "ffn": cm.init_ffn(ks[6], d, cfg.ffn_mult * d, dtype=dt),
+        "ffn": cm.init_ffn(ks[6], d, cfg.ffn_hidden, dtype=dt),
     }
     if with_skip:
         p["skip_norm"] = cm.init_layernorm(2 * d, dtype=dt)
@@ -85,7 +105,7 @@ def _init_block(key, cfg: HunyuanDiTConfig, with_skip: bool):
 def init_hunyuandit(key, cfg: HunyuanDiTConfig):
     assert cfg.depth % 2 == 0
     d, dt = cfg.dim, cfg.dtype
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 16)
     half = cfg.depth // 2
     down = [
         _init_block(k, cfg, False) for k in jax.random.split(ks[0], half)
@@ -96,6 +116,26 @@ def init_hunyuandit(key, cfg: HunyuanDiTConfig):
             ks[2], cfg.patch**2 * cfg.in_channels, d, dtype=dt
         ),
         "t_embed": cm.init_timestep_embedder(ks[3], 256, d, dtype=dt),
+        # text conditioning stack (HunyuanCombinedTimestepTextSizeStyle
+        # embedding + T5 projection + learned padding, v1.2: no style/size)
+        "text_embedder": {
+            "fc1": cm.init_linear(ks[6], cfg.t5_dim, 4 * cfg.t5_dim, dtype=dt),
+            "fc2": cm.init_linear(ks[7], 4 * cfg.t5_dim, cfg.text_dim, dtype=dt),
+        },
+        "text_pad": jnp.zeros(
+            (cfg.text_len + cfg.text_len_t5, cfg.text_dim), dt
+        ),
+        "pooler": {
+            "pos": jnp.zeros((cfg.text_len_t5 + 1, cfg.t5_dim), dt),
+            "q": cm.init_linear(ks[8], cfg.t5_dim, cfg.t5_dim, dtype=dt),
+            "k": cm.init_linear(ks[9], cfg.t5_dim, cfg.t5_dim, dtype=dt),
+            "v": cm.init_linear(ks[10], cfg.t5_dim, cfg.t5_dim, dtype=dt),
+            "out": cm.init_linear(ks[11], cfg.t5_dim, cfg.text_dim, dtype=dt),
+        },
+        "extra_embedder": {
+            "fc1": cm.init_linear(ks[12], cfg.text_dim, 4 * d, dtype=dt),
+            "fc2": cm.init_linear(ks[13], 4 * d, d, dtype=dt),
+        },
         "down_blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *down),
         "up_blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *up),
         "norm_out_mod": cm.init_linear(ks[4], d, 2 * d, dtype=dt),
@@ -103,6 +143,70 @@ def init_hunyuandit(key, cfg: HunyuanDiTConfig):
             ks[5], d, cfg.patch**2 * cfg.out_channels, dtype=dt
         ),
     }
+
+
+def hunyuandit_condition(
+    params,
+    clip_text: jax.Array,
+    t5_text: jax.Array,
+    clip_mask: Optional[jax.Array],
+    t5_mask: Optional[jax.Array],
+    cfg: HunyuanDiTConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Build the joint text context + the extra timestep conditioning.
+
+    diffusers HunyuanDiT2DModel.forward: T5 states project through
+    ``text_embedder`` (silu MLP), concat after the CLIP states, masked
+    positions replaced by the LEARNED ``text_embedding_padding`` rows (no
+    attention mask afterwards); the extra temb is the attention-pooled T5
+    states through ``extra_embedder``.
+
+    Returns (text (B, 77+256, text_dim), temb_extra (B, dim)).
+    """
+    b = clip_text.shape[0]
+    t5_proj = cm.linear(
+        params["text_embedder"]["fc2"],
+        cm.silu(cm.linear(params["text_embedder"]["fc1"], t5_text)),
+    )
+    text = jnp.concatenate([clip_text.astype(t5_proj.dtype), t5_proj], axis=1)
+    if clip_mask is None:
+        clip_mask = jnp.ones(clip_text.shape[:2], bool)
+    if t5_mask is None:
+        t5_mask = jnp.ones(t5_text.shape[:2], bool)
+    mask = jnp.concatenate([clip_mask, t5_mask], axis=1)
+    text = jnp.where(
+        mask[..., None], text, params["text_pad"].astype(text.dtype)[None]
+    )
+
+    # HunyuanDiTAttentionPool over the T5 states
+    pooled = _attention_pool(params["pooler"], t5_text.astype(text.dtype))
+    extra = cm.linear(
+        params["extra_embedder"]["fc2"],
+        cm.silu(cm.linear(params["extra_embedder"]["fc1"], pooled)),
+    )
+    return text, extra
+
+
+def _attention_pool(p, x: jax.Array) -> jax.Array:
+    """CLIP-style attention pooling (HunyuanDiTAttentionPool): prepend the
+    mean token, add a learned positional table, single multi-head attention
+    with the mean token as the only query, project out."""
+    b, s, c = x.shape
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    x = jnp.concatenate([mean, x], axis=1) + p["pos"].astype(x.dtype)[None]
+    heads = 8
+    hd = c // heads
+    q = cm.linear(p["q"], x[:, :1]).reshape(b, 1, heads, hd)
+    k = cm.linear(p["k"], x).reshape(b, s + 1, heads, hd)
+    v = cm.linear(p["v"], x).reshape(b, s + 1, heads, hd)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk",
+        q.astype(jnp.float32) * hd**-0.5,
+        k.astype(jnp.float32),
+    )
+    w = jax.nn.softmax(scores, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", w, v.astype(jnp.float32))
+    return cm.linear(p["out"], o.reshape(b, 1, c).astype(x.dtype))[:, 0]
 
 
 def _heads(x, h):
@@ -121,23 +225,26 @@ def _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis):
     cos, sin = rope
 
     def block_body(p, x, state):
-        # AdaLN-shift self attention with RoPE + QK norm
+        # AdaLayerNormShift self attention with RoPE + affine LN QK norm
         shift = cm.linear(p["mod_shift"], cm.silu(temb))[:, None, :]
-        xn = cm.layernorm({}, x) + shift
+        xn = cm.layernorm(p["norm1"], x) + shift
         q, k, v = [
             _heads(y, h) for y in jnp.split(cm.linear(p["attn_qkv"], xn), 3, -1)
         ]
-        q, k = cm.rmsnorm(p["q_norm"], q), cm.rmsnorm(p["k_norm"], k)
+        q = cm.layernorm(p["q_norm"], q)
+        k = cm.layernorm(p["k_norm"], k)
         q, k = cm.apply_rope(q, cos, sin), cm.apply_rope(k, cos, sin)
         o, state = attn(q, k, v, state)
         x = x + cm.linear(p["attn_out"], _unheads(o))
 
-        # cross attention to text
+        # cross attention to text — QUERIES are rotary-embedded too
+        # (diffusers HunyuanAttnProcessor2_0 applies rope to q always,
+        # to k only when self-attention)
         xn = cm.layernorm(p["norm2"], x)
         q = _heads(cm.linear(p["cross_q"], xn), h)
         kt, vt = jnp.split(cm.linear(p["cross_kv"], text), 2, -1)
-        q = cm.rmsnorm(p["cross_q_norm"], q)
-        kt = cm.rmsnorm(p["cross_k_norm"], _heads(kt, h))
+        q = cm.apply_rope(cm.layernorm(p["cross_q_norm"], q), cos, sin)
+        kt = cm.layernorm(p["cross_k_norm"], _heads(kt, h))
         o = _cross_attn(q, kt, _heads(vt, h), kv_mask)
         x = x + cm.linear(p["cross_out"], _unheads(o))
 
@@ -206,15 +313,21 @@ def hunyuandit_forward(
     text_mask: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
     pp_stages: int = 1,
+    temb_extra: Optional[jax.Array] = None,
 ):
     """HunyuanDiT denoiser on local token shards.
 
-    x: (B, S_local, p*p*C); text: (B, S_txt, text_dim) replicated;
-    rope: (cos, sin) for the local tokens.
+    x: (B, S_local, p*p*C); text: (B, S_txt, text_dim) replicated (use
+    :func:`hunyuandit_condition` to build the joint 77+256 context and
+    ``temb_extra`` from raw CLIP/T5 states — with it, pass
+    ``text_mask=None`` since masked rows already carry the learned
+    padding embeddings); rope: (cos, sin) for the local tokens.
     Returns (out, new_state_down, new_state_up).
     """
     x = cm.linear(params["patch_embed"], x)
     temb = cm.timestep_embedder(params["t_embed"], t, 256)
+    if temb_extra is not None:
+        temb = temb + temb_extra.astype(temb.dtype)
     kv_mask = text_mask[:, None, None, :] if text_mask is not None else None
     body = _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis)
 

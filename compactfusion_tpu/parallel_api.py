@@ -362,7 +362,14 @@ def _build_hunyuan(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[
     )
 
     mcfg = hunyuandit_v12()
-    params = init_hunyuandit(jax.random.PRNGKey(0), mcfg)
+    if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
+        from compactfusion_tpu.io import hf
+
+        params = hf.convert_hunyuandit(
+            hf.load_safetensors(os.path.join(checkpoint, "transformer")), mcfg
+        )
+    else:
+        params = init_hunyuandit(jax.random.PRNGKey(0), mcfg)
     pcfg = HunyuanDiTPipelineConfig(
         model=mcfg,
         parallel=engine.parallel_config,

@@ -89,7 +89,9 @@ def build_sample_fn(cfg: HunyuanDiTPipelineConfig, mesh: Mesh, params_tree=None)
     mcfg = cfg.model
     hp, wp = cfg.grid
     sched = ddpm_schedule(cfg.num_steps)
-    pos = cm.patch_positions_2d(hp, wp)
+    from compactfusion_tpu.models.hunyuandit import hunyuandit_positions
+
+    pos = hunyuandit_positions(hp, wp)
     cos_full, sin_full = cm.rope_frequencies(pos, mcfg.rope_axes)
 
     schedule = [

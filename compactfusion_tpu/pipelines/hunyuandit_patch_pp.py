@@ -61,7 +61,9 @@ def build_hunyuandit_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
     s_patch = S // M
     sched = ddpm_schedule(cfg.num_steps)
     warmup = min(max(cfg.runtime_warmup_steps, 1), cfg.num_steps)
-    pos = cm.patch_positions_2d(hp, wp)
+    from compactfusion_tpu.models.hunyuandit import hunyuandit_positions
+
+    pos = hunyuandit_positions(hp, wp)
     cos_full, sin_full = cm.rope_frequencies(pos, mcfg.rope_axes)
     attn = PatchKVAttn()
     ring = [(s_, (s_ + 1) % PS) for s_ in range(PS)]

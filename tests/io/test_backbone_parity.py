@@ -78,6 +78,62 @@ def test_pixart_matches_torch(interp):
 
 
 # ---------------------------------------------------------------------------
+# HunyuanDiT (U-ViT skips, text pool conditioning, rope'd cross queries)
+# ---------------------------------------------------------------------------
+
+
+def test_hunyuandit_matches_torch():
+    import dataclasses
+
+    from compactfusion_tpu.models.hunyuandit import (
+        hunyuandit_condition,
+        hunyuandit_forward,
+        hunyuandit_positions,
+        hunyuandit_tiny,
+    )
+
+    torch.manual_seed(16)
+    ref = torch_ref.HunyuanDiTRef(
+        dim=64, depth=4, heads=4, patch=2, in_channels=4, out_channels=8,
+        text_dim=32, t5_dim=48, text_len=6, text_len_t5=8, ffn_hidden=128,
+        rope_axes=(8, 8),
+    ).eval()
+    cfg = dataclasses.replace(hunyuandit_tiny(), dtype=jnp.float32)
+    params = hf.convert_hunyuandit(_state(ref), cfg)
+
+    rng = np.random.default_rng(17)
+    hp = wp = 4
+    lat = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    t = np.array([88.0, 619.0], np.float32)
+    clip_text = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    t5_text = rng.standard_normal((2, 8, 48)).astype(np.float32)
+    clip_mask = np.array([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 0]], bool)
+    t5_mask = np.array(
+        [[1, 1, 1, 1, 0, 0, 0, 0], [1, 1, 0, 0, 0, 0, 0, 0]], bool
+    )
+    ids = hunyuandit_positions(hp, wp)
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(lat), torch.tensor(t), torch.tensor(clip_text),
+            torch.tensor(t5_text), torch.tensor(clip_mask),
+            torch.tensor(t5_mask), torch.tensor(np.asarray(ids)),
+        ).numpy()
+
+    text, extra = hunyuandit_condition(
+        params, jnp.asarray(clip_text), jnp.asarray(t5_text),
+        jnp.asarray(clip_mask), jnp.asarray(t5_mask), cfg,
+    )
+    tokens = cm.patchify(jnp.asarray(lat).transpose(0, 2, 3, 1), cfg.patch)
+    out, _, _ = hunyuandit_forward(
+        params, tokens, jnp.asarray(t), text, cfg,
+        rope=cm.rope_frequencies(ids, cfg.rope_axes),
+        temb_extra=extra,
+    )
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
+
+
+# ---------------------------------------------------------------------------
 # Latte (spatial/temporal block pairs)
 # ---------------------------------------------------------------------------
 

@@ -8,6 +8,7 @@ import pytest
 from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.hunyuandit import (
+    hunyuandit_positions,
     hunyuandit_forward,
     hunyuandit_tiny,
     init_hunyuandit,
@@ -40,7 +41,7 @@ def test_forward_shapes(tiny):
     x = jnp.ones((b, s, mcfg.patch**2 * mcfg.in_channels), mcfg.dtype)
     text = jnp.ones((b, s_txt, mcfg.text_dim), mcfg.dtype)
     t = jnp.full((b,), 500.0)
-    rope = cm.rope_frequencies(cm.patch_positions_2d(4, 4), mcfg.rope_axes)
+    rope = cm.rope_frequencies(hunyuandit_positions(4, 4), mcfg.rope_axes)
     out, sd, su = jax.jit(
         lambda p, x, t, c: hunyuandit_forward(p, x, t, c, mcfg, rope=rope)
     )(params, x, t, text)

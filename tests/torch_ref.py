@@ -58,10 +58,11 @@ class TimestepEmbedding(nn.Module):
 class PixArtAlphaTextProjection(nn.Module):
     """linear_1 -> act -> linear_2 (act: gelu_tanh or silu)."""
 
-    def __init__(self, in_dim: int, dim: int, act: str = "gelu_tanh"):
+    def __init__(self, in_dim: int, dim: int, act: str = "gelu_tanh",
+                 hidden: Optional[int] = None):
         super().__init__()
-        self.linear_1 = nn.Linear(in_dim, dim)
-        self.linear_2 = nn.Linear(dim, dim)
+        self.linear_1 = nn.Linear(in_dim, hidden or dim)
+        self.linear_2 = nn.Linear(hidden or dim, dim)
         self.act = act
 
     def forward(self, x):
@@ -927,6 +928,197 @@ class SD3Ref(nn.Module):
         txt = self.context_embedder(text)
         for blk in self.transformer_blocks:
             x, txt = blk(x, txt, temb)
+        x = self.norm_out(x, temb)
+        return self.proj_out(x)
+
+
+# ---------------------------------------------------------------------------
+# HunyuanDiT (U-ViT with long skips, rope'd cross-attn queries, text pool)
+# ---------------------------------------------------------------------------
+
+
+class _HunyuanAttention(nn.Module):
+    """Attention with per-head affine-LN qk norm; rope on q always, on k
+    only for self-attention (diffusers HunyuanAttnProcessor2_0)."""
+
+    def __init__(self, dim: int, heads: int, kv_dim=None):
+        super().__init__()
+        self.heads = heads
+        hd = dim // heads
+        kv_dim = kv_dim or dim
+        self.to_q = nn.Linear(dim, dim)
+        self.to_k = nn.Linear(kv_dim, dim)
+        self.to_v = nn.Linear(kv_dim, dim)
+        self.norm_q = nn.LayerNorm(hd, eps=1e-6)
+        self.norm_k = nn.LayerNorm(hd, eps=1e-6)
+        self.to_out = nn.ModuleList([nn.Linear(dim, dim), nn.Identity()])
+
+    def forward(self, x, rope, context=None):
+        is_cross = context is not None
+        context = x if context is None else context
+        b, s, d = x.shape
+        h = self.heads
+        q = self.norm_q(self.to_q(x).view(b, s, h, d // h)).transpose(1, 2)
+        k = self.norm_k(
+            self.to_k(context).view(b, -1, h, d // h)
+        ).transpose(1, 2)
+        v = self.to_v(context).view(b, -1, h, d // h).transpose(1, 2)
+        if rope is not None:
+            cos, sin = rope
+            q = apply_rope_torch(q, cos, sin)
+            if not is_cross:
+                k = apply_rope_torch(k, cos, sin)
+        o = _sdpa(q, k, v).transpose(1, 2).reshape(b, s, d)
+        return self.to_out[0](o)
+
+
+class _HunyuanBlock(nn.Module):
+    def __init__(self, dim: int, heads: int, kv_dim: int, ffn_hidden: int,
+                 with_skip: bool):
+        super().__init__()
+
+        class AdaShift(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm = nn.LayerNorm(dim, eps=1e-6)
+                self.linear = nn.Linear(dim, dim)
+
+            def forward(self, x, temb):
+                return self.norm(x) + self.linear(F.silu(temb))[:, None]
+
+        class FF(nn.Module):
+            def __init__(self):
+                super().__init__()
+
+                class Proj(nn.Module):
+                    def __init__(self):
+                        super().__init__()
+                        self.proj = nn.Linear(dim, ffn_hidden)
+
+                    def forward(self, x):
+                        return F.gelu(self.proj(x), approximate="tanh")
+
+                self.net = nn.ModuleList(
+                    [Proj(), nn.Identity(), nn.Linear(ffn_hidden, dim)]
+                )
+
+            def forward(self, x):
+                for m in self.net:
+                    x = m(x)
+                return x
+
+        self.norm1 = AdaShift()
+        self.attn1 = _HunyuanAttention(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn2 = _HunyuanAttention(dim, heads, kv_dim=kv_dim)
+        self.norm3 = nn.LayerNorm(dim, eps=1e-6)
+        self.ff = FF()
+        if with_skip:
+            self.skip_norm = nn.LayerNorm(2 * dim, eps=1e-6)
+            self.skip_linear = nn.Linear(2 * dim, dim)
+
+    def forward(self, x, text, temb, rope, skip=None):
+        if skip is not None:
+            x = self.skip_linear(self.skip_norm(torch.cat([x, skip], -1)))
+        x = x + self.attn1(self.norm1(x, temb), rope)
+        x = x + self.attn2(self.norm2(x), rope, context=text)
+        x = x + self.ff(self.norm3(x))
+        return x
+
+
+class HunyuanDiTRef(nn.Module):
+    """HunyuanDiT2DModel equivalent (v1.2: no style/size conditioning)."""
+
+    def __init__(self, dim=64, depth=4, heads=4, patch=2, in_channels=4,
+                 out_channels=8, text_dim=32, t5_dim=48, text_len=6,
+                 text_len_t5=8, ffn_hidden=128, rope_axes=(8, 8)):
+        super().__init__()
+        self.rope_axes = rope_axes
+        self.patch = patch
+
+        class PE(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Conv2d(in_channels, dim, patch, stride=patch)
+
+            def forward(self, x):
+                return self.proj(x).flatten(2).transpose(1, 2)
+
+        class Pooler(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.positional_embedding = nn.Parameter(
+                    torch.randn(text_len_t5 + 1, t5_dim) / t5_dim**0.5
+                )
+                self.q_proj = nn.Linear(t5_dim, t5_dim)
+                self.k_proj = nn.Linear(t5_dim, t5_dim)
+                self.v_proj = nn.Linear(t5_dim, t5_dim)
+                self.c_proj = nn.Linear(t5_dim, text_dim)
+
+            def forward(self, x):  # (B, L, C)
+                x = torch.cat([x.mean(1, keepdim=True), x], dim=1)
+                x = x + self.positional_embedding[None]
+                b, s, c = x.shape
+                h = 8
+                q = self.q_proj(x[:, :1]).view(b, 1, h, c // h).transpose(1, 2)
+                k = self.k_proj(x).view(b, s, h, c // h).transpose(1, 2)
+                v = self.v_proj(x).view(b, s, h, c // h).transpose(1, 2)
+                o = _sdpa(q, k, v).transpose(1, 2).reshape(b, 1, c)
+                return self.c_proj(o)[:, 0]
+
+        class TimeExtra(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.timestep_embedder = TimestepEmbedding(256, dim)
+                self.pooler = Pooler()
+                self.extra_embedder = PixArtAlphaTextProjection(
+                    text_dim, dim, "silu", hidden=4 * dim
+                )
+
+            def forward(self, t, t5_states):
+                temb = self.timestep_embedder(timesteps_proj(t))
+                pooled = self.pooler(t5_states)
+                # extra_embedder in diffusers is a 2-layer silu MLP with its
+                # own hidden size; PixArtAlphaTextProjection(hidden=4*dim)
+                return temb + self.extra_embedder(pooled)
+
+        self.pos_embed = PE()
+        self.time_extra_emb = TimeExtra()
+        self.text_embedder = PixArtAlphaTextProjection(
+            t5_dim, text_dim, "silu", hidden=4 * t5_dim
+        )
+        self.text_embedding_padding = nn.Parameter(
+            torch.randn(text_len + text_len_t5, text_dim) * 0.02
+        )
+        half = depth // 2
+        self.blocks = nn.ModuleList(
+            [
+                _HunyuanBlock(dim, heads, text_dim, ffn_hidden, i >= half)
+                for i in range(depth)
+            ]
+        )
+        self.norm_out = AdaLayerNormContinuous(dim, dim)
+        self.proj_out = nn.Linear(dim, patch * patch * out_channels)
+
+    def forward(self, latents, t, clip_text, t5_text, clip_mask, t5_mask,
+                img_ids):
+        x = self.pos_embed(latents)
+        temb = self.time_extra_emb(t, t5_text)
+        t5_proj = self.text_embedder(t5_text)
+        text = torch.cat([clip_text, t5_proj], dim=1)
+        mask = torch.cat([clip_mask, t5_mask], dim=1)
+        text = torch.where(
+            mask[..., None], text, self.text_embedding_padding[None]
+        )
+        rope = flux_rope(img_ids, self.rope_axes)
+        half = len(self.blocks) // 2
+        skips = []
+        for i, blk in enumerate(self.blocks):
+            if i < half:
+                x = blk(x, text, temb, rope)
+                skips.append(x)
+            else:
+                x = blk(x, text, temb, rope, skip=skips[len(self.blocks) - 1 - i])
         x = self.norm_out(x, temb)
         return self.proj_out(x)
 
