@@ -648,6 +648,129 @@ def convert_cogvideox(state: Dict[str, np.ndarray], cfg) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Step-Video (the reference's own vendored naming: customized/step_video_t2v)
+# ---------------------------------------------------------------------------
+
+
+def convert_stepvideo(state: Dict[str, np.ndarray], cfg) -> Any:
+    """Step-Video-T2V checkpoint -> full-TP param tree.
+
+    Block naming follows the reference's vendored model
+    (``customized/step_video_t2v/blocks.py``): per-head-packed ``wqkv``
+    (rows grouped (head, [q|k|v], head_dim)), bias-free projections, affine
+    RMSNorm qk norms; top level uses the PixArt-style AdaLayerNormSingle +
+    caption projection also vendored there (``normalization.py:252-313``).
+    """
+    dt = cfg.dtype
+    d, h, hd = cfg.dim, cfg.heads, cfg.head_dim
+
+    def qkv_from_packed(w, b=None):
+        # torch (3d, d) rows grouped (h, 3, hd) -> (d, 3, h, hd)
+        wj = np.transpose(
+            np.asarray(w).reshape(h, 3, hd, d), (3, 1, 0, 2)
+        )
+        bj = (
+            np.asarray(b).reshape(h, 3, hd).transpose(1, 0, 2)
+            if b is not None
+            else np.zeros((3, h, hd), np.float32)
+        )
+        return {"w": jnp.asarray(wj, dt), "b": jnp.asarray(bj, dt)}
+
+    def q_only(name):
+        # wq (d, d) rows grouped (h, hd) -> q slot of a (d, 3, h, hd) triple
+        w = np.asarray(state[f"{name}.weight"]).reshape(h, hd, d)
+        full = np.zeros((d, 3, h, hd), np.float32)
+        full[:, 0] = np.transpose(w, (2, 0, 1))
+        return {"w": jnp.asarray(full, dt), "b": jnp.zeros((3, h, hd), dt)}
+
+    def kv_only(name):
+        # wkv (2d, d) rows grouped (h, 2, hd) -> k/v slots
+        w = np.asarray(state[f"{name}.weight"]).reshape(h, 2, hd, d)
+        full = np.zeros((d, 3, h, hd), np.float32)
+        full[:, 1] = np.transpose(w[:, 0], (2, 0, 1))
+        full[:, 2] = np.transpose(w[:, 1], (2, 0, 1))
+        return {"w": jnp.asarray(full, dt), "b": jnp.zeros((3, h, hd), dt)}
+
+    def head_out(name):
+        # wo (d, h*hd) cols grouped per head -> (h, hd, d)
+        w = np.asarray(state[f"{name}.weight"]).reshape(d, h, hd)
+        b = state.get(f"{name}.bias")
+        return {
+            "w": jnp.asarray(np.transpose(w, (1, 2, 0)), dt),
+            "b": jnp.asarray(
+                b if b is not None else np.zeros((d,), np.float32), dt
+            ),
+        }
+
+    def rms(name):
+        return {"g": jnp.asarray(state[f"{name}.weight"], dt)}
+
+    blocks = []
+    for i in range(cfg.depth):
+        p = f"transformer_blocks.{i}"
+        blocks.append(
+            {
+                "scale_shift_table": jnp.asarray(
+                    state[f"{p}.scale_shift_table"], dt
+                ),
+                "norm1": _norm(state, f"{p}.norm1", dt),
+                "qkv": qkv_from_packed(
+                    state[f"{p}.attn1.wqkv.weight"],
+                    state.get(f"{p}.attn1.wqkv.bias"),
+                ),
+                "q_norm": rms(f"{p}.attn1.q_norm"),
+                "k_norm": rms(f"{p}.attn1.k_norm"),
+                "attn_out": head_out(f"{p}.attn1.wo"),
+                "cross_q": q_only(f"{p}.attn2.wq"),
+                "cross_kv": kv_only(f"{p}.attn2.wkv"),
+                "cross_q_norm": rms(f"{p}.attn2.q_norm"),
+                "cross_k_norm": rms(f"{p}.attn2.k_norm"),
+                "cross_out": head_out(f"{p}.attn2.wo"),
+                "norm2": _norm(state, f"{p}.norm2", dt),
+                "ffn": {
+                    "fc1": _lin(state, f"{p}.ff.net.0.proj", dt),
+                    "fc2": _lin(state, f"{p}.ff.net.2", dt),
+                },
+            }
+        )
+    return {
+        "patch_embed": _patch_conv_as_linear(state, "pos_embed.proj", dt),
+        "text_proj": {
+            "fc1": _lin(state, "caption_projection.linear_1", dt),
+            "fc2": _lin(state, "caption_projection.linear_2", dt),
+        },
+        "t_embed": _embedder(state, "adaln_single.emb.timestep_embedder", dt),
+        "adaln": _lin(state, "adaln_single.linear", dt),
+        "blocks": _stack(blocks),
+        "final_scale_shift": jnp.asarray(state["scale_shift_table"], dt),
+        "proj_out": _lin(state, "proj_out", dt),
+    }
+
+
+def convert_consisid(state: Dict[str, np.ndarray], cfg) -> Any:
+    """ConsisID base weights (the CogVideoX block naming is shared).
+
+    Loads the video backbone; the identity-injection modules
+    (``perceiver_cross_attention.*`` / ``local_facial_extractor.*``) use a
+    different perceiver layout than our gated ID cross-attention and are
+    left ZERO-GATED — the loaded model reproduces the CogVideoX-equivalent
+    behavior exactly (ConsisID's gates reduce to identity when unused);
+    mapping the perceiver weights is tracked in docs/PARITY.md.
+    """
+    import jax
+
+    from compactfusion_tpu.models.consisid import _init_id_attn
+
+    params = convert_cogvideox(state, cfg)
+    id_attns = [
+        _init_id_attn(k, cfg)
+        for k in jax.random.split(jax.random.PRNGKey(0), cfg.depth)
+    ]
+    params["id_attns"] = _stack(id_attns)  # zero gates by construction
+    return params
+
+
+# ---------------------------------------------------------------------------
 # 3D video VAE decoder (diffusers AutoencoderKLCogVideoX naming)
 # ---------------------------------------------------------------------------
 

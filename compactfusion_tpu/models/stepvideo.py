@@ -39,7 +39,9 @@ class StepVideoConfig:
     in_channels: int = 64
     text_dim: int = 6144
     ffn_mult: int = 4
-    axes_dim: Tuple[int, ...] = (32, 48, 48)  # head_dim 128 over (t, h, w)
+    #: rope channel split over (f, h, w) — the reference's rope_ch_split
+    #: [64, 32, 32] over head_dim 128 (blocks.py:40)
+    axes_dim: Tuple[int, ...] = (64, 32, 32)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -57,6 +59,44 @@ def stepvideo_tiny() -> StepVideoConfig:
     )
 
 
+def stepvideo_rope_tables(
+    frames: int, hp: int, wp: int, ch_split: Tuple[int, ...], theta: float = 1e4
+):
+    """Per-axis HALF-SPLIT rope tables (reference ``RoPE3D``/``RoPE1D``:
+    frequencies duplicated ``cat((freqs, freqs))`` and rotation via
+    ``rotate_half`` — NOT the interleaved-pair convention).
+
+    Returns a list of (cos, sin) pairs, each (S, D_axis) fp32, positions in
+    ``cartesian_prod(f, h, w)`` order (= frame-major raster)."""
+    from compactfusion_tpu.models.cogvideox import video_positions
+
+    mesh = video_positions(frames, hp, wp)  # (S, 3) = (f, h, w)
+    tables = []
+    for i, dax in enumerate(ch_split):
+        inv = 1.0 / theta ** (
+            jnp.arange(0, dax, 2, dtype=jnp.float32) / dax
+        )
+        ang = mesh[:, i].astype(jnp.float32)[:, None] * inv[None]
+        ang = jnp.concatenate([ang, ang], axis=-1)  # (S, dax)
+        tables.append((jnp.cos(ang), jnp.sin(ang)))
+    return tables
+
+
+def apply_rope_3d_half(x: jax.Array, tables, ch_split) -> jax.Array:
+    """Rotate (B, S, H, D) per channel chunk with half-split tables."""
+    outs = []
+    off = 0
+    for (cos, sin), dax in zip(tables, ch_split):
+        c = x[..., off : off + dax].astype(jnp.float32)
+        x1, x2 = c[..., : dax // 2], c[..., dax // 2 :]
+        rot = jnp.concatenate([-x2, x1], axis=-1)
+        outs.append(
+            c * cos[None, :, None, :] + rot * sin[None, :, None, :]
+        )
+        off += dax
+    return jnp.concatenate(outs, axis=-1).astype(x.dtype)
+
+
 def _init_qkv(key, cfg: StepVideoConfig):
     d, h, hd, dt = cfg.dim, cfg.heads, cfg.head_dim, cfg.dtype
     w = jax.random.truncated_normal(key, -2, 2, (d, 3, h, hd), jnp.float32)
@@ -70,15 +110,21 @@ def _init_headout(key, cfg: StepVideoConfig):
 
 
 def _init_block(key, cfg: StepVideoConfig):
-    d, dt = cfg.dim, cfg.dtype
+    d, dt, hd = cfg.dim, cfg.dtype, cfg.head_dim
     ks = jax.random.split(key, 8)
     return {
         "scale_shift_table": jnp.zeros((6, d), dt),
+        "norm1": cm.init_layernorm(d, dtype=dt),
         "qkv": _init_qkv(ks[0], cfg),
+        "q_norm": cm.init_rmsnorm(hd, dt),
+        "k_norm": cm.init_rmsnorm(hd, dt),
         "attn_out": _init_headout(ks[1], cfg),
         "cross_q": _init_qkv(ks[2], cfg),  # reuses (d,3,h,hd); q slice used
         "cross_kv": _init_qkv(ks[3], cfg),  # k/v slices used
+        "cross_q_norm": cm.init_rmsnorm(hd, dt),
+        "cross_k_norm": cm.init_rmsnorm(hd, dt),
         "cross_out": _init_headout(ks[4], cfg),
+        "norm2": cm.init_layernorm(d, dtype=dt),
         "ffn": cm.init_ffn(ks[5], d, cfg.ffn_mult * d, dtype=dt),
     }
 
@@ -89,11 +135,17 @@ def init_stepvideo(key, cfg: StepVideoConfig):
     blocks = [_init_block(k, cfg) for k in jax.random.split(ks[0], cfg.depth)]
     return {
         "patch_embed": cm.init_linear(ks[1], cfg.in_channels, d, dtype=dt),
-        "text_proj": cm.init_linear(ks[2], cfg.text_dim, d, dtype=dt),
+        # caption projection: linear -> gelu(tanh) -> linear (reference
+        # PixArtAlphaTextProjection, normalization.py:289-313)
+        "text_proj": {
+            "fc1": cm.init_linear(ks[2], cfg.text_dim, d, dtype=dt),
+            "fc2": cm.init_linear(ks[7], d, d, dtype=dt),
+        },
         "t_embed": cm.init_timestep_embedder(ks[3], 256, d, dtype=dt),
         "adaln": cm.init_linear(ks[4], d, 6 * d, dtype=dt),
         "blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *blocks),
-        "norm_out_mod": cm.init_linear(ks[5], d, 2 * d, dtype=dt),
+        # PixArt-style head: scale_shift_table + embedded timestep
+        "final_scale_shift": jnp.zeros((2, d), dt),
         "proj_out": cm.init_linear(ks[6], d, cfg.in_channels, dtype=dt),
     }
 
@@ -110,19 +162,25 @@ def stepvideo_param_specs(cfg: StepVideoConfig) -> Any:
     }
     return {
         "patch_embed": lin,
-        "text_proj": lin,
+        "text_proj": {"fc1": lin, "fc2": lin},
         "t_embed": emb,
         "adaln": lin,
         "blocks": {
             "scale_shift_table": P(),
+            "norm1": {"g": P(), "b": P()},
             "qkv": qkv,
+            "q_norm": {"g": P()},
+            "k_norm": {"g": P()},
             "attn_out": headout,
             "cross_q": qkv,
             "cross_kv": qkv,
+            "cross_q_norm": {"g": P()},
+            "cross_k_norm": {"g": P()},
             "cross_out": headout,
+            "norm2": {"g": P(), "b": P()},
             "ffn": ffn,
         },
-        "norm_out_mod": lin,
+        "final_scale_shift": P(),
         "proj_out": lin,
     }
 
@@ -148,7 +206,7 @@ def stepvideo_forward(
     t: jax.Array,
     cfg: StepVideoConfig,
     *,
-    video_rope: Tuple[jax.Array, jax.Array],
+    video_rope,
     attn=SingleDeviceAttn(),
     attn_state=(),
     tp_axis: Optional[str] = None,
@@ -157,15 +215,19 @@ def stepvideo_forward(
     """StepVideo denoiser on local token shards with full TP.
 
     video: (B, S_local, C); txt: (B, S_txt, text_dim) replicated;
+    video_rope: list of per-axis half-split (cos, sin) tables from
+    :func:`stepvideo_rope_tables` (sliced to the local tokens).
     With tp: every attention runs on heads/tp local heads; USP ulysses
     composes on top (heads split over tp x ulysses).
     """
     d = cfg.dim
     h_local = cfg.heads // tp_size
-    cos, sin = video_rope
 
     x = cm.linear(params["patch_embed"], video)
-    txt = cm.linear(params["text_proj"], txt)
+    txt = cm.linear(
+        params["text_proj"]["fc2"],
+        cm.gelu(cm.linear(params["text_proj"]["fc1"], txt)),
+    )
     temb = cm.timestep_embedder(params["t_embed"], t, 256)
     mod6 = cm.linear(params["adaln"], cm.silu(temb)).reshape(-1, 6, d)
 
@@ -177,26 +239,32 @@ def stepvideo_forward(
         table = p["scale_shift_table"][None] + mod6
         sh_a, sc_a, g_a, sh_m, sc_m, g_m = [table[:, i][:, None] for i in range(6)]
 
-        xn = cm.layernorm({}, x) * (1 + sc_a) + sh_a
+        # reference block (blocks.py:253-290): affine norm1, modulate, RoPE'd
+        # qk-normed self attention, gated residual
+        xn = cm.layernorm(p["norm1"], x) * (1 + sc_a) + sh_a
         q, k, v = _qkv_proj(p["qkv"], xn, h_local)
-        q = cm.apply_rope(q, cos, sin)
-        k = cm.apply_rope(k, cos, sin)
+        q = cm.rmsnorm(p["q_norm"], q)
+        k = cm.rmsnorm(p["k_norm"], k)
+        q = apply_rope_3d_half(q, video_rope, cfg.axes_dim)
+        k = apply_rope_3d_half(k, video_rope, cfg.axes_dim)
         o, state = attn(q, k, v, state)
         x = x + g_a * _head_out(p["attn_out"], o, tp_axis)
 
-        # cross attention to text (q from video, k/v from text)
+        # cross attention on the RAW stream, ungated (blocks.py:276-282)
         q, _, _ = _qkv_proj(p["cross_q"], x, h_local)
         _, kt, vt = _qkv_proj(p["cross_kv"], txt, h_local)
+        q = cm.rmsnorm(p["cross_q_norm"], q)
+        kt = cm.rmsnorm(p["cross_k_norm"], kt)
         o = sdpa(q, kt, vt)
         x = x + _head_out(p["cross_out"], o, tp_axis)
 
-        xn = cm.layernorm({}, x) * (1 + sc_m) + sh_m
+        xn = cm.layernorm(p["norm2"], x) * (1 + sc_m) + sh_m
         x = x + g_m * cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
         return x, state
 
     x, new_state = jax.lax.scan(block, x, (params["blocks"], attn_state))
 
-    mod = cm.linear(params["norm_out_mod"], cm.silu(temb))
-    scale, shift = jnp.split(mod[:, None, :], 2, axis=-1)
+    fin = params["final_scale_shift"][None] + temb[:, None, :].repeat(2, axis=1)
+    shift, scale = fin[:, 0][:, None], fin[:, 1][:, None]
     x = cm.layernorm({}, x) * (1 + scale) + shift
     return cm.linear(params["proj_out"], x), new_state

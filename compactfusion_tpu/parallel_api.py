@@ -303,7 +303,14 @@ def _build_consisid(engine: EngineConfig, inp: InputConfig, checkpoint: Optional
     )
 
     mcfg = consisid_preview()
-    params = init_consisid(jax.random.PRNGKey(0), mcfg)
+    if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
+        from compactfusion_tpu.io import hf
+
+        params = hf.convert_consisid(
+            hf.load_safetensors(os.path.join(checkpoint, "transformer")), mcfg
+        )
+    else:
+        params = init_consisid(jax.random.PRNGKey(0), mcfg)
     vcfg = cogvideox_vae()
     pcfg = ConsisIDPipelineConfig(
         model=mcfg,
@@ -335,7 +342,14 @@ def _build_stepvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
     )
 
     mcfg = stepvideo_t2v()
-    params = init_stepvideo(jax.random.PRNGKey(0), mcfg)
+    if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
+        from compactfusion_tpu.io import hf
+
+        params = hf.convert_stepvideo(
+            hf.load_safetensors(os.path.join(checkpoint, "transformer")), mcfg
+        )
+    else:
+        params = init_stepvideo(jax.random.PRNGKey(0), mcfg)
     pcfg = StepVideoPipelineConfig(
         model=mcfg,
         parallel=engine.parallel_config,

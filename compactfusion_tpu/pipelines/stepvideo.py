@@ -28,11 +28,11 @@ from compactfusion_tpu.models.attn_impl import (
     SingleDeviceAttn,
     USPAttn,
 )
-from compactfusion_tpu.models.cogvideox import video_positions
 from compactfusion_tpu.models.stepvideo import (
     StepVideoConfig,
     stepvideo_forward,
     stepvideo_param_specs,
+    stepvideo_rope_tables,
 )
 from compactfusion_tpu.parallel.mesh import AXIS_TP
 from compactfusion_tpu.pipelines import base
@@ -96,9 +96,7 @@ def build_sample_fn(cfg: StepVideoPipelineConfig, mesh: Mesh, params_tree=None):
     mcfg = cfg.model
     f, hp, wp = cfg.grid
     sched = flow_match_schedule(cfg.num_steps, shift=cfg.shift)
-    cos_full, sin_full = cm.rope_frequencies(
-        video_positions(f, hp, wp), mcfg.axes_dim
-    )
+    rope_full = stepvideo_rope_tables(f, hp, wp, mcfg.axes_dim)
 
     schedule = [
         cfg.compact.type_at(0, s) if cfg.compact.enabled else None
@@ -125,12 +123,16 @@ def build_sample_fn(cfg: StepVideoPipelineConfig, mesh: Mesh, params_tree=None):
         )
         s_local = cfg.tokens // p.sp_degree
         h_local = mcfg.heads // (p.tp_degree * p.ulysses_degree)
-        rope = (
-            base.slice_local_tokens(cos_full, p.ulysses_degree, p.ring_degree)
-            if p.sp_degree > 1 else cos_full,
-            base.slice_local_tokens(sin_full, p.ulysses_degree, p.ring_degree)
-            if p.sp_degree > 1 else sin_full,
-        )
+        if p.sp_degree > 1:
+            rope = [
+                tuple(
+                    base.slice_local_tokens(t_, p.ulysses_degree, p.ring_degree)
+                    for t_ in pair
+                )
+                for pair in rope_full
+            ]
+        else:
+            rope = rope_full
 
         carry = (latents, None)
         for method, steps in segments:

@@ -364,6 +364,85 @@ def test_cogvideox_matches_torch():
     assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
 
 
+def test_stepvideo_matches_torch():
+    """Full Step-Video forward vs the torch reference built from the
+    reference's own vendored block/normalization code (per-head packed
+    wqkv, half-split 3D rope, ungated raw cross-attention)."""
+    import dataclasses
+
+    from compactfusion_tpu.models.cogvideox import video_positions
+    from compactfusion_tpu.models.stepvideo import (
+        stepvideo_forward,
+        stepvideo_rope_tables,
+        stepvideo_tiny,
+    )
+
+    torch.manual_seed(20)
+    ref = torch_ref.StepVideoRef(
+        dim=64, depth=2, head_dim=16, ch_split=(8, 4, 4), in_channels=16,
+        patch=2, text_dim=32,
+    ).eval()
+    cfg = dataclasses.replace(stepvideo_tiny(), dtype=jnp.float32)
+    params = hf.convert_stepvideo(_state(ref), cfg)
+
+    rng = np.random.default_rng(21)
+    f, hp, wp = 2, 4, 4
+    vid = rng.standard_normal((2, f * hp * wp, 16)).astype(np.float32)
+    txt = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    t = np.array([451.0, 37.0], np.float32)
+    mesh = np.asarray(video_positions(f, hp, wp))
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(vid), torch.tensor(txt), torch.tensor(t),
+            torch.tensor(mesh),
+        ).numpy()
+
+    out, _ = stepvideo_forward(
+        params, jnp.asarray(vid), jnp.asarray(txt), jnp.asarray(t), cfg,
+        video_rope=stepvideo_rope_tables(f, hp, wp, cfg.axes_dim),
+    )
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
+
+
+def test_consisid_base_matches_cogvideox_torch():
+    """convert_consisid on CogVideoX-named weights + zero ID gates must
+    reproduce the torch CogVideoX forward exactly (ConsisID == CogVideoX
+    when identity injection is off)."""
+    import dataclasses
+
+    from compactfusion_tpu.models.consisid import consisid_tiny, consisid_forward
+    from compactfusion_tpu.models.cogvideox import video_positions
+
+    torch.manual_seed(18)
+    ref = torch_ref.CogVideoXRef(
+        dim=64, depth=2, heads=4, patch=2, in_channels=16, text_dim=32,
+        time_embed_dim=32, axes_dim=(8, 4, 4),
+    ).eval()
+    cfg = dataclasses.replace(consisid_tiny(), dtype=jnp.float32)
+    params = hf.convert_consisid(_state(ref), cfg)
+
+    rng = np.random.default_rng(19)
+    f, hp, wp = 2, 4, 4
+    vid = rng.standard_normal((2, f * hp * wp, 4 * 16)).astype(np.float32)
+    txt = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    t = np.array([77.0, 333.0], np.float32)
+    pos = video_positions(f, hp, wp)
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(vid), torch.tensor(txt), torch.tensor(t),
+            torch.tensor(np.asarray(pos)),
+        ).numpy()
+    ids = jnp.asarray(
+        rng.standard_normal((2, 5, cfg.id_dim)), jnp.float32
+    )  # nonzero id states: zero gates must null them out
+    out, _ = consisid_forward(
+        params, jnp.asarray(vid), jnp.asarray(txt), ids, jnp.asarray(t), cfg,
+        video_rope=cm.rope_frequencies(pos, cfg.axes_dim),
+    )
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
+
+
 # ---------------------------------------------------------------------------
 # AutoencoderKL decoder
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.cogvideox import video_positions
 from compactfusion_tpu.models.stepvideo import (
     init_stepvideo,
+    stepvideo_rope_tables,
     stepvideo_forward,
     stepvideo_param_specs,
     stepvideo_tiny,
@@ -33,7 +34,7 @@ def test_full_tp_matches_serial(tp):
     video = jnp.asarray(rng.standard_normal((b, s, mcfg.in_channels)), jnp.float32)
     txt = jnp.asarray(rng.standard_normal((b, 8, mcfg.text_dim)), jnp.float32)
     t = jnp.full((b,), 500.0)
-    rope = cm.rope_frequencies(video_positions(f, hp, wp), mcfg.axes_dim)
+    rope = stepvideo_rope_tables(f, hp, wp, mcfg.axes_dim)
 
     ref, _ = stepvideo_forward(
         params, video.astype(mcfg.dtype), txt.astype(mcfg.dtype), t, mcfg,

@@ -1268,6 +1268,160 @@ class CogVideoXRef(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# Step-Video transformer block (reference blocks.py semantics: per-head
+# packed wqkv, affine RMSNorm qk, half-split 3D rope, ungated raw cross-attn)
+# ---------------------------------------------------------------------------
+
+
+def _rope_half_1d(x, pos, dax):
+    """x (..., S, H, dax); reference RoPE1D: duplicated freqs + rotate_half."""
+    inv = 1.0 / 1e4 ** (torch.arange(0, dax, 2, dtype=torch.float32) / dax)
+    ang = pos.float()[:, None] * inv[None]
+    ang = torch.cat([ang, ang], dim=-1)  # (S, dax)
+    cos = ang.cos()[None, :, None, :]
+    sin = ang.sin()[None, :, None, :]
+    x1, x2 = x[..., : dax // 2], x[..., dax // 2 :]
+    rot = torch.cat([-x2, x1], dim=-1)
+    return x * cos + rot * sin
+
+
+def rope3d_half(x, mesh, ch_split):
+    """x (B, S, H, D); mesh (S, 3) (f, h, w) positions."""
+    outs = []
+    off = 0
+    for i, dax in enumerate(ch_split):
+        outs.append(_rope_half_1d(x[..., off : off + dax], mesh[:, i], dax))
+        off += dax
+    return torch.cat(outs, dim=-1)
+
+
+class _TorchRMSNorm(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+
+    def forward(self, x):
+        x32 = x.float()
+        y = x32 * torch.rsqrt(x32.pow(2).mean(-1, keepdim=True) + 1e-6)
+        return (y * self.weight).to(x.dtype)
+
+
+class StepVideoBlockRef(nn.Module):
+    """One StepVideoTransformerBlock (reference blocks.py:196-290)."""
+
+    def __init__(self, dim: int, head_dim: int, ch_split):
+        super().__init__()
+        self.dim = dim
+        self.head_dim = head_dim
+        self.heads = dim // head_dim
+        self.ch_split = ch_split
+
+        class SelfAttn(nn.Module):
+            def __init__(s):
+                super().__init__()
+                s.wqkv = nn.Linear(dim, 3 * dim, bias=False)
+                s.wo = nn.Linear(dim, dim, bias=False)
+                s.q_norm = _TorchRMSNorm(head_dim)
+                s.k_norm = _TorchRMSNorm(head_dim)
+
+            def forward(s, x, mesh):
+                b, sq, d = x.shape
+                h = d // head_dim
+                qkv = s.wqkv(x).view(b, sq, h, 3 * head_dim)
+                q, k, v = torch.split(qkv, head_dim, dim=-1)
+                q, k = s.q_norm(q), s.k_norm(k)
+                q = rope3d_half(q, mesh, ch_split)
+                k = rope3d_half(k, mesh, ch_split)
+                o = _sdpa(
+                    q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2)
+                ).transpose(1, 2).reshape(b, sq, d)
+                return s.wo(o)
+
+        class CrossAttn(nn.Module):
+            def __init__(s):
+                super().__init__()
+                s.wq = nn.Linear(dim, dim, bias=False)
+                s.wkv = nn.Linear(dim, 2 * dim, bias=False)
+                s.wo = nn.Linear(dim, dim, bias=False)
+                s.q_norm = _TorchRMSNorm(head_dim)
+                s.k_norm = _TorchRMSNorm(head_dim)
+
+            def forward(s, x, enc):
+                b, sq, d = x.shape
+                h = d // head_dim
+                q = s.q_norm(s.wq(x).view(b, sq, h, head_dim))
+                kv = s.wkv(enc).view(b, -1, h, 2 * head_dim)
+                k, v = torch.split(kv, head_dim, dim=-1)
+                k = s.k_norm(k)
+                o = _sdpa(
+                    q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2)
+                ).transpose(1, 2).reshape(b, sq, d)
+                return s.wo(o)
+
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn1 = SelfAttn()
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn2 = CrossAttn()
+        self.ff = FeedForward(dim)
+        self.scale_shift_table = nn.Parameter(torch.randn(6, dim) / dim**0.5)
+
+    def forward(self, q, kv, timestep, mesh):
+        sh, sc, g, sh_m, sc_m, g_m = (
+            self.scale_shift_table[None] + timestep.reshape(-1, 6, self.dim)
+        ).chunk(6, dim=1)
+        x = self.norm1(q) * (1 + sc) + sh
+        q = g * self.attn1(x, mesh) + q
+        q = self.attn2(q, kv) + q
+        x = self.norm2(q) * (1 + sc_m) + sh_m
+        return g_m * self.ff(x) + q
+
+
+class StepVideoRef(nn.Module):
+    """Full Step-Video model: vendored blocks + PixArt-style top level
+    (AdaLayerNormSingle / caption projection, normalization.py:252-313)."""
+
+    def __init__(self, dim=64, depth=2, head_dim=16, ch_split=(8, 4, 4),
+                 in_channels=16, patch=2, text_dim=32):
+        super().__init__()
+        self.dim = dim
+        latent_c = in_channels // (patch * patch)
+
+        class PE(nn.Module):
+            def __init__(s):
+                super().__init__()
+                s.proj = nn.Conv2d(latent_c, dim, patch, stride=patch)
+
+            def forward(s, tokens):  # (B, S, p*p*c) raster (ph, pw, c)
+                b, sq, pc = tokens.shape
+                x = tokens.view(b * sq, patch, patch, latent_c).permute(
+                    0, 3, 1, 2
+                )
+                return s.proj(x).view(b, sq, dim)
+
+        self.pos_embed = PE()
+        self.adaln_single = AdaLayerNormSingle(dim)
+        self.caption_projection = PixArtAlphaTextProjection(text_dim, dim)
+        self.transformer_blocks = nn.ModuleList(
+            [StepVideoBlockRef(dim, head_dim, ch_split) for _ in range(depth)]
+        )
+        self.scale_shift_table = nn.Parameter(torch.randn(2, dim) / dim**0.5)
+        self.norm_out = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
+        self.proj_out = nn.Linear(dim, in_channels)
+
+    def forward(self, video_tokens, text, t, mesh):
+        x = self.pos_embed(video_tokens)
+        t6, emb = self.adaln_single(t)
+        txt = self.caption_projection(text)
+        for blk in self.transformer_blocks:
+            x = blk(x, txt, t6, mesh)
+        shift, scale = (
+            self.scale_shift_table[None] + emb[:, None]
+        ).chunk(2, dim=1)
+        x = self.norm_out(x) * (1 + scale) + shift
+        return self.proj_out(x)
+
+
+# ---------------------------------------------------------------------------
 # AutoencoderKL decoder
 # ---------------------------------------------------------------------------
 
