@@ -171,6 +171,43 @@ def flux_image_positions(hp: int, wp: int) -> jax.Array:
     return jnp.concatenate([jnp.zeros((hp * wp, 1), pos.dtype), pos], axis=-1)
 
 
+def pad_flux_for_pp(params, cfg: FluxConfig, ps: int):
+    """Pad the stacked block families with ZERO-INIT blocks so both counts
+    divide ``ps`` (real FLUX has 19 double blocks — prime).
+
+    Exact under AdaLN-Zero: a block whose modulation weights AND biases are
+    zero produces shift = scale = gate = 0, so its attention/FFN outputs are
+    gated off and the residual stream passes through unchanged.
+
+    Returns (padded params, padded cfg).
+    """
+    import dataclasses
+
+    def pad_stack(stacked, n_extra):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((n_extra,) + a.shape[1:], a.dtype)], axis=0
+            ),
+            stacked,
+        )
+
+    d_extra = (-cfg.double_layers) % ps
+    s_extra = (-cfg.single_layers) % ps
+    if d_extra == 0 and s_extra == 0:
+        return params, cfg
+    params = dict(params)
+    if d_extra:
+        params["double_blocks"] = pad_stack(params["double_blocks"], d_extra)
+    if s_extra:
+        params["single_blocks"] = pad_stack(params["single_blocks"], s_extra)
+    cfg = dataclasses.replace(
+        cfg,
+        double_layers=cfg.double_layers + d_extra,
+        single_layers=cfg.single_layers + s_extra,
+    )
+    return params, cfg
+
+
 def flux_time_embed(params, pooled, t, guidance, cfg: FluxConfig):
     """Combined timestep + pooled-CLIP (+ guidance) conditioning (B, d)."""
     temb = cm.timestep_embedder(params["t_embed"], t, 256)

@@ -229,11 +229,20 @@ class FluxPipeline:
         self.cfg = cfg
         self.mesh = mesh
         if cfg.parallel.pp_degree > 1 and cfg.num_pipeline_patch > 1:
+            from compactfusion_tpu.models.flux import pad_flux_for_pp
             from compactfusion_tpu.pipelines.flux_patch_pp import (
                 build_flux_patch_pp_sample_fn,
             )
 
-            self._sample = build_flux_patch_pp_sample_fn(cfg, mesh, params)
+            # zero-init identity pad blocks make both block-family counts
+            # divide the stage count (real FLUX has 19 double blocks)
+            self.params, padded_model = pad_flux_for_pp(
+                params, cfg.model, cfg.parallel.pp_degree
+            )
+            cfg = dataclasses.replace(cfg, model=padded_model)
+            self._sample = build_flux_patch_pp_sample_fn(
+                cfg, mesh, self.params
+            )
         else:
             self._sample = build_sample_fn(cfg, mesh, params)
         self._decode = jax.jit(functools.partial(decode_latents, cfg=cfg))

@@ -58,7 +58,10 @@ def build_flux_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
     PS = p.pp_degree
     assert PS > 1 and M >= PS, "patch pipeline needs pp>1 and M >= pp stages"
     assert p.sp_degree == 1, "patch mode shards tokens by patch, not by SP"
-    assert mcfg.double_layers % PS == 0 and mcfg.single_layers % PS == 0
+    # FluxPipeline pads the params with zero-init identity blocks first
+    assert mcfg.double_layers % PS == 0 and mcfg.single_layers % PS == 0, (
+        "pad params/config with models.flux.pad_flux_for_pp before building"
+    )
     hp, wp = cfg.grid
     S = cfg.tokens
     assert S % M == 0

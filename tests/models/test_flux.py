@@ -239,3 +239,38 @@ def test_flux_patch_pp_more_warmup_is_closer(tiny):
         )
         errs.append(rel_err(out, ref))
     assert errs[1] < errs[0], errs
+
+
+def test_flux_patch_pp_identity_padding(tiny):
+    """Non-divisible block counts (real FLUX: 19 doubles) get zero-init
+    identity pad blocks — the padded patch pipeline must match the unpadded
+    single-device run as closely as a divisible one does."""
+    import dataclasses as _dc
+
+    mcfg = _dc.replace(flux_tiny(), double_layers=3, single_layers=3)
+    from tests.helpers import spice_params as _sp
+
+    params = _sp(init_flux(jax.random.PRNGKey(4), mcfg))
+    txt, pooled = _inputs(mcfg)
+    key = jax.random.PRNGKey(14)
+    steps = 5
+
+    cfg1 = FluxPipelineConfig(
+        model=mcfg, vae=tiny_vae(), parallel=ParallelConfig(),
+        num_steps=steps, height=4 * 16, width=8 * 16,
+    )
+    ref = FluxPipeline(
+        params, None, cfg1, make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key, decode=False)
+
+    cfgP = FluxPipelineConfig(
+        model=mcfg, vae=tiny_vae(), parallel=ParallelConfig(pp_degree=2),
+        num_steps=steps, height=4 * 16, width=8 * 16,
+        num_pipeline_patch=4, runtime_warmup_steps=2,
+    )
+    out = FluxPipeline(params, None, cfgP, make_mesh(cfgP.parallel))(
+        txt, pooled, key, decode=False
+    )
+    err = rel_err(out, ref)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert 1e-6 < err < 0.3, err
