@@ -831,6 +831,54 @@ def convert_vae3d_decoder(state: Dict[str, np.ndarray], cfg) -> Any:
     return params
 
 
+def convert_hv_vae3d_decoder(state: Dict[str, np.ndarray], cfg) -> Any:
+    """HunyuanVideo causal 3D VAE decoder (AutoencoderKLHunyuanVideo):
+    plain GroupNorm resnets, causal convs everywhere (incl. shortcut and
+    upsampler), causal-frame-masked mid attention."""
+    dt = cfg.dtype
+
+    def resnet(p):
+        out = {
+            "norm1": _norm(state, f"{p}.norm1", dt),
+            "conv1": _conv3(state, f"{p}.conv1.conv", dt),
+            "norm2": _norm(state, f"{p}.norm2", dt),
+            "conv2": _conv3(state, f"{p}.conv2.conv", dt),
+        }
+        if f"{p}.conv_shortcut.conv.weight" in state:
+            out["shortcut"] = _conv3(state, f"{p}.conv_shortcut.conv", dt)
+        return out
+
+    mid = "decoder.mid_block"
+    params = {
+        "conv_in": _conv3(state, "decoder.conv_in.conv", dt),
+        "mid_res1": resnet(f"{mid}.resnets.0"),
+        "mid_attn": {
+            "norm": _norm(state, f"{mid}.attentions.0.group_norm", dt),
+            "q": _lin(state, f"{mid}.attentions.0.to_q", dt),
+            "k": _lin(state, f"{mid}.attentions.0.to_k", dt),
+            "v": _lin(state, f"{mid}.attentions.0.to_v", dt),
+            "out": _lin(state, f"{mid}.attentions.0.to_out.0", dt),
+        },
+        "mid_res2": resnet(f"{mid}.resnets.1"),
+        "norm_out": _norm(state, "decoder.conv_norm_out", dt),
+        "conv_out": _conv3(state, "decoder.conv_out.conv", dt),
+    }
+    up = []
+    for i in range(len(cfg.block_out_channels)):
+        p = f"decoder.up_blocks.{i}"
+        blk = {
+            "resnets": [
+                resnet(f"{p}.resnets.{j}")
+                for j in range(cfg.layers_per_block + 1)
+            ]
+        }
+        if f"{p}.upsamplers.0.conv.conv.weight" in state:
+            blk["upsample_conv"] = _conv3(state, f"{p}.upsamplers.0.conv.conv", dt)
+        up.append(blk)
+    params["up"] = up
+    return params
+
+
 # ---------------------------------------------------------------------------
 # VAE decoder (diffusers AutoencoderKL naming)
 # ---------------------------------------------------------------------------

@@ -56,15 +56,23 @@ def cogvideox_vae() -> VAE3DConfig:
 
 
 def hunyuanvideo_vae() -> VAE3DConfig:
-    """HunyuanVideo causal 3D VAE: same decoder topology, 16ch latents,
-    (128, 256, 512, 512) widths, plain GroupNorm semantics approximated by
-    the spatial-norm path with identity conditioning is NOT valid — this
-    config is only used with ``spatial_norm=False`` style checkpoints; kept
-    for shape compatibility until the HV-specific converter lands."""
+    """HunyuanVideo causal 3D VAE (decoded by :func:`hv_vae3d_decode` —
+    plain GroupNorm resnets, replicate-padded causal convs, causal mid
+    attention; NOT the CogVideoX spatial-norm decoder)."""
     return VAE3DConfig(
         block_out_channels=(128, 256, 512, 512),
         layers_per_block=2,
         scaling_factor=0.476986,
+    )
+
+
+def tiny_hv_vae3d() -> VAE3DConfig:
+    return VAE3DConfig(
+        latent_channels=4,
+        block_out_channels=(8, 16),
+        layers_per_block=1,
+        norm_num_groups=4,
+        temporal_compress_levels=1,
     )
 
 
@@ -250,6 +258,155 @@ def _upsample3(p, x, temporal: bool):
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# HunyuanVideo causal 3D VAE decoder (AutoencoderKLHunyuanVideo)
+# ---------------------------------------------------------------------------
+
+
+def _causal_conv3_repl(p, x):
+    """HunyuanVideoCausalConv3d: REPLICATE padding everywhere — spatial
+    edges replicate, temporal front replicates the first frame (k-1)."""
+    kt, kh, kw = p["w"].shape[:3]
+    pad_h, pad_w = (kh - 1) // 2, (kw - 1) // 2
+    if kt > 1 or pad_h or pad_w:
+        x = jnp.pad(
+            x,
+            ((0, 0), (kt - 1, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)),
+            mode="edge",
+        )
+    y = lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        (1, 1, 1),
+        padding=((0, 0), (0, 0), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def _plain_groupnorm3(p, x, groups, eps=1e-6):
+    """torch GroupNorm over (T, H, W, C/g) — time included."""
+    b, t, hh, ww, c = x.shape
+    x32 = x.astype(jnp.float32).reshape(b, t, hh, ww, groups, c // groups)
+    mu = jnp.mean(x32, axis=(1, 2, 3, 5), keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(x32), axis=(1, 2, 3, 5), keepdims=True) - mu * mu,
+        0.0,
+    )
+    y = ((x32 - mu) * lax.rsqrt(var + eps)).reshape(b, t, hh, ww, c)
+    return (
+        y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)
+    ).astype(x.dtype)
+
+
+def _resnet3_hv(p, x, groups):
+    h = _causal_conv3_repl(
+        p["conv1"], cm.silu(_plain_groupnorm3(p["norm1"], x, groups))
+    )
+    h = _causal_conv3_repl(
+        p["conv2"], cm.silu(_plain_groupnorm3(p["norm2"], h, groups))
+    )
+    if "shortcut" in p:
+        x = _causal_conv3_repl(p["shortcut"], x)
+    return x + h
+
+
+def _mid_attn_hv(p, x, groups):
+    """Single-head attention over flattened (T*H*W) tokens with a CAUSAL
+    frame mask (token of frame f attends frames <= f)."""
+    b, t, hh, ww, c = x.shape
+    y = _plain_groupnorm3(p["norm"], x, groups).reshape(b, t * hh * ww, c)
+    q = cm.linear(p["q"], y).astype(jnp.float32)
+    k = cm.linear(p["k"], y).astype(jnp.float32)
+    v = cm.linear(p["v"], y).astype(jnp.float32)
+    frame = jnp.repeat(jnp.arange(t), hh * ww)
+    mask = frame[:, None] >= frame[None, :]
+    scores = q @ k.transpose(0, 2, 1) * (c**-0.5)
+    scores = jnp.where(mask[None], scores, -1e30)
+    o = jax.nn.softmax(scores, axis=-1) @ v
+    o = cm.linear(p["out"], o.astype(x.dtype))
+    return x + o.reshape(b, t, hh, ww, c)
+
+
+def _upsample3_hv(p, x, temporal: bool):
+    """HunyuanVideoUpsampleCausal3D: first frame spatial-only, rest
+    (t, h, w)-doubled when temporal; CAUSAL conv after."""
+    b, t, h, w, c = x.shape
+    x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    if temporal and t > 1:
+        rest = jnp.repeat(x[:, 1:], 2, axis=1)
+        x = jnp.concatenate([x[:, :1], rest], axis=1)
+    return _causal_conv3_repl(p, x)
+
+
+def init_hv_vae3d_decoder(key, cfg: VAE3DConfig):
+    """Init with the HunyuanVideo topology (plain GroupNorms + mid attn)."""
+    dt = cfg.dtype
+    chans = list(reversed(cfg.block_out_channels))
+    ks = iter(jax.random.split(key, 128))
+
+    def norm(c):
+        return {"g": jnp.ones((c,), dt), "b": jnp.zeros((c,), dt)}
+
+    def resnet(c_in, c_out):
+        p = {
+            "norm1": norm(c_in),
+            "conv1": _init_conv3(next(ks), c_in, c_out, dtype=dt),
+            "norm2": norm(c_out),
+            "conv2": _init_conv3(next(ks), c_out, c_out, dtype=dt),
+        }
+        if c_in != c_out:
+            p["shortcut"] = _init_conv3(next(ks), c_in, c_out, (1, 1, 1), dt)
+        return p
+
+    c0 = chans[0]
+    p = {
+        "conv_in": _init_conv3(next(ks), cfg.latent_channels, c0, dtype=dt),
+        "mid_res1": resnet(c0, c0),
+        "mid_attn": {
+            "norm": norm(c0),
+            "q": cm.init_linear(next(ks), c0, c0, dtype=dt),
+            "k": cm.init_linear(next(ks), c0, c0, dtype=dt),
+            "v": cm.init_linear(next(ks), c0, c0, dtype=dt),
+            "out": cm.init_linear(next(ks), c0, c0, dtype=dt),
+        },
+        "mid_res2": resnet(c0, c0),
+        "norm_out": norm(chans[-1]),
+        "conv_out": _init_conv3(next(ks), chans[-1], cfg.out_channels, dtype=dt),
+    }
+    up = []
+    c_prev = c0
+    for i, c in enumerate(chans):
+        blocks = [resnet(c_prev if j == 0 else c, c)
+                  for j in range(cfg.layers_per_block + 1)]
+        c_prev = c
+        blk = {"resnets": blocks}
+        if i < len(chans) - 1:
+            blk["upsample_conv"] = _init_conv3(next(ks), c, c, dtype=dt)
+        up.append(blk)
+    p["up"] = up
+    return p
+
+
+def hv_vae3d_decode(params, latents: jax.Array, cfg: VAE3DConfig) -> jax.Array:
+    """HunyuanVideo decode: (B, T_lat, h, w, C) SCALED latents -> pixels."""
+    g = cfg.norm_num_groups
+    x = (latents / cfg.scaling_factor).astype(cfg.dtype)
+    x = _causal_conv3_repl(params["conv_in"], x)
+    x = _resnet3_hv(params["mid_res1"], x, g)
+    x = _mid_attn_hv(params["mid_attn"], x, g)
+    x = _resnet3_hv(params["mid_res2"], x, g)
+    for i, up in enumerate(params["up"]):
+        for r in up["resnets"]:
+            x = _resnet3_hv(r, x, g)
+        if "upsample_conv" in up:
+            x = _upsample3_hv(
+                up["upsample_conv"], x, i < cfg.temporal_compress_levels
+            )
+    x = cm.silu(_plain_groupnorm3(params["norm_out"], x, g))
+    return _causal_conv3_repl(params["conv_out"], x)
 
 
 def vae3d_decode(params, latents: jax.Array, cfg: VAE3DConfig) -> jax.Array:

@@ -277,8 +277,28 @@ def _build_hunyuanvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Opti
         HunyuanVideoPipelineConfig,
     )
 
+    from compactfusion_tpu.models.vae3d import hunyuanvideo_vae, init_hv_vae3d_decoder
+
     mcfg = hunyuanvideo_config()
-    params = init_hunyuanvideo(jax.random.PRNGKey(0), mcfg)
+    vcfg = hunyuanvideo_vae()
+    vae_params = None
+    if checkpoint:
+        from compactfusion_tpu.io import hf
+
+        tdir = os.path.join(checkpoint, "transformer")
+        if os.path.isdir(tdir):
+            params = hf.convert_hunyuanvideo(hf.load_safetensors(tdir), mcfg)
+        else:
+            params = init_hunyuanvideo(jax.random.PRNGKey(0), mcfg)
+        vdir = os.path.join(checkpoint, "vae")
+        if os.path.isdir(vdir):
+            vae_params = hf.convert_hv_vae3d_decoder(
+                hf.load_safetensors(vdir), vcfg
+            )
+    else:
+        params = init_hunyuanvideo(jax.random.PRNGKey(0), mcfg)
+    if vae_params is None:
+        vae_params = init_hv_vae3d_decoder(jax.random.PRNGKey(12), vcfg)
     pcfg = HunyuanVideoPipelineConfig(
         model=mcfg,
         parallel=engine.parallel_config,
@@ -290,7 +310,10 @@ def _build_hunyuanvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Opti
         num_frames=inp.num_frames,
     )
     mesh = make_mesh(engine.parallel_config)
-    return HunyuanVideoPipeline(params, pcfg, mesh), pcfg
+    pipe = HunyuanVideoPipeline(
+        params, pcfg, mesh, vae_params=vae_params, vae_cfg=vcfg
+    )
+    return pipe, pcfg
 
 
 @register_family("consisid", r"consisid")

@@ -175,15 +175,44 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
 
 class HunyuanVideoPipeline:
     """User-facing pipeline: raw LLaMA text states go through the in-model
-    token refiner; CLIP pooled rides the timestep conditioning."""
+    token refiner; CLIP pooled rides the timestep conditioning.  With
+    ``vae_params``/``vae_cfg`` set, decodes to pixel video through the
+    HunyuanVideo causal 3D VAE (``models/vae3d.hv_vae3d_decode``)."""
 
-    def __init__(self, params, cfg: HunyuanVideoPipelineConfig, mesh: Mesh):
+    def __init__(
+        self,
+        params,
+        cfg: HunyuanVideoPipelineConfig,
+        mesh: Mesh,
+        vae_params=None,
+        vae_cfg=None,
+    ):
         self.params = params
         self.cfg = cfg
         self.mesh = mesh
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg
         self._sample = build_sample_fn(cfg, mesh, params)
+        self._decode = None
+        if vae_params is not None:
+            from compactfusion_tpu.models.vae3d import hv_vae3d_decode
 
-    def __call__(self, txt, key, pooled=None, text_mask=None):
+            f, hl, wl = cfg.grid
+            mcfg = cfg.model
+            latent_c = mcfg.in_channels // 4  # 2x2 packing
+
+            def decode(vp, latent_tokens):
+                b = latent_tokens.shape[0]
+                lat = latent_tokens.reshape(b * f, hl * wl, -1)
+                lat = cm.unpatchify(lat, 2, hl, wl, latent_c).reshape(
+                    b, f, hl * 2, wl * 2, latent_c
+                )
+                return hv_vae3d_decode(vp, lat, vae_cfg)
+
+            self._decode = jax.jit(decode)
+
+    def __call__(self, txt, key, pooled=None, text_mask=None,
+                 decode=None):
         cfg = self.cfg
         if txt.ndim == 4:  # (2, B, S, D) registry convention: cond only
             txt = txt[0]
@@ -195,4 +224,10 @@ class HunyuanVideoPipeline:
         latents = base.prepare_latents(
             key, b, cfg.tokens, cfg.model.in_channels, jnp.float32
         )
-        return self._sample(self.params, txt, text_mask, pooled, latents)
+        latents = self._sample(self.params, txt, text_mask, pooled, latents)
+        if decode is None:
+            decode = self._decode is not None
+        if decode:
+            assert self._decode is not None, "no VAE params supplied"
+            return self._decode(self.vae_params, latents)
+        return latents

@@ -26,9 +26,11 @@ run examples/pixartalpha_example.py $SMALL --ulysses_degree 2 --ring_degree 2 --
 run examples/pixartalpha_example.py $SMALL --ring_degree 4 --compact --compact_type binary --prompt "a cactus"
 run examples/pixartalpha_example.py $SMALL --use_cfg_parallel --ring_degree 2 --prompt "a cactus"
 
-# FLUX: USP + compressed ring + fbcache
-run examples/flux_example.py $SMALL --model black-forest-labs/FLUX.1-schnell --ulysses_degree 2 --prompt "a fox"
-run examples/flux_example.py $SMALL --model black-forest-labs/FLUX.1-schnell --ring_degree 4 --compact --compact_type int2 --prompt "a fox"
+# FLUX (12B - minutes per forward on CPU; set FULL=1 to include)
+if [ "${FULL:-0}" = "1" ]; then
+  run examples/flux_example.py $SMALL --model black-forest-labs/FLUX.1-schnell --ulysses_degree 2 --prompt "a fox"
+  run examples/flux_example.py $SMALL --model black-forest-labs/FLUX.1-schnell --ring_degree 4 --compact --compact_type int2 --prompt "a fox"
+fi
 
 # SD3
 run examples/sd3_example.py $SMALL --model stabilityai/stable-diffusion-3-medium --ulysses_degree 2 --prompt "a boat"

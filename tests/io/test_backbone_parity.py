@@ -476,6 +476,34 @@ def test_vae_decoder_matches_torch():
 # ---------------------------------------------------------------------------
 
 
+def test_hv_vae3d_decoder_matches_torch():
+    from compactfusion_tpu.models.vae3d import (
+        VAE3DConfig,
+        hv_vae3d_decode,
+    )
+
+    torch.manual_seed(22)
+    ref = torch_ref.HunyuanVideoVAEDecoderRef(
+        latent_channels=4, out_channels=3, block_out_channels=(8, 16),
+        layers_per_block=1, groups=4, temporal_compress_levels=1,
+    ).eval()
+    cfg = VAE3DConfig(
+        latent_channels=4, block_out_channels=(8, 16), layers_per_block=1,
+        norm_num_groups=4, temporal_compress_levels=1, scaling_factor=1.0,
+        dtype=jnp.float32,
+    )
+    params = hf.convert_hv_vae3d_decoder(_state(ref), cfg)
+
+    rng = np.random.default_rng(23)
+    z = rng.standard_normal((1, 4, 3, 6, 6)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(z)).numpy()  # (B, 3, T, H, W)
+    out = hv_vae3d_decode(params, jnp.asarray(z).transpose(0, 2, 3, 4, 1), cfg)
+    got = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+    assert got.shape == out_ref.shape
+    assert rel_err(got, out_ref) < 2e-4, rel_err(got, out_ref)
+
+
 def test_vae3d_decoder_matches_torch():
     from compactfusion_tpu.models.vae3d import VAE3DConfig, vae3d_decode
 

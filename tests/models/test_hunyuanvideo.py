@@ -63,3 +63,36 @@ def test_hunyuanvideo_sharded_and_compact():
     assert np.isfinite(np.asarray(outc, np.float32)).all()
     assert err > 1e-5, "compact pipeline identical to lossless - test blind"
     assert err < 0.25, f"compact HunyuanVideo diverged: {err}"
+
+
+def test_hunyuanvideo_pixel_decode():
+    import dataclasses
+
+    from compactfusion_tpu.models.vae3d import (
+        init_hv_vae3d_decoder,
+        tiny_hv_vae3d,
+    )
+
+    mcfg = hunyuanvideo_tiny()
+    params = init_hunyuanvideo(jax.random.PRNGKey(0), mcfg)
+    vcfg = dataclasses.replace(
+        tiny_hv_vae3d(), latent_channels=mcfg.in_channels // 4
+    )
+    vae_params = init_hv_vae3d_decoder(jax.random.PRNGKey(1), vcfg)
+    cfg = _cfg(mcfg, ParallelConfig(), steps=2)
+    mesh = make_mesh(cfg.parallel, devices=jax.devices()[:1])
+    pipe = HunyuanVideoPipeline(
+        params, cfg, mesh, vae_params=vae_params, vae_cfg=vcfg
+    )
+    rng = np.random.default_rng(3)
+    txt = jnp.asarray(rng.standard_normal((1, 8, mcfg.text_dim)), jnp.float32)
+    video = pipe(txt, jax.random.PRNGKey(2))
+    f, hl, wl = cfg.grid
+    # HV's upsampler ALWAYS keeps the first frame un-doubled (no odd/even
+    # check, unlike CogVideoX): T_out = (f-1)*ratio + 1
+    t_out = (f - 1) * vcfg.temporal_ratio + 1
+    scale = 2 ** (len(vcfg.block_out_channels) - 1)
+    assert video.shape == (1, t_out, hl * 2 * scale, wl * 2 * scale, 3)
+    assert np.isfinite(np.asarray(video, np.float32)).all()
+    lat = pipe(txt, jax.random.PRNGKey(2), decode=False)
+    assert lat.ndim == 3

@@ -1643,6 +1643,165 @@ class _CogUpsample3D(nn.Module):
         return self.conv(x)
 
 
+# ---------------------------------------------------------------------------
+# AutoencoderKLHunyuanVideo decoder (replicate-padded causal convs, plain
+# GroupNorms, causal-frame-masked mid attention)
+# ---------------------------------------------------------------------------
+
+
+class _HVCausalConv3d(nn.Module):
+    def __init__(self, c_in: int, c_out: int, k: int = 3):
+        super().__init__()
+        self.k = k
+        self.conv = nn.Conv3d(c_in, c_out, k)
+
+    def forward(self, x):  # (B, C, T, H, W)
+        p = (self.k - 1) // 2
+        x = F.pad(x, (p, p, p, p, self.k - 1, 0), mode="replicate")
+        return self.conv(x)
+
+
+class _HVResnet(nn.Module):
+    def __init__(self, c_in, c_out, groups):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(groups, c_in, eps=1e-6)
+        self.conv1 = _HVCausalConv3d(c_in, c_out)
+        self.norm2 = nn.GroupNorm(groups, c_out, eps=1e-6)
+        self.conv2 = _HVCausalConv3d(c_out, c_out)
+        if c_in != c_out:
+            self.conv_shortcut = _HVCausalConv3d(c_in, c_out, 1)
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if hasattr(self, "conv_shortcut"):
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class _HVMidAttn(nn.Module):
+    def __init__(self, c, groups):
+        super().__init__()
+        self.group_norm = nn.GroupNorm(groups, c, eps=1e-6)
+        self.to_q = nn.Linear(c, c)
+        self.to_k = nn.Linear(c, c)
+        self.to_v = nn.Linear(c, c)
+        self.to_out = nn.ModuleList([nn.Linear(c, c), nn.Identity()])
+
+    def forward(self, x):  # (B, C, T, H, W)
+        b, c, t, hh, ww = x.shape
+        y = self.group_norm(x).flatten(2).transpose(1, 2)  # (B, T*H*W, C)
+        frame = torch.arange(t).repeat_interleave(hh * ww)
+        mask = (frame[:, None] >= frame[None, :])[None, None]
+        q = self.to_q(y)[:, None]
+        k = self.to_k(y)[:, None]
+        v = self.to_v(y)[:, None]
+        o = F.scaled_dot_product_attention(q, k, v, attn_mask=mask)[:, 0]
+        o = self.to_out[0](o).transpose(1, 2).reshape(b, c, t, hh, ww)
+        return x + o
+
+
+class HunyuanVideoVAEDecoderRef(nn.Module):
+    """AutoencoderKLHunyuanVideo decoder equivalent (takes UNscaled z)."""
+
+    def __init__(self, latent_channels=4, out_channels=3,
+                 block_out_channels=(8, 16), layers_per_block=1, groups=4,
+                 temporal_compress_levels=1):
+        super().__init__()
+
+        class Mid(nn.Module):
+            def __init__(self, c):
+                super().__init__()
+                self.resnets = nn.ModuleList(
+                    [_HVResnet(c, c, groups), _HVResnet(c, c, groups)]
+                )
+                self.attentions = nn.ModuleList([_HVMidAttn(c, groups)])
+
+            def forward(self, x):
+                x = self.resnets[0](x)
+                x = self.attentions[0](x)
+                return self.resnets[1](x)
+
+        class Up(nn.Module):
+            def __init__(self, c, temporal):
+                super().__init__()
+                self.temporal = temporal
+
+                class Wrap(nn.Module):
+                    def __init__(s):
+                        super().__init__()
+                        s.conv = _HVCausalConv3d(c, c)
+
+                    def forward(s, x):
+                        first, rest = x[:, :, :1], x[:, :, 1:]
+                        first = F.interpolate(
+                            first.squeeze(2), scale_factor=2.0
+                        ).unsqueeze(2)
+                        if rest.shape[2] > 0:
+                            sf = (2.0, 2.0, 2.0) if temporal else (1.0, 2.0, 2.0)
+                            rest = F.interpolate(rest, scale_factor=sf)
+                            x = torch.cat([first, rest], dim=2)
+                        else:
+                            x = first
+                        return s.conv(x)
+
+                self.mod = Wrap()
+
+            def forward(self, x):
+                return self.mod(x)
+
+        class UpBlock(nn.Module):
+            def __init__(self, c_in, c_out, upsample, temporal):
+                super().__init__()
+                self.resnets = nn.ModuleList(
+                    [
+                        _HVResnet(c_in if j == 0 else c_out, c_out, groups)
+                        for j in range(layers_per_block + 1)
+                    ]
+                )
+                if upsample:
+                    self.upsamplers = nn.ModuleList([Up(c_out, temporal).mod])
+
+            def forward(self, x):
+                for r in self.resnets:
+                    x = r(x)
+                if hasattr(self, "upsamplers"):
+                    x = self.upsamplers[0](x)
+                return x
+
+        class Decoder(nn.Module):
+            def __init__(self):
+                super().__init__()
+                chans = list(reversed(block_out_channels))
+                self.conv_in = _HVCausalConv3d(latent_channels, chans[0])
+                self.mid_block = Mid(chans[0])
+                ups = []
+                c_prev = chans[0]
+                for i, c in enumerate(chans):
+                    ups.append(
+                        UpBlock(
+                            c_prev, c, upsample=i < len(chans) - 1,
+                            temporal=i < temporal_compress_levels,
+                        )
+                    )
+                    c_prev = c
+                self.up_blocks = nn.ModuleList(ups)
+                self.conv_norm_out = nn.GroupNorm(groups, chans[-1], eps=1e-6)
+                self.conv_out = _HVCausalConv3d(chans[-1], out_channels)
+
+            def forward(self, z):
+                x = self.conv_in(z)
+                x = self.mid_block(x)
+                for up in self.up_blocks:
+                    x = up(x)
+                return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+        self.decoder = Decoder()
+
+    def forward(self, z):  # (B, C, T, H, W)
+        return self.decoder(z)
+
+
 class CogVideoXVAEDecoderRef(nn.Module):
     """AutoencoderKLCogVideoX decoder equivalent (takes UNscaled z)."""
 
