@@ -128,6 +128,20 @@ def flash_attn_with_lse(
 
     block_q = min(block_q, _round_up(sq, 8))
     block_k = min(block_k, _round_up(sk, 128))
+
+    # clamp to the ~16 MB VMEM scoped limit: fp32 score block + fp32 out
+    # accumulator + bf16 q/k/v blocks, with ~2x headroom for Mosaic's
+    # double-buffered pipelining (measured: a 10 MB estimate allocates ~18 MB)
+    def _vmem_bytes(bq, bk):
+        return 4 * bq * bk + 4 * bq * d + 2 * (bq + 2 * bk) * d
+
+    while _vmem_bytes(block_q, block_k) > 6 * 1024 * 1024:
+        if block_q >= block_k and block_q > 8:
+            block_q = max(8, block_q // 2)
+        elif block_k > 128:
+            block_k = max(128, block_k // 2)
+        else:
+            break
     sq_p = _round_up(sq, block_q)
     sk_p = _round_up(sk, block_k)
 
