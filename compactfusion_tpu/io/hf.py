@@ -748,25 +748,44 @@ def convert_stepvideo(state: Dict[str, np.ndarray], cfg) -> Any:
 
 
 def convert_consisid(state: Dict[str, np.ndarray], cfg) -> Any:
-    """ConsisID base weights (the CogVideoX block naming is shared).
-
-    Loads the video backbone; the identity-injection modules
-    (``perceiver_cross_attention.*`` / ``local_facial_extractor.*``) use a
-    different perceiver layout than our gated ID cross-attention and are
-    left ZERO-GATED — the loaded model reproduces the CogVideoX-equivalent
-    behavior exactly (ConsisID's gates reduce to identity when unused);
-    mapping the perceiver weights is tracked in docs/PARITY.md.
+    """ConsisID weights: the CogVideoX block naming plus the
+    ``perceiver_cross_attention.{j}`` identity-injection modules (bias-free
+    q/kv/out + LayerNorms).  When a checkpoint carries no perceiver tensors
+    the out-projections are zeroed, making the loaded model EXACTLY
+    CogVideoX.  (``local_facial_extractor.*`` runs outside the denoise
+    scan and is not part of this tree.)
     """
-    import jax
-
-    from compactfusion_tpu.models.consisid import _init_id_attn
-
     params = convert_cogvideox(state, cfg)
-    id_attns = [
-        _init_id_attn(k, cfg)
-        for k in jax.random.split(jax.random.PRNGKey(0), cfg.depth)
-    ]
-    params["id_attns"] = _stack(id_attns)  # zero gates by construction
+    dt = cfg.dtype
+    d = cfg.dim
+    n_ca = (cfg.depth + cfg.cross_attn_interval - 1) // cfg.cross_attn_interval
+    pers = []
+    for j in range(n_ca):
+        p = f"perceiver_cross_attention.{j}"
+        if f"{p}.to_q.weight" in state:
+            pers.append(
+                {
+                    "norm1": _norm(state, f"{p}.norm1", dt),
+                    "norm2": _norm(state, f"{p}.norm2", dt),
+                    "q": _lin_nobias(state, f"{p}.to_q", dt),
+                    "kv": _lin_nobias(state, f"{p}.to_kv", dt),
+                    "out": _lin_nobias(state, f"{p}.to_out", dt),
+                }
+            )
+        else:  # no identity weights: zero out-proj -> exact CogVideoX
+            pers.append(
+                {
+                    "norm1": {
+                        "g": jnp.ones((cfg.id_dim,), dt),
+                        "b": jnp.zeros((cfg.id_dim,), dt),
+                    },
+                    "norm2": {"g": jnp.ones((d,), dt), "b": jnp.zeros((d,), dt)},
+                    "q": {"w": jnp.zeros((d, d), dt)},
+                    "kv": {"w": jnp.zeros((cfg.id_dim, 2 * d), dt)},
+                    "out": {"w": jnp.zeros((d, d), dt)},
+                }
+            )
+    params["perceiver"] = _stack(pers)
     return params
 
 

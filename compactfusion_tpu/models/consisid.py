@@ -1,16 +1,18 @@
-"""ConsisID backbone: CogVideoX + facial-identity injection.
+"""ConsisID backbone: CogVideoX + perceiver facial-identity injection.
 
 TPU-native re-implementation of the model behind the reference's
 ``xfuser/model_executor/models/transformers/consisid_transformer_3d.py``
 (a diffusers ``ConsisIDTransformer3DModel`` wrapper): the CogVideoX-5B video
-backbone plus identity conditioning — pre-projected face features (global
-ArcFace embedding + local multi-scale visual tokens) attend into the video
-stream through per-block perceiver-style cross-attention with a learned gate
-(zero-initialised, so an un-conditioned model reduces exactly to CogVideoX).
+backbone plus identity conditioning — after every ``cross_attn_interval``-th
+transformer block, a bias-free perceiver cross-attention
+(``perceiver_cross_attention.{j}``: LayerNorm'd face tokens as K/V, the
+LayerNorm'd video stream as queries) is added to the hidden states scaled by
+``local_face_scale``.
 
-The face encoders themselves (ArcFace / CLIP-visual local extractor) run
-outside the denoise scan like all other encoders; pass their output as
-``id_states``.
+The face feature extractor (``local_facial_extractor``: ArcFace global +
+CLIP-visual local tokens through a perceiver resampler) runs outside the
+denoise scan like all other encoders; pass its output as ``id_states``.
+With ``id_states=None`` the model is exactly CogVideoX.
 """
 
 from __future__ import annotations
@@ -33,7 +35,9 @@ from compactfusion_tpu.ops.attention import sdpa
 
 @dataclasses.dataclass(frozen=True)
 class ConsisIDConfig(CogVideoXConfig):
-    id_dim: int = 1280  # projected face-feature width
+    id_dim: int = 2048  # local_facial_extractor output width
+    cross_attn_interval: int = 2
+    local_face_scale: float = 1.0
 
 
 def consisid_preview() -> ConsisIDConfig:
@@ -43,19 +47,19 @@ def consisid_preview() -> ConsisIDConfig:
 def consisid_tiny() -> ConsisIDConfig:
     return ConsisIDConfig(
         dim=64, depth=2, heads=4, text_dim=32, time_embed_dim=32,
-        axes_dim=(8, 4, 4), id_dim=16,
+        axes_dim=(8, 4, 4), id_dim=16, cross_attn_interval=2,
     )
 
 
-def _init_id_attn(key, cfg: ConsisIDConfig):
+def _init_perceiver(key, cfg: ConsisIDConfig):
     d, dt = cfg.dim, cfg.dtype
     ks = jax.random.split(key, 3)
     return {
-        "q": cm.init_linear(ks[0], d, d, dtype=dt),
-        "kv": cm.init_linear(ks[1], cfg.id_dim, 2 * d, dtype=dt),
-        "out": cm.init_linear(ks[2], d, d, dtype=dt),
-        # zero gate: without tuning, ConsisID == CogVideoX exactly
-        "gate": jnp.zeros((d,), dt),
+        "norm1": cm.init_layernorm(cfg.id_dim, dtype=dt),
+        "norm2": cm.init_layernorm(d, dtype=dt),
+        "q": cm.init_linear(ks[0], d, d, bias=False, dtype=dt),
+        "kv": cm.init_linear(ks[1], cfg.id_dim, 2 * d, bias=False, dtype=dt),
+        "out": cm.init_linear(ks[2], d, d, bias=False, dtype=dt),
     }
 
 
@@ -63,15 +67,18 @@ def init_consisid(key, cfg: ConsisIDConfig):
     d, dt = cfg.dim, cfg.dtype
     ks = jax.random.split(key, 10)
     blocks = [_init_block(k, cfg) for k in jax.random.split(ks[0], cfg.depth)]
-    id_attns = [_init_id_attn(k, cfg) for k in jax.random.split(ks[1], cfg.depth)]
+    n_ca = (cfg.depth + cfg.cross_attn_interval - 1) // cfg.cross_attn_interval
+    pers = [_init_perceiver(k, cfg) for k in jax.random.split(ks[1], n_ca)]
     return {
         "patch_embed": cm.init_linear(
             ks[2], cfg.patch * cfg.patch * cfg.in_channels, d, dtype=dt
         ),
         "text_proj": cm.init_linear(ks[3], cfg.text_dim, d, dtype=dt),
-        "t_embed": cm.init_timestep_embedder(ks[4], cfg.dim, cfg.time_embed_dim, dtype=dt),
+        "t_embed": cm.init_timestep_embedder(
+            ks[4], cfg.dim, cfg.time_embed_dim, dtype=dt
+        ),
         "blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *blocks),
-        "id_attns": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *id_attns),
+        "perceiver": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *pers),
         "norm_final": cm.init_layernorm(d, dtype=dt),
         "norm_out_mod": cm.init_linear(ks[5], cfg.time_embed_dim, 2 * d, dtype=dt),
         "norm_out_norm": cm.init_layernorm(d, dtype=dt),
@@ -91,6 +98,16 @@ def _unheads(x):
     return x.reshape(b, s, h * hd)
 
 
+def perceiver_ca(p, id_states: jax.Array, latents: jax.Array, heads: int):
+    """PerceiverAttentionCA: LN'd face tokens -> K/V, LN'd video -> Q."""
+    x = cm.layernorm(p["norm1"], id_states, eps=1e-5)
+    lat = cm.layernorm(p["norm2"], latents, eps=1e-5)
+    q = _heads(cm.linear(p["q"], lat), heads)
+    k, v = jnp.split(cm.linear(p["kv"], x), 2, axis=-1)
+    o = sdpa(q, _heads(k, heads), _heads(v, heads))
+    return cm.linear(p["out"], _unheads(o))
+
+
 def consisid_forward(
     params,
     video: jax.Array,
@@ -104,7 +121,7 @@ def consisid_forward(
     attn_state=(),
     tp_axis: Optional[str] = None,
 ):
-    """ConsisID denoiser: CogVideoX block + gated ID cross-attention.
+    """ConsisID denoiser: CogVideoX blocks + interval perceiver injection.
 
     id_states: (B, S_id, id_dim) face tokens, replicated over SP ranks (or
     None for unconditioned generation — identical to CogVideoX).
@@ -120,7 +137,7 @@ def consisid_forward(
 
     def block(carry, xs):
         vid, txt = carry
-        p, pid, state = xs
+        p, pid, flag, state = xs
         v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_attn"], temb)
         vid_n = cm.layernorm(p["norm1"], vid, eps=1e-5) * (1 + v_sc) + v_sh
         txt_n = cm.layernorm(p["norm1"], txt, eps=1e-5) * (1 + t_sc) + t_sh
@@ -145,24 +162,31 @@ def consisid_forward(
         txt = txt + t_g * proj[:, :s_txt]
         vid = vid + v_g * proj[:, s_txt:]
 
-        # gated identity cross-attention (the ConsisID addition)
-        if id_states is not None:
-            q = _heads(cm.linear(pid["q"], vid), h)
-            kid, vid_kv = jnp.split(cm.linear(pid["kv"], id_states), 2, -1)
-            o_id = sdpa(q, _heads(kid, h), _heads(vid_kv, h))
-            vid = vid + pid["gate"] * cm.linear(pid["out"], _unheads(o_id))
-
         v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_ff"], temb)
         vid_n = cm.layernorm(p["norm2"], vid, eps=1e-5) * (1 + v_sc) + v_sh
         txt_n = cm.layernorm(p["norm2"], txt, eps=1e-5) * (1 + t_sc) + t_sh
         ff = cm.ffn(p["ffn"], jnp.concatenate([txt_n, vid_n], 1), tp_axis=tp_axis)
         txt = txt + t_g * ff[:, :s_txt]
         vid = vid + v_g * ff[:, s_txt:]
+
+        # gated identity injection AFTER the block (reference: every
+        # cross_attn_interval-th block adds local_face_scale * perceiver)
+        if id_states is not None:
+            vid = vid + flag * cfg.local_face_scale * perceiver_ca(
+                pid, id_states.astype(vid.dtype), vid, h
+            )
         return (vid, txt), state
 
-    (vid, txt), new_state = jax.lax.scan(
-        block, (vid, txt), (params["blocks"], params["id_attns"], attn_state)
+    interval = cfg.cross_attn_interval
+    flags = (jnp.arange(cfg.depth) % interval == 0).astype(cfg.dtype)
+    pc = jax.tree_util.tree_map(
+        lambda a: jnp.repeat(a, interval, axis=0)[: cfg.depth],
+        params["perceiver"],
     )
+    (vid, txt), new_state = jax.lax.scan(
+        block, (vid, txt), (params["blocks"], pc, flags, attn_state)
+    )
+
     joint = jnp.concatenate([txt, vid], axis=1)
     vid = cm.layernorm(params["norm_final"], joint, eps=1e-5)[:, txt.shape[1]:]
     mod = cm.linear(params["norm_out_mod"], cm.silu(temb))

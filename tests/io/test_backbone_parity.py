@@ -405,6 +405,41 @@ def test_stepvideo_matches_torch():
     assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
 
 
+def test_consisid_with_identity_matches_torch():
+    """Full ConsisID parity INCLUDING the perceiver identity injection."""
+    import dataclasses
+
+    from compactfusion_tpu.models.consisid import consisid_tiny, consisid_forward
+    from compactfusion_tpu.models.cogvideox import video_positions
+
+    torch.manual_seed(24)
+    ref = torch_ref.ConsisIDRef(
+        id_dim=16, interval=2, dim=64, depth=2, heads=4, patch=2,
+        in_channels=16, text_dim=32, time_embed_dim=32, axes_dim=(8, 4, 4),
+    ).eval()
+    cfg = dataclasses.replace(consisid_tiny(), dtype=jnp.float32)
+    params = hf.convert_consisid(ref.state_dict_flat(), cfg)
+
+    rng = np.random.default_rng(25)
+    f, hp, wp = 2, 4, 4
+    vid = rng.standard_normal((2, f * hp * wp, 4 * 16)).astype(np.float32)
+    txt = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    ids = rng.standard_normal((2, 5, 16)).astype(np.float32)
+    t = np.array([230.0, 540.0], np.float32)
+    pos = video_positions(f, hp, wp)
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(vid), torch.tensor(txt), torch.tensor(t),
+            torch.tensor(np.asarray(pos)), torch.tensor(ids),
+        ).numpy()
+    out, _ = consisid_forward(
+        params, jnp.asarray(vid), jnp.asarray(txt), jnp.asarray(ids),
+        jnp.asarray(t), cfg,
+        video_rope=cm.rope_frequencies(pos, cfg.axes_dim),
+    )
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
+
+
 def test_consisid_base_matches_cogvideox_torch():
     """convert_consisid on CogVideoX-named weights + zero ID gates must
     reproduce the torch CogVideoX forward exactly (ConsisID == CogVideoX

@@ -44,12 +44,8 @@ def _text(dim, b=1, s=8, seed=1):
 @pytest.fixture(scope="module")
 def consisid_setup():
     mcfg = consisid_tiny()
-    params = spice_params(init_consisid(jax.random.PRNGKey(0), mcfg))
-    # non-zero gates so identity injection is active in pipeline tests
-    params["id_attns"]["gate"] = (
-        jnp.ones_like(params["id_attns"]["gate"]) * 0.5
-    )
-    return mcfg, params
+    # random perceiver init -> identity injection active in pipeline tests
+    return mcfg, spice_params(init_consisid(jax.random.PRNGKey(0), mcfg))
 
 
 def _consisid_cfg(mcfg, parallel, steps=3):

@@ -1268,6 +1268,83 @@ class CogVideoXRef(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# ConsisID = CogVideoX + interval perceiver identity cross-attention
+# ---------------------------------------------------------------------------
+
+
+class _PerceiverCA(nn.Module):
+    """PerceiverAttentionCA: LN'd face tokens -> K/V, LN'd latents -> Q,
+    bias-free projections."""
+
+    def __init__(self, dim: int, heads: int, id_dim: int):
+        super().__init__()
+        self.heads = heads
+        self.norm1 = nn.LayerNorm(id_dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.to_q = nn.Linear(dim, dim, bias=False)
+        self.to_kv = nn.Linear(id_dim, 2 * dim, bias=False)
+        self.to_out = nn.Linear(dim, dim, bias=False)
+
+    def forward(self, x, latents):
+        b, s, d = latents.shape
+        h = self.heads
+        x = self.norm1(x)
+        lat = self.norm2(latents)
+        q = self.to_q(lat).view(b, s, h, d // h).transpose(1, 2)
+        k, v = self.to_kv(x).chunk(2, dim=-1)  # [k | v] full-dim layout
+        k = k.view(b, -1, h, d // h).transpose(1, 2)
+        v = v.view(b, -1, h, d // h).transpose(1, 2)
+        o = _sdpa(q, k, v).transpose(1, 2).reshape(b, s, d)
+        return self.to_out(o)
+
+
+class ConsisIDRef(nn.Module):
+    """CogVideoXRef blocks + identity injection after every
+    cross_attn_interval-th block."""
+
+    def __init__(self, id_dim=16, interval=2, **kw):
+        super().__init__()
+        self.base = CogVideoXRef(**kw)
+        self.interval = interval
+        depth = len(self.base.transformer_blocks)
+        dim = self.base.proj_out.in_features
+        heads = self.base.transformer_blocks[0].attn1.heads
+        n_ca = (depth + interval - 1) // interval
+        self.perceiver_cross_attention = nn.ModuleList(
+            [_PerceiverCA(dim, heads, id_dim) for _ in range(n_ca)]
+        )
+
+    def state_dict_flat(self):
+        out = {}
+        for k, v in self.base.state_dict().items():
+            out[k] = v.detach().numpy()
+        for k, v in self.named_parameters():
+            if k.startswith("perceiver_cross_attention"):
+                out[k] = v.detach().numpy()
+        return out
+
+    def forward(self, video_tokens, text, t, vid_ids, id_states):
+        b = video_tokens.shape[0]
+        base = self.base
+        vid, txt = base.patch_embed(video_tokens, text)
+        temb = base.time_embedding(t)
+        rope = flux_rope(vid_ids, base.axes_dim)
+        ca_idx = 0
+        for i, blk in enumerate(base.transformer_blocks):
+            vid, txt = blk(vid, txt, temb, rope)
+            if i % self.interval == 0:
+                vid = vid + self.perceiver_cross_attention[ca_idx](
+                    id_states, vid
+                )
+                ca_idx += 1
+        s_txt = txt.shape[1]
+        joint = base.norm_final(torch.cat([txt, vid], dim=1))
+        vid = joint[:, s_txt:]
+        vid = base.norm_out(vid, temb)
+        return base.proj_out(vid)
+
+
+# ---------------------------------------------------------------------------
 # Step-Video transformer block (reference blocks.py semantics: per-head
 # packed wqkv, affine RMSNorm qk, half-split 3D rope, ungated raw cross-attn)
 # ---------------------------------------------------------------------------
