@@ -19,7 +19,12 @@ from jax import lax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.config import (
+    CompactConfig,
+    CompressType,
+    ParallelConfig,
+    compact_step_segments,
+)
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
     CompactUSPAttn,
@@ -101,16 +106,9 @@ def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
     else:
         pos_full = cm.sincos_pos_embed_2d(mcfg.dim, f * hp, wp)
 
-    schedule = [
-        cfg.compact.type_at(0, s) if cfg.compact.enabled else None
-        for s in range(cfg.num_steps)
-    ]
-    segments = []
-    for s, m in enumerate(schedule):
-        if segments and segments[-1][0] == m:
-            segments[-1][1].append(s)
-        else:
-            segments.append((m, [s]))
+    segments = compact_step_segments(
+        cfg.compact, cfg.num_steps, mcfg.depth
+    )
 
     def spmd(params, txt, latents):
         if cfg.do_cfg and p.cfg_degree == 2:

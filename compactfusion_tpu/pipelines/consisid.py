@@ -65,16 +65,9 @@ def build_sample_fn(cfg: ConsisIDPipelineConfig, mesh: Mesh, params_tree=None):
         video_positions(f, hp, wp), mcfg.axes_dim
     )
 
-    schedule = [
-        cfg.compact.type_at(0, s) if cfg.compact.enabled else None
-        for s in range(cfg.num_steps)
-    ]
-    segments = []
-    for s, m in enumerate(schedule):
-        if segments and segments[-1][0] == m:
-            segments[-1][1].append(s)
-        else:
-            segments.append((m, [s]))
+    segments = compact_step_segments(
+        cfg.compact, cfg.num_steps, mcfg.depth
+    )
 
     def spmd(params, txt, id_states, latents):
         if cfg.do_cfg and p.cfg_degree == 2:

@@ -22,7 +22,12 @@ from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from compactfusion_tpu.cache.accel import CacheAccelConfig, init_cache_state
-from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.config import (
+    CompactConfig,
+    CompressType,
+    ParallelConfig,
+    compact_step_segments,
+)
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
     CompactUSPAttn,
@@ -103,16 +108,9 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
     img_pos = flux_image_positions(hp, wp)
     cos_i_full, sin_i_full = cm.rope_frequencies(img_pos, mcfg.axes_dim)
 
-    schedule = [
-        cfg.compact.type_at(0, s) if cfg.compact.enabled else None
-        for s in range(cfg.num_steps)
-    ]
-    segments = []
-    for s, m in enumerate(schedule):
-        if segments and segments[-1][0] == m:
-            segments[-1][1].append(s)
-        else:
-            segments.append((m, [s]))
+    segments = compact_step_segments(
+        cfg.compact, cfg.num_steps, mcfg.double_layers + mcfg.single_layers
+    )
 
     def spmd(params, txt, pooled, latents):
         s_txt = txt.shape[1]

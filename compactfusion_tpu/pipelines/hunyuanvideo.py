@@ -18,7 +18,12 @@ from jax import lax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.config import (
+    CompactConfig,
+    CompressType,
+    ParallelConfig,
+    compact_step_segments,
+)
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
     CompactUSPAttn,
@@ -85,16 +90,9 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
     theta = getattr(mcfg, "rope_theta", 10000.0)
     cos_full, sin_full = cm.rope_frequencies(pos, mcfg.axes_dim, theta=theta)
 
-    schedule = [
-        cfg.compact.type_at(0, s) if cfg.compact.enabled else None
-        for s in range(cfg.num_steps)
-    ]
-    segments = []
-    for s, m in enumerate(schedule):
-        if segments and segments[-1][0] == m:
-            segments[-1][1].append(s)
-        else:
-            segments.append((m, [s]))
+    segments = compact_step_segments(
+        cfg.compact, cfg.num_steps, mcfg.double_layers + mcfg.single_layers
+    )
 
     def spmd(params, txt, text_mask, pooled, latents):
         s_txt = txt.shape[1]

@@ -21,7 +21,12 @@ from jax import lax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.config import (
+    CompactConfig,
+    CompressType,
+    ParallelConfig,
+    compact_step_segments,
+)
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
     CompactUSPAttn,
@@ -98,16 +103,9 @@ def build_sample_fn(cfg: StepVideoPipelineConfig, mesh: Mesh, params_tree=None):
     sched = flow_match_schedule(cfg.num_steps, shift=cfg.shift)
     rope_full = stepvideo_rope_tables(f, hp, wp, mcfg.axes_dim)
 
-    schedule = [
-        cfg.compact.type_at(0, s) if cfg.compact.enabled else None
-        for s in range(cfg.num_steps)
-    ]
-    segments = []
-    for s, m in enumerate(schedule):
-        if segments and segments[-1][0] == m:
-            segments[-1][1].append(s)
-        else:
-            segments.append((m, [s]))
+    segments = compact_step_segments(
+        cfg.compact, cfg.num_steps, mcfg.depth
+    )
 
     def spmd(params, txt, latents):
         if cfg.do_cfg and p.cfg_degree == 2:
