@@ -505,7 +505,10 @@ class xDiTParallel:
         if self.family == "sd3":
             txt, pooled = enc.encode_for_sd3(prompts, negative, max_length=seq)
             return self.pipeline(txt, pooled, key, decode=decode)
-        if self.family in ("cogvideox", "latte", "hunyuanvideo", "consisid",
+        if self.family == "latte":
+            txt, mask = enc.encode_for_pixart(prompts, negative, max_length=seq)
+            return self.pipeline(txt, mask, key)
+        if self.family in ("cogvideox", "hunyuanvideo", "consisid",
                            "stepvideo"):
             txt = enc.encode_for_video(prompts, negative, max_length=seq)
             return self.pipeline(txt, key)

@@ -41,6 +41,7 @@ run examples/hunyuandit_example.py $SMALL --ring_degree 2 --prompt "a temple"
 # Video families (latent out; tiny frame counts)
 VSMALL="--height 64 --width 64 --num_frames 5 --num_inference_steps 2 --max_sequence_length 8"
 run examples/cogvideox_example.py $VSMALL --model THUDM/CogVideoX-2b --ulysses_degree 2 --prompt "a river"
-run examples/latte_example.py $VSMALL --ulysses_degree 2 --prompt "a river"
+# latte shards FRAMES over SP: frame count must divide the sp degree
+run examples/latte_example.py --height 64 --width 64 --num_frames 4 --num_inference_steps 2 --max_sequence_length 8 --ulysses_degree 2 --prompt "a river"
 
 echo "ALL EXAMPLE CONFIGS PASSED"
