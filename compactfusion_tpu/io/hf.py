@@ -789,6 +789,55 @@ def convert_consisid(state: Dict[str, np.ndarray], cfg) -> Any:
     return params
 
 
+def convert_local_facial_extractor(
+    state: Dict[str, np.ndarray], cfg, prefix: str = "local_facial_extractor."
+) -> Any:
+    """ConsisID face encoder (``models/face.py`` layout).
+
+    ``prefix`` defaults to the module's position inside the
+    ``ConsisIDTransformer3DModel`` state dict; pass ``""`` for a standalone
+    extractor checkpoint.  ``latents``/``proj_out`` are raw parameters
+    (already (in, out) — no transpose).
+    """
+    dt = cfg.dtype
+
+    def mlp3(p):
+        return {
+            "fc1": _lin(state, f"{p}.0", dt),
+            "ln1": _norm(state, f"{p}.1", dt),
+            "fc2": _lin(state, f"{p}.3", dt),
+            "ln2": _norm(state, f"{p}.4", dt),
+            "fc3": _lin(state, f"{p}.6", dt),
+        }
+
+    layers = []
+    for i in range(cfg.depth):
+        p = f"{prefix}layers.{i}"
+        layers.append(
+            {
+                "attn": {
+                    "norm1": _norm(state, f"{p}.0.norm1", dt),
+                    "norm2": _norm(state, f"{p}.0.norm2", dt),
+                    "q": _lin_nobias(state, f"{p}.0.to_q", dt),
+                    "kv": _lin_nobias(state, f"{p}.0.to_kv", dt),
+                    "out": _lin_nobias(state, f"{p}.0.to_out", dt),
+                },
+                "ffn": {
+                    "ln": _norm(state, f"{p}.1.0", dt),
+                    "fc1": _lin_nobias(state, f"{p}.1.1", dt),
+                    "fc2": _lin_nobias(state, f"{p}.1.3", dt),
+                },
+            }
+        )
+    return {
+        "latents": jnp.asarray(state[f"{prefix}latents"], dt),
+        "proj_out": jnp.asarray(state[f"{prefix}proj_out"], dt),
+        "id_mapping": mlp3(f"{prefix}id_embedding_mapping"),
+        "mappings": [mlp3(f"{prefix}mapping_{i}") for i in range(cfg.num_scale)],
+        "layers": layers,
+    }
+
+
 # ---------------------------------------------------------------------------
 # 3D video VAE decoder (diffusers AutoencoderKLCogVideoX naming)
 # ---------------------------------------------------------------------------

@@ -326,12 +326,15 @@ def _build_consisid(engine: EngineConfig, inp: InputConfig, checkpoint: Optional
     )
 
     mcfg = consisid_preview()
+    lfe_params = None
     if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
         from compactfusion_tpu.io import hf
+        from compactfusion_tpu.models.face import lfe_consisid
 
-        params = hf.convert_consisid(
-            hf.load_safetensors(os.path.join(checkpoint, "transformer")), mcfg
-        )
+        state = hf.load_safetensors(os.path.join(checkpoint, "transformer"))
+        params = hf.convert_consisid(state, mcfg)
+        if "local_facial_extractor.latents" in state:
+            lfe_params = hf.convert_local_facial_extractor(state, lfe_consisid())
     else:
         params = init_consisid(jax.random.PRNGKey(0), mcfg)
     vcfg = cogvideox_vae()
@@ -350,6 +353,7 @@ def _build_consisid(engine: EngineConfig, inp: InputConfig, checkpoint: Optional
         params, pcfg, mesh,
         vae_params=_load_vae3d(checkpoint, vcfg), vae_cfg=vcfg,
     )
+    pipe.lfe_params = lfe_params  # face encoder for pipe.encode_face
     return pipe, pcfg
 
 

@@ -21,7 +21,7 @@ from jax import lax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-from compactfusion_tpu.config import CompressType
+from compactfusion_tpu.config import CompressType, compact_step_segments
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.consisid import (
     ConsisIDConfig,
@@ -180,6 +180,20 @@ class ConsisIDPipeline:
                 return vae3d_decode(vp, lat, vae_cfg)
 
             self._decode = jax.jit(decode)
+
+    def encode_face(self, lfe_params, id_cond, id_vit_hidden, lfe_cfg=None):
+        """Run the ``local_facial_extractor`` (models/face.py) ONCE outside
+        the denoise scan: (B, id_dim_raw) + 5 ViT hidden maps -> id_states.
+
+        Reference: the diffusers ConsisID transformer consumes
+        ``id_cond``/``id_vit_hidden`` through its face encoder
+        (consisid_transformer_3d.py:60-68) before the blocks run.
+        """
+        from compactfusion_tpu.models.face import lfe_consisid, lfe_forward
+
+        return lfe_forward(
+            lfe_params, id_cond, id_vit_hidden, lfe_cfg or lfe_consisid()
+        )
 
     def __call__(self, txt, key, id_states=None,
                  decode: Optional[bool] = None):

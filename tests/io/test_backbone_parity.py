@@ -567,3 +567,36 @@ def test_vae3d_decoder_matches_torch():
     assert out.shape == (1, 5, 12, 12, 3)
     got = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
     assert rel_err(got, out_ref) < 2e-4, rel_err(got, out_ref)
+
+
+def test_local_facial_extractor_matches_torch():
+    """ConsisID face encoder (id_cond + 5 ViT hiddens -> identity tokens)."""
+    import dataclasses
+
+    from compactfusion_tpu.models.face import lfe_tiny, lfe_forward
+
+    torch.manual_seed(31)
+    tcfg = lfe_tiny()
+    ref = torch_ref.LocalFacialExtractorRef(
+        id_dim=tcfg.id_dim, vit_dim=tcfg.vit_dim, depth=tcfg.depth,
+        dim_head=tcfg.dim_head, heads=tcfg.heads,
+        num_id_token=tcfg.num_id_token, num_queries=tcfg.num_queries,
+        output_dim=tcfg.output_dim, ff_mult=tcfg.ff_mult,
+        num_scale=tcfg.num_scale,
+    ).eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = hf.convert_local_facial_extractor(state, tcfg, prefix="")
+
+    rng = np.random.default_rng(32)
+    id_cond = rng.standard_normal((2, tcfg.id_dim)).astype(np.float32)
+    vits = [
+        rng.standard_normal((2, 7, tcfg.vit_dim)).astype(np.float32)
+        for _ in range(tcfg.num_scale)
+    ]
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(id_cond), [torch.tensor(v) for v in vits]
+        ).numpy()
+    out = lfe_forward(params, jnp.asarray(id_cond), [jnp.asarray(v) for v in vits], tcfg)
+    assert out.shape == (2, tcfg.num_queries, tcfg.output_dim)
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)

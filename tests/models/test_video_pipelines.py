@@ -217,3 +217,30 @@ def test_new_families_resolve():
     # hunyuan pattern must not swallow hunyuanvideo
     assert resolve_family("tencent/HunyuanVideo").name == "hunyuanvideo"
     assert resolve_family("Tencent-Hunyuan/HunyuanDiT-v1.2").name == "hunyuandit"
+
+
+def test_consisid_face_encoder_to_pipeline(consisid_setup):
+    """String-free e2e for the identity path: raw face features ->
+    local_facial_extractor -> id_states -> denoise (the reference's
+    id_cond/id_vit_hidden flow, consisid_transformer_3d.py:60-68)."""
+    import dataclasses
+
+    from compactfusion_tpu.models.face import init_lfe, lfe_tiny
+
+    mcfg, params = consisid_setup
+    lcfg = dataclasses.replace(lfe_tiny(), output_dim=mcfg.id_dim)
+    lfe_params = init_lfe(jax.random.PRNGKey(9), lcfg)
+    rng = np.random.default_rng(11)
+    id_cond = jnp.asarray(rng.standard_normal((1, lcfg.id_dim)), jnp.float32)
+    vits = [
+        jnp.asarray(rng.standard_normal((1, 7, lcfg.vit_dim)), jnp.float32)
+        for _ in range(lcfg.num_scale)
+    ]
+    cfg = _consisid_cfg(mcfg, ParallelConfig(), steps=2)
+    mesh = make_mesh(cfg.parallel, devices=jax.devices()[:1])
+    pipe = ConsisIDPipeline(params, cfg, mesh)
+    ids = pipe.encode_face(lfe_params, id_cond, vits, lfe_cfg=lcfg)
+    assert ids.shape == (1, lcfg.num_queries, mcfg.id_dim)
+    out = pipe(_text(mcfg.text_dim), jax.random.PRNGKey(12),
+               id_states=ids[:, : cfg.id_tokens])
+    assert np.isfinite(np.asarray(out, np.float32)).all()

@@ -1961,3 +1961,105 @@ class CogVideoXVAEDecoderRef(nn.Module):
 
     def forward(self, z):  # (B, C, T, H, W)
         return self.decoder(z)
+
+
+# ---------------------------------------------------------------------------
+# ConsisID LocalFacialExtractor (diffusers consisid_transformer_3d.py): the
+# perceiver resampler turning (id_cond, 5x ViT hiddens) into identity tokens
+# ---------------------------------------------------------------------------
+
+
+class _LFEPerceiverAttention(nn.Module):
+    """diffusers ConsisID ``PerceiverAttention``: latents query the
+    concatenation [ctx ; latents]; q and k each scaled by dim_head**-0.25."""
+
+    def __init__(self, dim: int, dim_head: int, heads: int):
+        super().__init__()
+        self.dim_head, self.heads = dim_head, heads
+        inner = dim_head * heads
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.to_q = nn.Linear(dim, inner, bias=False)
+        self.to_kv = nn.Linear(dim, inner * 2, bias=False)
+        self.to_out = nn.Linear(inner, dim, bias=False)
+
+    def forward(self, image_embeds, latents):
+        image_embeds = self.norm1(image_embeds)
+        latents = self.norm2(latents)
+        b, s, _ = latents.shape
+        h, dh = self.heads, self.dim_head
+        q = self.to_q(latents).view(b, s, h, dh).transpose(1, 2)
+        kv_input = torch.cat((image_embeds, latents), dim=-2)
+        k, v = self.to_kv(kv_input).chunk(2, dim=-1)
+        k = k.view(b, -1, h, dh).transpose(1, 2)
+        v = v.view(b, -1, h, dh).transpose(1, 2)
+        scale = 1 / math.sqrt(math.sqrt(dh))
+        w = (q * scale) @ (k * scale).transpose(-2, -1)
+        w = torch.softmax(w.float(), dim=-1).type(w.dtype)
+        o = (w @ v).permute(0, 2, 1, 3).reshape(b, s, h * dh)
+        return self.to_out(o)
+
+
+def _lfe_ff(dim: int, mult: int) -> nn.Sequential:
+    inner = dim * mult
+    return nn.Sequential(
+        nn.LayerNorm(dim),
+        nn.Linear(dim, inner, bias=False),
+        nn.GELU(),
+        nn.Linear(inner, dim, bias=False),
+    )
+
+
+def _lfe_mlp3(d_in: int, d_mid: int, d_out: int) -> nn.Sequential:
+    return nn.Sequential(
+        nn.Linear(d_in, d_mid),
+        nn.LayerNorm(d_mid),
+        nn.LeakyReLU(),
+        nn.Linear(d_mid, d_mid),
+        nn.LayerNorm(d_mid),
+        nn.LeakyReLU(),
+        nn.Linear(d_mid, d_out),
+    )
+
+
+class LocalFacialExtractorRef(nn.Module):
+    """diffusers ``LocalFacialExtractor`` (state-dict naming preserved)."""
+
+    def __init__(self, id_dim=1280, vit_dim=1024, depth=10, dim_head=64,
+                 heads=16, num_id_token=5, num_queries=32, output_dim=2048,
+                 ff_mult=4, num_scale=5):
+        super().__init__()
+        self.num_id_token = num_id_token
+        self.vit_dim = vit_dim
+        self.num_queries = num_queries
+        assert depth % num_scale == 0
+        self.depth = depth // num_scale
+        self.num_scale = num_scale
+        scale = vit_dim**-0.5
+        self.latents = nn.Parameter(torch.randn(1, num_queries, vit_dim) * scale)
+        self.proj_out = nn.Parameter(scale * torch.randn(vit_dim, output_dim))
+        self.layers = nn.ModuleList([])
+        for _ in range(depth):
+            self.layers.append(nn.ModuleList([
+                _LFEPerceiverAttention(vit_dim, dim_head, heads),
+                _lfe_ff(vit_dim, ff_mult),
+            ]))
+        for i in range(num_scale):
+            setattr(self, f"mapping_{i}", _lfe_mlp3(vit_dim, vit_dim, vit_dim))
+        self.id_embedding_mapping = _lfe_mlp3(
+            id_dim, vit_dim, vit_dim * num_id_token
+        )
+
+    def forward(self, id_embeds, vit_hidden_states):
+        latents = self.latents.repeat(id_embeds.size(0), 1, 1)
+        x = self.id_embedding_mapping(id_embeds)
+        x = x.reshape(-1, self.num_id_token, self.vit_dim)
+        latents = torch.cat((latents, x), dim=1)
+        for i in range(self.num_scale):
+            vit_feature = getattr(self, f"mapping_{i}")(vit_hidden_states[i])
+            ctx_feature = torch.cat((x, vit_feature), dim=1)
+            for attn, ff in self.layers[i * self.depth:(i + 1) * self.depth]:
+                latents = attn(ctx_feature, latents) + latents
+                latents = ff(latents) + latents
+        latents = latents[:, : self.num_queries]
+        return latents @ self.proj_out
