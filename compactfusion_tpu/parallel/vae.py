@@ -152,7 +152,9 @@ def parallel_vae_decode(
     Matches :func:`compactfusion_tpu.models.vae.vae_decode` exactly.
     """
     g = cfg.norm_num_groups
-    x = latents_band / cfg.scaling_factor + cfg.shift_factor
+    # same dtype rule as vae_decode: compute the conv stack in cfg.dtype
+    # (fp32 latents must not drag the whole decode to fp32)
+    x = (latents_band / cfg.scaling_factor + cfg.shift_factor).astype(cfg.dtype)
     x = _conv(params["post_quant_conv"], x)
     x = _conv3_halo(params["conv_in"], x, axis_name, world)
     x = _resnet_dist(params["mid_res1"], x, g, axis_name, world)
