@@ -2063,3 +2063,256 @@ class LocalFacialExtractorRef(nn.Module):
                 latents = ff(latents) + latents
         latents = latents[:, : self.num_queries]
         return latents @ self.proj_out
+
+
+# ---------------------------------------------------------------------------
+# InceptionV3 trunk (torchvision inception_v3 naming) — FID feature oracle
+# ---------------------------------------------------------------------------
+
+
+class _BasicConv2d(nn.Module):
+    def __init__(self, c_in, c_out, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(c_in, c_out, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(c_out, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class _IncA(nn.Module):
+    def __init__(self, c_in, pool):
+        super().__init__()
+        self.branch1x1 = _BasicConv2d(c_in, 64, kernel_size=1)
+        self.branch5x5_1 = _BasicConv2d(c_in, 48, kernel_size=1)
+        self.branch5x5_2 = _BasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = _BasicConv2d(c_in, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _BasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = _BasicConv2d(c_in, pool, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b5, b3, bp], 1)
+
+
+class _IncB(nn.Module):
+    def __init__(self, c_in):
+        super().__init__()
+        self.branch3x3 = _BasicConv2d(c_in, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = _BasicConv2d(c_in, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        return torch.cat([b3, bd, F.max_pool2d(x, 3, stride=2)], 1)
+
+
+class _IncC(nn.Module):
+    def __init__(self, c_in, c7):
+        super().__init__()
+        self.branch1x1 = _BasicConv2d(c_in, 192, kernel_size=1)
+        self.branch7x7_1 = _BasicConv2d(c_in, c7, kernel_size=1)
+        self.branch7x7_2 = _BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = _BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = _BasicConv2d(c_in, c7, kernel_size=1)
+        self.branch7x7dbl_2 = _BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = _BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = _BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = _BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = _BasicConv2d(c_in, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(
+            self.branch7x7dbl_3(self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class _IncD(nn.Module):
+    def __init__(self, c_in):
+        super().__init__()
+        self.branch3x3_1 = _BasicConv2d(c_in, 192, kernel_size=1)
+        self.branch3x3_2 = _BasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = _BasicConv2d(c_in, 192, kernel_size=1)
+        self.branch7x7x3_2 = _BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = _BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = _BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(
+            self.branch7x7x3_2(self.branch7x7x3_1(x))))
+        return torch.cat([b3, b7, F.max_pool2d(x, 3, stride=2)], 1)
+
+
+class _IncE(nn.Module):
+    def __init__(self, c_in):
+        super().__init__()
+        self.branch1x1 = _BasicConv2d(c_in, 320, kernel_size=1)
+        self.branch3x3_1 = _BasicConv2d(c_in, 384, kernel_size=1)
+        self.branch3x3_2a = _BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = _BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = _BasicConv2d(c_in, 448, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = _BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = _BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = _BasicConv2d(c_in, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class InceptionV3Ref(nn.Module):
+    """torchvision ``inception_v3`` trunk -> 2048-d pool features."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = _BasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = _BasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = _BasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = _BasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = _BasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = _IncA(192, 32)
+        self.Mixed_5c = _IncA(256, 64)
+        self.Mixed_5d = _IncA(288, 64)
+        self.Mixed_6a = _IncB(288)
+        self.Mixed_6b = _IncC(768, 128)
+        self.Mixed_6c = _IncC(768, 160)
+        self.Mixed_6d = _IncC(768, 160)
+        self.Mixed_6e = _IncC(768, 192)
+        self.Mixed_7a = _IncD(768)
+        self.Mixed_7b = _IncE(1280)
+        self.Mixed_7c = _IncE(2048)
+
+    def forward(self, x):  # (B, 3, H, W) in [-1, 1]
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        for m in (self.Mixed_5b, self.Mixed_5c, self.Mixed_5d, self.Mixed_6a,
+                  self.Mixed_6b, self.Mixed_6c, self.Mixed_6d, self.Mixed_6e,
+                  self.Mixed_7a, self.Mixed_7b, self.Mixed_7c):
+            x = m(x)
+        return x.mean(dim=(2, 3))
+
+
+# ---------------------------------------------------------------------------
+# I3D (pytorch-i3d naming, TF-SAME padding) — FVD feature oracle
+# ---------------------------------------------------------------------------
+
+
+def _tf_same_pad(size, kernel, stride):
+    if size % stride == 0:
+        pad = max(kernel - stride, 0)
+    else:
+        pad = max(kernel - (size % stride), 0)
+    return pad // 2, pad - pad // 2
+
+
+class _MaxPool3dSame(nn.Module):
+    def __init__(self, kernel, stride):
+        super().__init__()
+        self.kernel, self.stride = kernel, stride
+
+    def forward(self, x):
+        b, c, t, h, w = x.shape
+        pads = []
+        for size, k, s in zip((w, h, t), reversed(self.kernel), reversed(self.stride)):
+            pads.extend(_tf_same_pad(size, k, s))
+        x = F.pad(x, pads, value=float("-inf"))
+        return F.max_pool3d(x, self.kernel, self.stride)
+
+
+class _Unit3D(nn.Module):
+    """Conv3d (TF-SAME) + BatchNorm3d(eps=1e-3) + ReLU (piergiaj Unit3D)."""
+
+    def __init__(self, c_in, c_out, kernel=(1, 1, 1), stride=(1, 1, 1),
+                 use_bn=True, activation=True, bias=False):
+        super().__init__()
+        self.kernel, self.stride = kernel, stride
+        self.conv3d = nn.Conv3d(c_in, c_out, kernel, stride, bias=bias)
+        self.bn = nn.BatchNorm3d(c_out, eps=0.001) if use_bn else None
+        self.activation = activation
+
+    def forward(self, x):
+        b, c, t, h, w = x.shape
+        pads = []
+        for size, k, s in zip((w, h, t), reversed(self.kernel), reversed(self.stride)):
+            pads.extend(_tf_same_pad(size, k, s))
+        x = self.conv3d(F.pad(x, pads))
+        if self.bn is not None:
+            x = self.bn(x)
+        return F.relu(x) if self.activation else x
+
+
+class _I3DInceptionModule(nn.Module):
+    def __init__(self, c_in, ch):
+        super().__init__()
+        self.b0 = _Unit3D(c_in, ch[0])
+        self.b1a = _Unit3D(c_in, ch[1])
+        self.b1b = _Unit3D(ch[1], ch[2], (3, 3, 3))
+        self.b2a = _Unit3D(c_in, ch[3])
+        self.b2b = _Unit3D(ch[3], ch[4], (3, 3, 3))
+        self.b3 = _MaxPool3dSame((3, 3, 3), (1, 1, 1))
+        self.b3b = _Unit3D(c_in, ch[5])
+
+    def forward(self, x):
+        return torch.cat([
+            self.b0(x), self.b1b(self.b1a(x)), self.b2b(self.b2a(x)),
+            self.b3b(self.b3(x)),
+        ], 1)
+
+
+class I3DRef(nn.Module):
+    """InceptionI3d trunk -> 400-d averaged Kinetics logits."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv3d_1a_7x7 = _Unit3D(3, 64, (7, 7, 7), (2, 2, 2))
+        self.Conv3d_2b_1x1 = _Unit3D(64, 64)
+        self.Conv3d_2c_3x3 = _Unit3D(64, 192, (3, 3, 3))
+        self.pool2a = _MaxPool3dSame((1, 3, 3), (1, 2, 2))
+        self.pool3a = _MaxPool3dSame((1, 3, 3), (1, 2, 2))
+        self.pool4a = _MaxPool3dSame((3, 3, 3), (2, 2, 2))
+        self.pool5a = _MaxPool3dSame((2, 2, 2), (2, 2, 2))
+        self.Mixed_3b = _I3DInceptionModule(192, (64, 96, 128, 16, 32, 32))
+        self.Mixed_3c = _I3DInceptionModule(256, (128, 128, 192, 32, 96, 64))
+        self.Mixed_4b = _I3DInceptionModule(480, (192, 96, 208, 16, 48, 64))
+        self.Mixed_4c = _I3DInceptionModule(512, (160, 112, 224, 24, 64, 64))
+        self.Mixed_4d = _I3DInceptionModule(512, (128, 128, 256, 24, 64, 64))
+        self.Mixed_4e = _I3DInceptionModule(512, (112, 144, 288, 32, 64, 64))
+        self.Mixed_4f = _I3DInceptionModule(528, (256, 160, 320, 32, 128, 128))
+        self.Mixed_5b = _I3DInceptionModule(832, (256, 160, 320, 32, 128, 128))
+        self.Mixed_5c = _I3DInceptionModule(832, (384, 192, 384, 48, 128, 128))
+        self.logits = _Unit3D(1024, 400, use_bn=False, activation=False, bias=True)
+
+    def forward(self, x):  # (B, 3, T, 224, 224) in [-1, 1]
+        x = self.pool2a(self.Conv3d_1a_7x7(x))
+        x = self.pool3a(self.Conv3d_2c_3x3(self.Conv3d_2b_1x1(x)))
+        x = self.Mixed_3c(self.Mixed_3b(x))
+        x = self.pool4a(x)
+        for m in (self.Mixed_4b, self.Mixed_4c, self.Mixed_4d, self.Mixed_4e,
+                  self.Mixed_4f):
+            x = m(x)
+        x = self.pool5a(x)
+        x = self.Mixed_5c(self.Mixed_5b(x))
+        x = F.avg_pool3d(x, (2, 7, 7), stride=1)
+        x = self.logits(x)
+        return x.mean(dim=(2, 3, 4))
