@@ -68,6 +68,7 @@ class xFuserArgs:
     use_cfg_parallel: bool = False
     ulysses_degree: int = 1
     ring_degree: int = 1
+    use_fused_ring: bool = False
     pipefusion_parallel_degree: int = 1
     num_pipeline_patch: Optional[int] = None
     attn_layer_num_for_pp: Optional[List[int]] = None
@@ -125,6 +126,7 @@ class xFuserArgs:
         par.add_argument("--use_cfg_parallel", action="store_true")
         par.add_argument("--ulysses_degree", type=int, default=1)
         par.add_argument("--ring_degree", type=int, default=1)
+        par.add_argument("--use_fused_ring", action="store_true")
         par.add_argument("--pipefusion_parallel_degree", type=int, default=1)
         par.add_argument("--num_pipeline_patch", type=int, default=None)
         par.add_argument(
@@ -197,6 +199,7 @@ class xFuserArgs:
             pp_degree=self.pipefusion_parallel_degree,
             ulysses_degree=self.ulysses_degree,
             ring_degree=self.ring_degree,
+            use_fused_ring=self.use_fused_ring,
             tp_degree=self.tensor_parallel_degree,
             vae_parallel_size=self.vae_parallel_size,
             num_pipeline_patch=self.num_pipeline_patch,

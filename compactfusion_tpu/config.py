@@ -135,6 +135,10 @@ class ParallelConfig:
     #: PipeFusion micro-patches per image (None -> pp_degree, reference
     #: --num_pipeline_patch default).
     num_pipeline_patch: Optional[int] = None
+    #: route ring attention through the fused RDMA+flash Pallas kernel
+    #: (``ops/ring_flash_pallas``).  Opt-in: semantics are interpreter-
+    #: verified, on-silicon multi-chip validation pending hardware.
+    use_fused_ring: bool = False
 
     @property
     def sp_degree(self) -> int:

@@ -58,6 +58,8 @@ class USPAttn:
     ring_size: int = 1
     ulysses_axis: str = AXIS_ULYSSES
     ring_axis: str = AXIS_RING
+    #: route the ring through the fused RDMA+flash Pallas kernel (TPU only)
+    fused_ring: bool = False
 
     def init_state(self, n_layers, batch, seq_local, heads, head_dim, dtype):
         del n_layers, batch, seq_local, heads, head_dim, dtype
@@ -79,6 +81,7 @@ class USPAttn:
             joint_k=joint_k,
             joint_v=joint_v,
             joint_strategy=joint_strategy if joint_q is not None else "none",
+            fused_ring=self.fused_ring,
         )
         return out, state
 

@@ -48,6 +48,7 @@ def ring_attention(
     joint_k: Optional[jax.Array] = None,
     joint_v: Optional[jax.Array] = None,
     joint_strategy: str = "none",
+    fused=False,
 ) -> jax.Array:
     """Exact attention over the ring-sharded K/V sequence.
 
@@ -56,6 +57,11 @@ def ring_attention(
       k, v: (B, Sk_local, H, D) — the local K/V shard.
       joint_k/joint_v: (B, Sj, H, D) replicated tensors appended per
         ``joint_strategy`` ("front": at ring step 0, "rear": at last step).
+      fused: route the ring part through the single-kernel RDMA+flash
+        implementation (``ops/ring_flash_pallas``) — structural comm/compute
+        overlap instead of relying on the XLA scheduler.  TPU only (silently
+        falls back elsewhere); ``"interpret"`` runs the kernel on the
+        multi-device interpreter (tests).
 
     Returns:
       out: (B, Sq_local, H, D) in q.dtype.
@@ -66,6 +72,13 @@ def ring_attention(
         return out
 
     assert joint_strategy in ("none", "front", "rear")
+    if fused and not causal:
+        interp = fused == "interpret"
+        if interp or jax.default_backend() == "tpu":
+            return _fused_ring(
+                q, k, v, axis_name, ring_size, scale,
+                joint_k, joint_v, joint_strategy, interp,
+            )
     perm = _shift_perm(ring_size)
     my = lax.axis_index(axis_name)
 
@@ -86,6 +99,43 @@ def ring_attention(
             block_out = jnp.where(keep[..., None, None], block_out, 0.0)
         out, lse = merge_out_lse(out, lse, block_out, block_lse)
 
+    return out.astype(q.dtype)
+
+
+def _fused_ring(
+    q, k, v, axis_name, ring_size, scale, joint_k, joint_v, joint_strategy,
+    interpret,
+):
+    """Ring part in one Pallas kernel; replicated joint block merged after."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from compactfusion_tpu.ops.ring_flash_pallas import ring_flash_attn_with_lse
+    from compactfusion_tpu.parallel.mesh import MESH_AXIS_ORDER
+
+    axes = []
+    for name in MESH_AXIS_ORDER:
+        try:
+            axes.append((name, jax.lax.axis_size(name)))
+        except NameError:
+            pass
+    if not any(n == axis_name for n, _ in axes):
+        axes.append((axis_name, ring_size))
+
+    out, lse = ring_flash_attn_with_lse(
+        q, k, v,
+        axis_name=axis_name,
+        ring_size=ring_size,
+        mesh_axes=tuple(axes),
+        scale=scale,
+        interpret=(
+            pltpu.InterpretParams(dma_execution_mode="eager")
+            if interpret
+            else False
+        ),
+    )
+    if joint_k is not None and joint_strategy != "none":
+        j_out, j_lse = attn_with_lse(q, joint_k, joint_v, scale=scale)
+        out, lse = merge_out_lse(out, lse, j_out, j_lse)
     return out.astype(q.dtype)
 
 

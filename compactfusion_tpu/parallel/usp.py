@@ -44,6 +44,7 @@ def usp_attention(
     joint_k: Optional[jax.Array] = None,
     joint_v: Optional[jax.Array] = None,
     joint_strategy: str = "none",
+    fused_ring=False,
 ) -> jax.Array:
     """Hybrid sequence-parallel attention on per-device shards.
 
@@ -83,6 +84,7 @@ def usp_attention(
         joint_k=joint_k,
         joint_v=joint_v,
         joint_strategy=joint_strategy,
+        fused=fused_ring,
     )
 
     if ulysses_size > 1:

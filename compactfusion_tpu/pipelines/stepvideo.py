@@ -88,7 +88,8 @@ def _attn_impl(cfg: StepVideoPipelineConfig, method: Optional[CompressType]):
             ulysses_size=p.ulysses_degree, ring_size=p.ring_degree,
         )
     if p.sp_degree > 1:
-        return USPAttn(ulysses_size=p.ulysses_degree, ring_size=p.ring_degree)
+        return USPAttn(ulysses_size=p.ulysses_degree, ring_size=p.ring_degree,
+                       fused_ring=p.use_fused_ring)
     return SingleDeviceAttn()
 
 
