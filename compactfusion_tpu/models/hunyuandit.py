@@ -219,7 +219,7 @@ def _unheads(x):
     return x.reshape(b, s, h * hd)
 
 
-def _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis):
+def _block_factory(temb, text, cfg, rope, attn, kv_lens, tp_axis):
     """One HunyuanDiT block body closure (shared by down/up scans)."""
     h = cfg.heads
     cos, sin = rope
@@ -245,7 +245,7 @@ def _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis):
         kt, vt = jnp.split(cm.linear(p["cross_kv"], text), 2, -1)
         q = cm.apply_rope(cm.layernorm(p["cross_q_norm"], q), cos, sin)
         kt = cm.layernorm(p["cross_k_norm"], _heads(kt, h))
-        o = _cross_attn(q, kt, _heads(vt, h), kv_mask)
+        o = _cross_attn(q, kt, _heads(vt, h), None, kv_lens=kv_lens)
         x = x + cm.linear(p["cross_out"], _unheads(o))
 
         # ffn
@@ -258,10 +258,10 @@ def _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis):
 
 def hunyuandit_down_scan(
     blocks, x, temb, text, cfg, *, rope, attn=SingleDeviceAttn(),
-    attn_state=(), kv_mask=None, tp_axis=None,
+    attn_state=(), kv_lens=None, tp_axis=None,
 ):
     """Scan the (stacked) down blocks: -> (x, new_state, skip stack)."""
-    body = _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis)
+    body = _block_factory(temb, text, cfg, rope, attn, kv_lens, tp_axis)
 
     def down(carry, xs):
         p, state = xs
@@ -274,11 +274,11 @@ def hunyuandit_down_scan(
 
 def hunyuandit_up_scan(
     blocks, x, skips, temb, text, cfg, *, rope, attn=SingleDeviceAttn(),
-    attn_state=(), kv_mask=None, tp_axis=None,
+    attn_state=(), kv_lens=None, tp_axis=None,
 ):
     """Scan the (stacked) up blocks consuming skips (already in consumption
     order): -> (x, new_state)."""
-    body = _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis)
+    body = _block_factory(temb, text, cfg, rope, attn, kv_lens, tp_axis)
 
     def up(carry, xs):
         p, state, skip = xs
@@ -328,8 +328,12 @@ def hunyuandit_forward(
     temb = cm.timestep_embedder(params["t_embed"], t, 256)
     if temb_extra is not None:
         temb = temb + temb_extra.astype(temb.dtype)
-    kv_mask = text_mask[:, None, None, :] if text_mask is not None else None
-    body = _block_factory(temb, text, cfg, rope, attn, kv_mask, tp_axis)
+    # padding masks are contiguous prefixes -> flash-compatible lengths
+    kv_lens = (
+        jnp.sum(text_mask, axis=-1).astype(jnp.int32)
+        if text_mask is not None else None
+    )
+    body = _block_factory(temb, text, cfg, rope, attn, kv_lens, tp_axis)
 
     def down(carry, xs):
         p, state = xs

@@ -150,7 +150,11 @@ def latte_forward(
     text = cm.linear(
         params["caption_fc2"], cm.gelu(cm.linear(params["caption_fc1"], text))
     )
-    kv_mask = text_mask[:, None, None, :] if text_mask is not None else None
+    # padding masks are contiguous prefixes -> flash-compatible lengths
+    kv_lens = (
+        jnp.sum(text_mask, axis=-1).astype(jnp.int32)
+        if text_mask is not None else None
+    )
 
     def modulate(table, x, i_shift, i_scale):
         return cm.layernorm({}, x) * (1 + table[:, i_scale][:, None]) + table[
@@ -172,8 +176,8 @@ def latte_forward(
         q = _heads(cm.linear(p["cross_q"], xs), h)
         text_r = jnp.repeat(text, f_l, axis=0)
         kt, vt = jnp.split(cm.linear(p["cross_kv"], text_r), 2, -1)
-        mask_r = jnp.repeat(kv_mask, f_l, axis=0) if kv_mask is not None else None
-        o = _cross_attn(q, _heads(kt, h), _heads(vt, h), mask_r)
+        lens_r = jnp.repeat(kv_lens, f_l, axis=0) if kv_lens is not None else None
+        o = _cross_attn(q, _heads(kt, h), _heads(vt, h), None, kv_lens=lens_r)
         xs = xs + cm.linear(p["cross_out"], _unheads(o))
 
         xn = modulate(table_r, xs, 3, 4)

@@ -178,9 +178,12 @@ def pixart_forward(
     text = cm.linear(
         params["caption_fc2"], cm.gelu(cm.linear(params["caption_fc1"], text))
     )
-    kv_mask = None
+    # text masks are contiguous padding prefixes (T5 tokenizer): reduce to a
+    # per-batch length so cross-attention stays on the flash path (the bool
+    # mask forced materialised fp32 scores)
+    kv_lens = None
     if text_mask is not None:
-        kv_mask = text_mask[:, None, None, :]  # (B,1,1,St) — broadcast in scores
+        kv_lens = jnp.sum(text_mask, axis=-1).astype(jnp.int32)
 
     def make_block(attn_impl):
         def block(carry, xs):
@@ -202,7 +205,9 @@ def pixart_forward(
             q = cm.linear(p["cross_q"], x)
             kv = cm.linear(p["cross_kv"], text)
             k, v = jnp.split(kv, 2, axis=-1)
-            o = _cross_attn(_heads(q, h), _heads(k, h), _heads(v, h), kv_mask)
+            o = _cross_attn(
+                _heads(q, h), _heads(k, h), _heads(v, h), None, kv_lens=kv_lens
+            )
             x = x + cm.linear(p["cross_out"], _unheads(o))
 
             # mlp
@@ -288,15 +293,29 @@ def pixart_forward(
     return out, new_state
 
 
-def _cross_attn(q, k, v, mask):
-    """Cross-attention with optional (B,1,1,Sk) bool key mask."""
+def _cross_attn(q, k, v, mask, kv_lens=None):
+    """Cross-attention with optional key masking.
+
+    ``kv_lens`` (B,) int32 covers the production case — T5/CLIP padding masks
+    are contiguous prefixes — and routes through the flash kernel on TPU
+    (scalar-prefetched length test in-kernel).  An arbitrary (B,1,1,Sk) bool
+    ``mask`` falls back to materialised scores; matmuls stay in the input
+    dtype (fp32 accumulate) so the MXU runs at full bf16 rate.
+    """
+    if kv_lens is not None:
+        return sdpa(q, k, v, kv_lens=kv_lens)
     if mask is None:
         return sdpa(q, k, v)
     b, sq, h, dh = q.shape
     scale = dh**-0.5
     scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32)
+        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
     )
     scores = jnp.where(mask, scores, -1e30)
     p = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd",
+        p.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)

@@ -22,8 +22,9 @@ NEG_INF = -1e30
 
 
 def _flash_eligible(q, k, causal, mask) -> bool:
-    """Use the Pallas flash kernel: TPU backend, no masking, big enough that
-    materialising scores would hurt, and a lane-aligned head dim."""
+    """Use the Pallas flash kernel: TPU backend, no arbitrary masking (per-
+    batch KV prefix lengths ARE supported), big enough that materialising
+    scores would hurt, and a lane-aligned head dim."""
     if causal or mask is not None:
         return False
     if jax.default_backend() != "tpu":
@@ -31,8 +32,11 @@ def _flash_eligible(q, k, causal, mask) -> bool:
     b, sq, h, d = q.shape
     sk = k.shape[1]
     # d is the full last dim of the kernel block, so any sublane-aligned head
-    # dim lowers (non-128 dims pad lanes; still beats materialised scores)
-    return d % 8 == 0 and sq * sk >= 256 * 256
+    # dim lowers (non-128 dims pad lanes; still beats materialised scores).
+    # Small-Sk (cross-attention to text) stays on the batched-einsum XLA
+    # path: measured SLOWER via the kernel (B*H tiny grid cells cannot fill
+    # the MXU; bench 0.448 -> 0.499 s/image when routed through flash)
+    return d % 8 == 0 and sq * sk >= 256 * 256 and sk >= 512
 
 
 def attn_with_lse(
@@ -43,6 +47,7 @@ def attn_with_lse(
     causal: bool = False,
     mask: Optional[jax.Array] = None,
     impl: str = "auto",
+    kv_lens: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Scaled dot-product attention returning (out, lse).
 
@@ -53,6 +58,8 @@ def attn_with_lse(
       causal: apply a causal mask (diffusion uses False; parity only).
       mask: optional (Sq, Sk) boolean mask (True = attend).
       impl: "auto" | "flash" (Pallas TPU kernel) | "xla".
+      kv_lens: optional (B,) int32 per-batch valid KV prefix length (the
+        contiguous text-padding masks); flash-compatible, unlike ``mask``.
 
     Returns:
       out: (B, Sq, H, D) in q.dtype
@@ -63,25 +70,39 @@ def attn_with_lse(
     if impl == "flash":
         from compactfusion_tpu.ops.flash_pallas import flash_attn_with_lse
 
-        return flash_attn_with_lse(q, k, v, scale=scale)
+        return flash_attn_with_lse(q, k, v, scale=scale, kv_lens=kv_lens)
 
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if scale is None:
         scale = d**-0.5
 
-    qf = q.astype(jnp.float32) * scale
-    # (B, H, Sq, Sk)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+    # matmuls in the input dtype with fp32 accumulation: bf16 inputs hit the
+    # MXU at full rate (products of bf16 values are exact in fp32, so this
+    # only changes accumulation order); scale applied to fp32 scores
+    scores = (
+        jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        * scale
+    )
     if causal:
         causal_mask = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=sk - sq)
         scores = jnp.where(causal_mask[None, None], scores, NEG_INF)
     if mask is not None:
         scores = jnp.where(mask[None, None], scores, NEG_INF)
+    if kv_lens is not None:
+        col = jnp.arange(sk)[None, None, None, :]
+        scores = jnp.where(col < kv_lens[:, None, None, None], scores, NEG_INF)
 
     lse = jax.nn.logsumexp(scores, axis=-1)  # (B, H, Sq)
     p = jnp.exp(scores - lse[..., None])
-    out = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd",
+        p.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
     return out.astype(q.dtype), lse
 
 
@@ -92,7 +113,10 @@ def sdpa(
     scale: Optional[float] = None,
     causal: bool = False,
     mask: Optional[jax.Array] = None,
+    kv_lens: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Plain attention (no lse) for single-device paths."""
-    out, _ = attn_with_lse(q, k, v, scale=scale, causal=causal, mask=mask)
+    out, _ = attn_with_lse(
+        q, k, v, scale=scale, causal=causal, mask=mask, kv_lens=kv_lens
+    )
     return out

@@ -32,6 +32,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
+    lens_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -45,6 +46,7 @@ def _flash_kernel(
     kv_blocks: int,
     valid_k: int,
     block_k: int,
+    use_lens: bool,
 ):
     ki = pl.program_id(3)
 
@@ -68,7 +70,13 @@ def _flash_kernel(
         * scale
     )  # (Bq, Bk) fp32
 
-    if valid_k % block_k != 0:
+    if use_lens:
+        # per-batch valid KV length (contiguous-prefix text masks)
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        s = jnp.where(col < lens_ref[pl.program_id(0)], s, NEG_INF)
+    elif valid_k % block_k != 0:
         col = ki * block_k + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, dimension=1
         )
@@ -110,11 +118,16 @@ def flash_attn_with_lse(
     block_q: int = 1024,
     block_k: int = 1024,
     interpret: bool = False,
+    kv_lens: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Flash attention.  Same contract as ``attn_with_lse`` (non-causal).
 
     q: (B, Sq, H, D); k, v: (B, Sk, H, D) -> out (B, Sq, H, D), lse (B, H, Sq).
     Sq/Sk are padded to the block sizes internally (padded keys masked out).
+    kv_lens: optional (B,) int32 — per-batch valid KV prefix length (the
+    contiguous text-padding masks of the cross-attention layers); keys at or
+    beyond the length are masked.  Scalar-prefetched, so masking costs one
+    iota+where in-kernel instead of a materialised fp32 score mask.
 
     Default 1024x1024 blocks: measured 2.3x faster than 512x512 on v5e at
     DiT shapes (S 1k-4k, head dim 64-128) — fewer grid cells amortise the
@@ -158,40 +171,50 @@ def flash_attn_with_lse(
     kv_blocks = sk_p // block_k
     grid = (b, h, sq_p // block_q, kv_blocks)
 
+    use_lens = kv_lens is not None
+    if use_lens:
+        lens = jnp.minimum(kv_lens.astype(jnp.int32), sk)
+    else:
+        lens = jnp.full((b,), sk, jnp.int32)
+
     kernel = functools.partial(
         _flash_kernel,
         scale=scale,
         kv_blocks=kv_blocks,
         valid_k=sk,
         block_k=block_k,
+        use_lens=use_lens,
     )
 
     out, lse8 = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b, h, qi, ki: (b, h, ki, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, qi, ki: (b, h, qi, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki, L: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda b, h, qi, ki, L: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda b, h, qi, ki, L: (b, h, ki, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki, L: (b, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, 8), lambda b, h, qi, ki, L: (b, h, qi, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, sq_p, 8), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qt, kt, vt)
+    )(lens, qt, kt, vt)
 
     out = jnp.transpose(out[:, :, :sq, :], (0, 2, 1, 3))
     lse = lse8[:, :, :sq, 0]

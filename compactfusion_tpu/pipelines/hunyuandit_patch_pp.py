@@ -77,7 +77,7 @@ def build_hunyuandit_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
         else:
             text, text_mask = text[0], text_mask[0]
         text = text.astype(mcfg.dtype)
-        kv_mask = text_mask[:, None, None, :]
+        kv_lens = jnp.sum(text_mask, axis=-1).astype(jnp.int32)
 
         b = latents.shape[0]
         nb = 2 * b if (cfg.do_cfg and p.cfg_degree == 1) else b
@@ -167,7 +167,7 @@ def build_hunyuandit_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             kv_dA = dict(kv_d, offset=jnp.full((L_loc,), offA, jnp.int32))
             d_h, kv_d_new, skips = hunyuandit_down_scan(
                 params["down_blocks"], h_in, tembA, text, mcfg,
-                rope=ropeA, attn=attn, attn_state=kv_dA, kv_mask=kv_mask,
+                rope=ropeA, attn=attn, attn_state=kv_dA, kv_lens=kv_lens,
             )
             kv_d = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(validA, new, old), kv_d_new, kv_d
@@ -199,7 +199,7 @@ def build_hunyuandit_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             kv_uB = dict(kv_u, offset=jnp.full((L_loc,), offB, jnp.int32))
             u_h, kv_u_new = hunyuandit_up_scan(
                 params["up_blocks"], uh_in, skips_me, tembB, text, mcfg,
-                rope=ropeB, attn=attn, attn_state=kv_uB, kv_mask=kv_mask,
+                rope=ropeB, attn=attn, attn_state=kv_uB, kv_lens=kv_lens,
             )
             kv_u = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(validB, new, old), kv_u_new, kv_u

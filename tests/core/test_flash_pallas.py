@@ -51,3 +51,26 @@ def test_flash_bf16():
         np.asarray(out, np.float64) - np.asarray(ref_o, np.float64)
     ) / np.linalg.norm(np.asarray(ref_o, np.float64))
     assert err < 2e-2
+
+
+def test_flash_kv_lens_prefix_mask():
+    """Per-batch KV prefix lengths (text padding masks) in-kernel."""
+    q, k, v = _qkv(2, 128, 384, h=2, d=64, seed=3)
+    lens = jnp.asarray([100, 384], jnp.int32)
+    ref_o, ref_l = attn_with_lse(q, k, v, impl="xla", kv_lens=lens)
+    out, lse = flash_attn_with_lse(
+        q, k, v, block_q=128, block_k=128, interpret=True, kv_lens=lens
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_o), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_l), atol=2e-4)
+
+
+def test_flash_kv_lens_with_ragged_tail():
+    """kv_lens combined with Sk % block_k != 0 padding."""
+    q, k, v = _qkv(2, 64, 120, h=2, d=64, seed=4)
+    lens = jnp.asarray([120, 77], jnp.int32)
+    ref_o, _ = attn_with_lse(q, k, v, impl="xla", kv_lens=lens)
+    out, _ = flash_attn_with_lse(
+        q, k, v, block_q=64, block_k=128, interpret=True, kv_lens=lens
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_o), atol=2e-4)
