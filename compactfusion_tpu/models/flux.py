@@ -224,12 +224,18 @@ def flux_double_scan(
     blocks, img, txt, temb, cfg: FluxConfig, *, img_rope, txt_rope,
     attn=SingleDeviceAttn(), attn_state=(), tp_axis=None,
 ):
-    """Scan the (stacked) MMDiT double blocks: -> (img, txt, new_state)."""
+    """Scan the (stacked) MMDiT double blocks: -> (img, txt, new_state).
+
+    ``attn`` may be a tuple of ``(strategy, n_layers)`` segments (per-layer
+    compression plans, reference ``compress_func(layer, step)``); one scan is
+    compiled per contiguous segment with its own state pytree.
+    """
     h = cfg.heads
     cos_i, sin_i = img_rope
     cos_t, sin_t = txt_rope
 
-    def double_block(carry, xs):
+    def make_block(attn):
+      def double_block(carry, xs):
         img, txt = carry
         p, state = xs
         i_sh_a, i_sc_a, i_g_a, i_sh_m, i_sc_m, i_g_m = _mod(p["img_mod"], temb, 6)
@@ -258,10 +264,9 @@ def flux_double_scan(
         txt = txt + t_g_m * cm.ffn(p["txt_ffn"], txt_n, tp_axis=tp_axis)
         return (img, txt), state
 
-    (img, txt), new_state = jax.lax.scan(
-        double_block, (img, txt), (blocks, attn_state)
-    )
-    return img, txt, new_state
+      return double_block
+
+    return _scan_segments(make_block, (img, txt), blocks, attn, attn_state)
 
 
 def flux_single_scan(
@@ -275,7 +280,8 @@ def flux_single_scan(
     cos_t, sin_t = txt_rope
     s_txt = txt.shape[1]
 
-    def single_block(carry, xs):
+    def make_block(attn):
+      def single_block(carry, xs):
         img, txt = carry
         p, state = xs
         sh, sc, g = _mod(p["mod"], temb, 3)
@@ -299,10 +305,33 @@ def flux_single_scan(
         x = x + g * y
         return (x[:, s_txt:], x[:, :s_txt]), state
 
-    (img, txt), new_state = jax.lax.scan(
-        single_block, (img, txt), (blocks, attn_state)
-    )
-    return img, txt, new_state
+      return single_block
+
+    return _scan_segments(make_block, (img, txt), blocks, attn, attn_state)
+
+
+def _scan_segments(make_block, carry, blocks, attn, attn_state):
+    """lax.scan over stacked blocks; with ``attn`` a tuple of
+    ``(strategy, n_layers)`` segments, one scan per contiguous segment
+    (per-layer plans — reference compact/utils.py:51)."""
+    if not isinstance(attn, (tuple, list)):
+        (a, b), new_state = jax.lax.scan(
+            make_block(attn), carry, (blocks, attn_state)
+        )
+        return a, b, new_state
+    new_state = []
+    l0 = 0
+    for (seg_attn, n_l), seg_state in zip(attn, attn_state):
+        seg_blocks = jax.tree_util.tree_map(
+            lambda x, _l0=l0, _n=n_l: x[_l0 : _l0 + _n], blocks
+        )
+        carry, st = jax.lax.scan(
+            make_block(seg_attn), carry, (seg_blocks, seg_state)
+        )
+        new_state.append(st)
+        l0 += n_l
+    a, b = carry
+    return a, b, tuple(new_state)
 
 
 def flux_head(params, img, temb, cfg: FluxConfig):
@@ -327,11 +356,15 @@ def flux_forward(
     attn=SingleDeviceAttn(),
     attn_state_double=(),
     attn_state_single=(),
+    attn_single=None,
     tp_axis: Optional[str] = None,
     cache_cfg=None,
     cache_state=None,
 ):
     """FLUX denoiser on local image-token shards.
+
+    ``attn_single`` overrides the strategy for the single-block family (per-
+    layer plans give each family its own segment tuple); default = ``attn``.
 
     Args:
       img: (B, S_img_local, in_channels) packed latent tokens (local shard).
@@ -417,6 +450,7 @@ def flux_forward(
     img, txt, new_state_single = flux_single_scan(
         params["single_blocks"], img, txt, temb, cfg,
         img_rope=img_rope, txt_rope=txt_rope,
-        attn=attn, attn_state=attn_state_single, tp_axis=tp_axis,
+        attn=attn if attn_single is None else attn_single,
+        attn_state=attn_state_single, tp_axis=tp_axis,
     )
     return flux_head(params, img, temb, cfg), new_state_double, new_state_single

@@ -109,9 +109,32 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
     img_pos = flux_image_positions(hp, wp)
     cos_i_full, sin_i_full = cm.rope_frequencies(img_pos, mcfg.axes_dim)
 
-    segments = compact_step_segments(
-        cfg.compact, cfg.num_steps, mcfg.double_layers + mcfg.single_layers
-    )
+    n_d, n_s = mcfg.double_layers, mcfg.single_layers
+    if cfg.compact.enabled and cfg.compact.compress_func is not None:
+        # per-layer plans (reference compress_func(layer, step)): a SHARED
+        # layer segmentation per block family, per-step method tuples
+        from compactfusion_tpu.pipelines.pixart import layer_plan_segments
+
+        plans = [
+            cfg.compact.layer_plan(s, n_d + n_s) for s in range(cfg.num_steps)
+        ]
+        segs_d = layer_plan_segments([pl[:n_d] for pl in plans], n_d)
+        segs_s = layer_plan_segments([pl[n_d:] for pl in plans], n_s)
+        schedule = [
+            (
+                tuple((pl[l0], l1 - l0) for l0, l1 in segs_d),
+                tuple((pl[n_d + l0], l1 - l0) for l0, l1 in segs_s),
+            )
+            for pl in plans
+        ]
+        segments = []
+        for s, m in enumerate(schedule):
+            if segments and segments[-1][0] == m:
+                segments[-1][1].append(s)
+            else:
+                segments.append((m, [s]))
+    else:
+        segments = compact_step_segments(cfg.compact, cfg.num_steps, n_d + n_s)
 
     def spmd(params, txt, pooled, latents):
         s_txt = txt.shape[1]
@@ -148,18 +171,33 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
 
         carry = (latents, None, None, cache_state)
         for method, steps in segments:
-            attn = _attn_impl(cfg, method)
-            sd = attn.init_state(
-                mcfg.double_layers, b, s_local, mcfg.heads, mcfg.head_dim, jnp.float32
-            )
-            ss = attn.init_state(
-                mcfg.single_layers, b, s_local, mcfg.heads, mcfg.head_dim, jnp.float32
-            )
-            if carry[1] is not None and jax.tree_util.tree_leaves(carry[1]):
-                sd, ss = carry[1], carry[2]
+
+            def _init(a, n_layers):
+                return a.init_state(
+                    n_layers, b, s_local, mcfg.heads, mcfg.head_dim,
+                    jnp.float32,
+                )
+
+            if isinstance(method, tuple):  # per-layer (double, single) plans
+                attn_d = tuple((_attn_impl(cfg, m), n) for m, n in method[0])
+                attn_s = tuple((_attn_impl(cfg, m), n) for m, n in method[1])
+                sd = tuple(_init(a, n) for a, n in attn_d)
+                ss = tuple(_init(a, n) for a, n in attn_s)
+            else:
+                attn_d = attn_s = _attn_impl(cfg, method)
+                sd = _init(attn_d, mcfg.double_layers)
+                ss = _init(attn_s, mcfg.single_layers)
+            prev_sd, prev_ss = carry[1], carry[2]
+            if (
+                prev_sd is not None
+                and jax.tree_util.tree_leaves(prev_sd)
+                and jax.tree_util.tree_structure(prev_sd)
+                == jax.tree_util.tree_structure(sd)
+            ):
+                sd, ss = prev_sd, prev_ss  # carry EF caches across segments
             carry = (carry[0], sd, ss, carry[3])
 
-            def body(c, i, _attn=attn):
+            def body(c, i, _attn=attn_d, _attn_s=attn_s):
                 latents, sd, ss, cst = c
                 t = jnp.full((b,), sched.timesteps[i], jnp.float32)
                 fwd = flux_forward(
@@ -175,6 +213,7 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
                     attn=_attn,
                     attn_state_double=sd,
                     attn_state_single=ss,
+                    attn_single=_attn_s,
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
                     cache_cfg=cache_cfg,
                     cache_state=cst,

@@ -128,3 +128,61 @@ def test_per_layer_plan_runs_and_is_between_extremes(setup):
     assert err_mixed > 1e-6, "mixed plan identical to lossless - test blind"
     assert err_mixed < err_full, (err_mixed, err_full)
     assert err_full < 0.3
+
+
+# ---------------------------------------------------------------------------
+# FLUX: per-layer plans across the double/single block families
+# ---------------------------------------------------------------------------
+
+
+def test_flux_per_layer_plan():
+    from compactfusion_tpu.models.flux import flux_tiny, init_flux
+    from compactfusion_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
+
+    mcfg = flux_tiny()
+    params = spice_params(init_flux(jax.random.PRNGKey(7), mcfg))
+    rng = np.random.default_rng(8)
+    txt = jnp.asarray(rng.standard_normal((1, 8, mcfg.text_dim)), jnp.float32)
+    pooled = jnp.asarray(
+        rng.standard_normal((1, mcfg.pooled_dim)), jnp.float32
+    )
+    key = jax.random.PRNGKey(9)
+
+    def fcfg(parallel, compact=CompactConfig()):
+        return FluxPipelineConfig(
+            model=mcfg, vae=None, parallel=parallel, compact=compact,
+            num_steps=4, height=4 * 16, width=8 * 16,
+        )
+
+    mesh1 = make_mesh(ParallelConfig(), devices=jax.devices()[:1])
+    ref = FluxPipeline(params, None, fcfg(ParallelConfig()), mesh1)(
+        txt, pooled, key, decode=False
+    )
+
+    def plan(first_double, rest):
+        # double layer 0 gets ``first_double``, everything else ``rest``
+        return CompactConfig(
+            enabled=True, compress_type=CompressType.BINARY,
+            warmup_steps=1, residual=1, error_feedback=True,
+            compress_func=lambda layer, step: (
+                CompressType.WARMUP if step < 1
+                else (first_double if layer == 0 else rest)
+            ),
+        )
+
+    par = ParallelConfig(ring_degree=4)
+    mesh = make_mesh(par)
+    out_mixed = FluxPipeline(
+        params, None,
+        fcfg(par, plan(CompressType.IDENTITY, CompressType.BINARY)), mesh,
+    )(txt, pooled, key, decode=False)
+    out_full = FluxPipeline(
+        params, None,
+        fcfg(par, plan(CompressType.BINARY, CompressType.BINARY)), mesh,
+    )(txt, pooled, key, decode=False)
+
+    err_mixed = rel_err(out_mixed, ref)
+    err_full = rel_err(out_full, ref)
+    assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
+    assert err_mixed > 1e-6
+    assert err_mixed < err_full, (err_mixed, err_full)
