@@ -237,9 +237,10 @@ def compact_step_segments(
     """Contiguous per-step method segments [(method | None, [step, ...])].
 
     For pipelines that compile one scan per method segment and support only
-    LAYER-UNIFORM schedules (all but PixArt today): raises if a per-layer
-    ``compress_func`` produces different methods across layers, instead of
-    silently applying layer 0's plan everywhere.
+    LAYER-UNIFORM schedules (PixArt, FLUX and SD3 support per-layer plans via
+    ``pipelines.base.compact_layer_segments``; the rest use this): raises if
+    a per-layer ``compress_func`` produces different methods across layers,
+    instead of silently applying layer 0's plan everywhere.
     """
     schedule = []
     for s in range(num_steps):

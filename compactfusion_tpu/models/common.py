@@ -270,3 +270,32 @@ def ffn(p, x, act=gelu, tp_axis: Optional[str] = None):
     if "b" in p["fc2"]:
         y = y + p["fc2"]["b"]
     return y
+
+
+def scan_segments(make_block, carry, blocks, attn, attn_state):
+    """``lax.scan`` over stacked blocks, segmented by attention strategy.
+
+    ``attn`` is either a single strategy (one scan over the full stack) or a
+    tuple of ``(strategy, n_layers)`` segments (per-layer compression plans,
+    reference ``compact/utils.py:51``); in the latter case ``attn_state`` is
+    the matching tuple of per-segment state pytrees and one scan is compiled
+    per contiguous layer segment.  ``make_block(strategy)`` returns the scan
+    body ``(carry, (params, state)) -> (carry, state)``.
+
+    Returns ``(carry, new_state)`` with ``new_state`` mirroring the
+    segmentation of ``attn_state``.
+    """
+    if not isinstance(attn, (tuple, list)):
+        return jax.lax.scan(make_block(attn), carry, (blocks, attn_state))
+    new_state = []
+    l0 = 0
+    for (seg_attn, n_l), seg_state in zip(attn, attn_state):
+        seg_blocks = jax.tree_util.tree_map(
+            lambda x, _l0=l0, _n=n_l: x[_l0 : _l0 + _n], blocks
+        )
+        carry, st = jax.lax.scan(
+            make_block(seg_attn), carry, (seg_blocks, seg_state)
+        )
+        new_state.append(st)
+        l0 += n_l
+    return carry, tuple(new_state)

@@ -311,27 +311,10 @@ def flux_single_scan(
 
 
 def _scan_segments(make_block, carry, blocks, attn, attn_state):
-    """lax.scan over stacked blocks; with ``attn`` a tuple of
-    ``(strategy, n_layers)`` segments, one scan per contiguous segment
-    (per-layer plans — reference compact/utils.py:51)."""
-    if not isinstance(attn, (tuple, list)):
-        (a, b), new_state = jax.lax.scan(
-            make_block(attn), carry, (blocks, attn_state)
-        )
-        return a, b, new_state
-    new_state = []
-    l0 = 0
-    for (seg_attn, n_l), seg_state in zip(attn, attn_state):
-        seg_blocks = jax.tree_util.tree_map(
-            lambda x, _l0=l0, _n=n_l: x[_l0 : _l0 + _n], blocks
-        )
-        carry, st = jax.lax.scan(
-            make_block(seg_attn), carry, (seg_blocks, seg_state)
-        )
-        new_state.append(st)
-        l0 += n_l
-    a, b = carry
-    return a, b, tuple(new_state)
+    (a, b), new_state = cm.scan_segments(
+        make_block, carry, blocks, attn, attn_state
+    )
+    return a, b, new_state
 
 
 def flux_head(params, img, temb, cfg: FluxConfig):

@@ -135,10 +135,16 @@ def sd3_joint_scan(
     blocks, img, txt, temb, cfg: SD3Config, *, attn=SingleDeviceAttn(),
     attn_state=(), tp_axis=None,
 ):
-    """Scan the (stacked) MMDiT joint blocks: -> (img, txt, new_state)."""
+    """Scan the (stacked) MMDiT joint blocks: -> (img, txt, new_state).
+
+    ``attn`` may be a tuple of ``(strategy, n_layers)`` segments (per-layer
+    compression plans, reference ``compress_func(layer, step)``); one scan is
+    compiled per contiguous layer segment with its own state pytree.
+    """
     h = cfg.heads
 
-    def joint_block(carry, xs):
+    def make_block(attn):
+      def joint_block(carry, xs):
         img, txt = carry
         p, state = xs
         i_sh_a, i_sc_a, i_g_a, i_sh_m, i_sc_m, i_g_m = _mod(p["img_mod"], temb, 6)
@@ -170,8 +176,10 @@ def sd3_joint_scan(
         txt = txt + t_g_m * cm.ffn(p["txt_ffn"], txt_n, tp_axis=tp_axis)
         return (img, txt), state
 
-    (img, txt), new_state = jax.lax.scan(
-        joint_block, (img, txt), (blocks, attn_state)
+      return joint_block
+
+    (img, txt), new_state = cm.scan_segments(
+        make_block, (img, txt), blocks, attn, attn_state
     )
     return img, txt, new_state
 

@@ -70,3 +70,52 @@ def prepare_latents(
     key: jax.Array, batch: int, tokens: int, token_dim: int, dtype=jnp.bfloat16
 ) -> jax.Array:
     return jax.random.normal(key, (batch, tokens, token_dim), jnp.float32).astype(dtype)
+
+
+def layer_plan_segments(plans, depth):
+    """Resolve per-step per-layer plans to a COMMON layer segmentation.
+
+    ``plans``: one per-layer method tuple per step.  Returns ((l0, l1), ...)
+    layer ranges whose bounds are the union of every step's method-run
+    boundaries — using one segmentation for all steps keeps the EF-cache
+    pytree structure identical across step segments so caches carry through
+    (the reference's per-(layer, src) dict does this for free,
+    ``compact/ring.py:184-205``).
+    """
+    bounds = {0, depth}
+    for plan in plans:
+        for l in range(1, depth):
+            if plan[l] != plan[l - 1]:
+                bounds.add(l)
+    edges = sorted(bounds)
+    return tuple(zip(edges[:-1], edges[1:]))
+
+
+def compact_layer_segments(compact, num_steps: int, depth: int):
+    """Contiguous per-step method segments, allowing per-layer plans.
+
+    Returns ``[(plan, [step, ...]), ...]`` where ``plan`` is ``None``
+    (compression off), a single CompressType (layer-uniform step), or a tuple
+    of ``(method, n_layers)`` layer segments (per-layer ``compress_func``
+    plans, reference ``compact/utils.py:51``) sharing one segmentation across
+    all steps.  Pipelines compile one scan per (step-segment, layer-segment).
+    """
+    if compact.enabled and compact.compress_func is not None:
+        plans = [compact.layer_plan(s, depth) for s in range(num_steps)]
+        seg_ranges = layer_plan_segments(plans, depth)
+        schedule = [
+            tuple((plan[l0], l1 - l0) for l0, l1 in seg_ranges)
+            for plan in plans
+        ]
+    else:
+        schedule = [
+            compact.type_at(0, s) if compact.enabled else None
+            for s in range(num_steps)
+        ]
+    segments = []
+    for s, m in enumerate(schedule):
+        if segments and segments[-1][0] == m:
+            segments[-1][1].append(s)
+        else:
+            segments.append((m, [s]))
+    return segments

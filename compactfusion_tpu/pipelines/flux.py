@@ -113,7 +113,7 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
     if cfg.compact.enabled and cfg.compact.compress_func is not None:
         # per-layer plans (reference compress_func(layer, step)): a SHARED
         # layer segmentation per block family, per-step method tuples
-        from compactfusion_tpu.pipelines.pixart import layer_plan_segments
+        from compactfusion_tpu.pipelines.base import layer_plan_segments
 
         plans = [
             cfg.compact.layer_plan(s, n_d + n_s) for s in range(cfg.num_steps)

@@ -118,22 +118,7 @@ def _attn_impl(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
     return SingleDeviceAttn()
 
 
-def layer_plan_segments(plans, depth):
-    """Resolve per-step per-layer plans to a COMMON layer segmentation.
-
-    ``plans``: one per-layer method tuple per step.  Returns (bounds, segs)
-    where bounds are the union of every step's method-run boundaries — using
-    one segmentation for all steps keeps the EF-cache pytree structure
-    identical across step segments so caches carry through (the reference's
-    per-(layer, src) dict does this for free, ``compact/ring.py:184-205``).
-    """
-    bounds = {0, depth}
-    for plan in plans:
-        for l in range(1, depth):
-            if plan[l] != plan[l - 1]:
-                bounds.add(l)
-    edges = sorted(bounds)
-    return tuple(zip(edges[:-1], edges[1:]))
+layer_plan_segments = base.layer_plan_segments
 
 
 def denoise_step_fn(cfg: PixArtPipelineConfig, plan):
@@ -224,29 +209,9 @@ def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh, params_tree=None):
     p = cfg.parallel
     # per-step plan: (method, n_layers) segment tuples when compress_func is
     # set (shared segmentation across steps), a single method otherwise
-    schedule = []
-    if cfg.compact.enabled and cfg.compact.compress_func is not None:
-        depth = cfg.model.depth
-        plans = [
-            cfg.compact.layer_plan(s, depth) for s in range(cfg.num_steps)
-        ]
-        seg_ranges = layer_plan_segments(plans, depth)
-        for plan in plans:
-            schedule.append(
-                tuple((plan[l0], l1 - l0) for l0, l1 in seg_ranges)
-            )
-    else:
-        for s in range(cfg.num_steps):
-            schedule.append(
-                cfg.compact.type_at(0, s) if cfg.compact.enabled else None
-            )
-    # split into contiguous step segments of equal plan (warmup | steady)
-    segments = []
-    for s, m in enumerate(schedule):
-        if segments and segments[-1][0] == m:
-            segments[-1][1].append(s)
-        else:
-            segments.append((m, [s]))
+    segments = base.compact_layer_segments(
+        cfg.compact, cfg.num_steps, cfg.model.depth
+    )
 
     def spmd(params, text, text_mask, latents):
         # text arrives (2, B_local, S, D) on the cfg axis (or full when cfg=1)

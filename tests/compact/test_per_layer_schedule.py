@@ -186,3 +186,62 @@ def test_flux_per_layer_plan():
     assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
     assert err_mixed > 1e-6
     assert err_mixed < err_full, (err_mixed, err_full)
+
+
+# ---------------------------------------------------------------------------
+# SD3: per-layer plans over the joint-block stack
+# ---------------------------------------------------------------------------
+
+
+def test_sd3_per_layer_plan():
+    from compactfusion_tpu.models.sd3 import init_sd3, sd3_tiny
+    from compactfusion_tpu.pipelines.sd3 import SD3Pipeline, SD3PipelineConfig
+
+    mcfg = sd3_tiny()
+    params = spice_params(init_sd3(jax.random.PRNGKey(11), mcfg))
+    rng = np.random.default_rng(12)
+    txt = jnp.asarray(
+        rng.standard_normal((2, 1, 8, mcfg.text_dim)), jnp.float32
+    )
+    pooled = jnp.asarray(
+        rng.standard_normal((2, 1, mcfg.pooled_dim)), jnp.float32
+    )
+    key = jax.random.PRNGKey(13)
+
+    def scfg(parallel, compact=CompactConfig()):
+        return SD3PipelineConfig(
+            model=mcfg, vae=None, parallel=parallel, compact=compact,
+            num_steps=4, height=64, width=128,
+        )
+
+    mesh1 = make_mesh(ParallelConfig(), devices=jax.devices()[:1])
+    ref = SD3Pipeline(params, None, scfg(ParallelConfig()), mesh1)(
+        txt, pooled, key, decode=False
+    )
+
+    def plan(first, rest):
+        return CompactConfig(
+            enabled=True, compress_type=CompressType.BINARY,
+            warmup_steps=1, residual=1, error_feedback=True,
+            compress_func=lambda layer, step: (
+                CompressType.WARMUP if step < 1
+                else (first if layer == 0 else rest)
+            ),
+        )
+
+    par = ParallelConfig(ring_degree=4)
+    mesh = make_mesh(par)
+    out_mixed = SD3Pipeline(
+        params, None, scfg(par, plan(CompressType.IDENTITY, CompressType.BINARY)),
+        mesh,
+    )(txt, pooled, key, decode=False)
+    out_full = SD3Pipeline(
+        params, None, scfg(par, plan(CompressType.BINARY, CompressType.BINARY)),
+        mesh,
+    )(txt, pooled, key, decode=False)
+
+    err_mixed = rel_err(out_mixed, ref)
+    err_full = rel_err(out_full, ref)
+    assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
+    assert err_mixed > 1e-6
+    assert err_mixed < err_full, (err_mixed, err_full)
