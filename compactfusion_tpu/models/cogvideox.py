@@ -162,7 +162,8 @@ def cogvideox_forward(
         out = cm.linear(p, cm.silu(temb))
         return jnp.split(out[:, None, :], 6, axis=-1)
 
-    def block(carry, xs):
+    def make_block(attn):
+      def block(carry, xs):
         vid, txt = carry
         p, state = xs
         # CogVideoXLayerNormZero chunk order: (shift, scale, gate) for the
@@ -205,8 +206,12 @@ def cogvideox_forward(
         vid = vid + v_g * ff[:, s_txt:]
         return (vid, txt), state
 
-    (vid, txt), new_state = jax.lax.scan(
-        block, (vid, txt), (params["blocks"], attn_state)
+      return block
+
+    # ``attn`` may be a tuple of (strategy, n_layers) segments (per-layer
+    # compression plans, reference compress_func(layer, step))
+    (vid, txt), new_state = cm.scan_segments(
+        make_block, (vid, txt), params["blocks"], attn, attn_state
     )
 
     # norm_final over the joint sequence (video part kept), then

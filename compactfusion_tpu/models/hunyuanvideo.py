@@ -206,9 +206,14 @@ def hunyuanvideo_forward(
     attn=SingleDeviceAttn(),
     attn_state_double=(),
     attn_state_single=(),
+    attn_single=None,
     tp_axis: Optional[str] = None,
 ):
     """HunyuanVideo denoiser on local video-token shards.
+
+    ``attn_single`` overrides the strategy for the single-block family
+    (per-layer plans give each family its own segment tuple); default =
+    ``attn``.
 
     video: (B, S_local, 64) packed latent tokens; txt: (B, S_txt, text_dim)
     RAW LLaMA states (refined inside); pooled: (B, 768) CLIP pooled;
@@ -229,6 +234,7 @@ def hunyuanvideo_forward(
     img, txt, ss = flux_single_scan(
         params["single_blocks"], img, txt, temb, cfg,
         img_rope=video_rope, txt_rope=txt_rope,
-        attn=attn, attn_state=attn_state_single, tp_axis=tp_axis,
+        attn=attn if attn_single is None else attn_single,
+        attn_state=attn_state_single, tp_axis=tp_axis,
     )
     return flux_head(params, img, temb, cfg), sd, ss

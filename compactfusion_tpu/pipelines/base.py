@@ -119,3 +119,36 @@ def compact_layer_segments(compact, num_steps: int, depth: int):
         else:
             segments.append((m, [s]))
     return segments
+
+
+def compact_two_family_segments(compact, num_steps: int, n_first: int, n_second: int):
+    """``compact_layer_segments`` for models with TWO stacked block families
+    (FLUX-style double/single stacks; layer index runs first family then
+    second).  With ``compress_func`` set, each step's plan is a pair
+    ``(first_segs, second_segs)`` of ``(method, n_layers)`` tuples — each
+    family gets its own shared layer segmentation.
+    """
+    if compact.enabled and compact.compress_func is not None:
+        total = n_first + n_second
+        plans = [compact.layer_plan(s, total) for s in range(num_steps)]
+        segs_a = layer_plan_segments([pl[:n_first] for pl in plans], n_first)
+        segs_b = layer_plan_segments([pl[n_first:] for pl in plans], n_second)
+        schedule = [
+            (
+                tuple((pl[l0], l1 - l0) for l0, l1 in segs_a),
+                tuple((pl[n_first + l0], l1 - l0) for l0, l1 in segs_b),
+            )
+            for pl in plans
+        ]
+    else:
+        schedule = [
+            compact.type_at(0, s) if compact.enabled else None
+            for s in range(num_steps)
+        ]
+    segments = []
+    for s, m in enumerate(schedule):
+        if segments and segments[-1][0] == m:
+            segments[-1][1].append(s)
+        else:
+            segments.append((m, [s]))
+    return segments

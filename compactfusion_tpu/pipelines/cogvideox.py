@@ -23,7 +23,6 @@ from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
     ParallelConfig,
-    compact_step_segments,
 )
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -107,7 +106,7 @@ def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
     else:
         pos_full = cm.sincos_pos_embed_2d(mcfg.dim, f * hp, wp)
 
-    segments = compact_step_segments(
+    segments = base.compact_layer_segments(
         cfg.compact, cfg.num_steps, mcfg.depth
     )
 
@@ -139,13 +138,29 @@ def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
 
         carry = (latents, None)
         for method, steps in segments:
-            attn = _attn_impl(cfg, method)
-            st = attn.init_state(
-                mcfg.depth, n_model_batch, s_local, mcfg.heads, mcfg.head_dim,
-                jnp.float32,
-            )
-            if carry[1] is not None and jax.tree_util.tree_leaves(carry[1]):
-                st = carry[1]
+            if isinstance(method, tuple):  # per-layer compress_func plans
+                attn = tuple((_attn_impl(cfg, m), n) for m, n in method)
+                st = tuple(
+                    a.init_state(
+                        n, n_model_batch, s_local, mcfg.heads, mcfg.head_dim,
+                        jnp.float32,
+                    )
+                    for a, n in attn
+                )
+            else:
+                attn = _attn_impl(cfg, method)
+                st = attn.init_state(
+                    mcfg.depth, n_model_batch, s_local, mcfg.heads,
+                    mcfg.head_dim, jnp.float32,
+                )
+            prev = carry[1]
+            if (
+                prev is not None
+                and jax.tree_util.tree_leaves(prev)
+                and jax.tree_util.tree_structure(prev)
+                == jax.tree_util.tree_structure(st)
+            ):
+                st = prev  # carry EF caches across step segments
             carry = (carry[0], st)
 
             def body(c, i, _attn=attn):

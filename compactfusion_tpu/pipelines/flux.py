@@ -26,7 +26,6 @@ from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
     ParallelConfig,
-    compact_step_segments,
 )
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -109,32 +108,11 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
     img_pos = flux_image_positions(hp, wp)
     cos_i_full, sin_i_full = cm.rope_frequencies(img_pos, mcfg.axes_dim)
 
-    n_d, n_s = mcfg.double_layers, mcfg.single_layers
-    if cfg.compact.enabled and cfg.compact.compress_func is not None:
-        # per-layer plans (reference compress_func(layer, step)): a SHARED
-        # layer segmentation per block family, per-step method tuples
-        from compactfusion_tpu.pipelines.base import layer_plan_segments
-
-        plans = [
-            cfg.compact.layer_plan(s, n_d + n_s) for s in range(cfg.num_steps)
-        ]
-        segs_d = layer_plan_segments([pl[:n_d] for pl in plans], n_d)
-        segs_s = layer_plan_segments([pl[n_d:] for pl in plans], n_s)
-        schedule = [
-            (
-                tuple((pl[l0], l1 - l0) for l0, l1 in segs_d),
-                tuple((pl[n_d + l0], l1 - l0) for l0, l1 in segs_s),
-            )
-            for pl in plans
-        ]
-        segments = []
-        for s, m in enumerate(schedule):
-            if segments and segments[-1][0] == m:
-                segments[-1][1].append(s)
-            else:
-                segments.append((m, [s]))
-    else:
-        segments = compact_step_segments(cfg.compact, cfg.num_steps, n_d + n_s)
+    # per-layer plans (reference compress_func(layer, step)): a SHARED layer
+    # segmentation per block family, per-step (double, single) method tuples
+    segments = base.compact_two_family_segments(
+        cfg.compact, cfg.num_steps, mcfg.double_layers, mcfg.single_layers
+    )
 
     def spmd(params, txt, pooled, latents):
         s_txt = txt.shape[1]

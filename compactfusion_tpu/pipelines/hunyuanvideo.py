@@ -22,7 +22,6 @@ from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
     ParallelConfig,
-    compact_step_segments,
 )
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -91,8 +90,8 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
     theta = getattr(mcfg, "rope_theta", 10000.0)
     cos_full, sin_full = cm.rope_frequencies(pos, mcfg.axes_dim, theta=theta)
 
-    segments = compact_step_segments(
-        cfg.compact, cfg.num_steps, mcfg.double_layers + mcfg.single_layers
+    segments = base.compact_two_family_segments(
+        cfg.compact, cfg.num_steps, mcfg.double_layers, mcfg.single_layers
     )
 
     def spmd(params, txt, text_mask, pooled, latents):
@@ -117,18 +116,33 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
 
         carry = (latents, None, None)
         for method, steps in segments:
-            attn = _attn_impl(cfg, method)
-            sd = attn.init_state(
-                mcfg.double_layers, b, s_local, mcfg.heads, mcfg.head_dim, jnp.float32
-            )
-            ss = attn.init_state(
-                mcfg.single_layers, b, s_local, mcfg.heads, mcfg.head_dim, jnp.float32
-            )
-            if carry[1] is not None and jax.tree_util.tree_leaves(carry[1]):
-                sd, ss = carry[1], carry[2]
+
+            def _init(a, n_layers):
+                return a.init_state(
+                    n_layers, b, s_local, mcfg.heads, mcfg.head_dim,
+                    jnp.float32,
+                )
+
+            if isinstance(method, tuple):  # per-layer (double, single) plans
+                attn_d = tuple((_attn_impl(cfg, m), n) for m, n in method[0])
+                attn_s = tuple((_attn_impl(cfg, m), n) for m, n in method[1])
+                sd = tuple(_init(a, n) for a, n in attn_d)
+                ss = tuple(_init(a, n) for a, n in attn_s)
+            else:
+                attn_d = attn_s = _attn_impl(cfg, method)
+                sd = _init(attn_d, mcfg.double_layers)
+                ss = _init(attn_s, mcfg.single_layers)
+            prev_sd, prev_ss = carry[1], carry[2]
+            if (
+                prev_sd is not None
+                and jax.tree_util.tree_leaves(prev_sd)
+                and jax.tree_util.tree_structure(prev_sd)
+                == jax.tree_util.tree_structure(sd)
+            ):
+                sd, ss = prev_sd, prev_ss  # carry EF caches across segments
             carry = (carry[0], sd, ss)
 
-            def body(c, i, _attn=attn):
+            def body(c, i, _attn=attn_d, _attn_s=attn_s):
                 latents, sd, ss = c
                 t = jnp.full((b,), sched.timesteps[i], jnp.float32)
                 v, sd, ss = hunyuanvideo_forward(
@@ -145,6 +159,7 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
                     attn=_attn,
                     attn_state_double=sd,
                     attn_state_single=ss,
+                    attn_single=_attn_s,
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
                 )
                 latents = flow_match_step(sched, i, latents, v)

@@ -245,3 +245,111 @@ def test_sd3_per_layer_plan():
     assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
     assert err_mixed > 1e-6
     assert err_mixed < err_full, (err_mixed, err_full)
+
+
+# ---------------------------------------------------------------------------
+# CogVideoX + HunyuanVideo: per-layer plans on the video pipelines
+# ---------------------------------------------------------------------------
+
+
+def _mixed_plan(first, rest, warmup=1):
+    return CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY,
+        warmup_steps=warmup, residual=1, error_feedback=True,
+        compress_func=lambda layer, step: (
+            CompressType.WARMUP if step < warmup
+            else (first if layer == 0 else rest)
+        ),
+    )
+
+
+def test_cogvideox_per_layer_plan():
+    from compactfusion_tpu.models.cogvideox import cogvideox_tiny, init_cogvideox
+    from compactfusion_tpu.pipelines.cogvideox import (
+        CogVideoXPipeline,
+        CogVideoXPipelineConfig,
+    )
+
+    mcfg = cogvideox_tiny()
+    params = spice_params(init_cogvideox(jax.random.PRNGKey(21), mcfg))
+    rng = np.random.default_rng(22)
+    txt = jnp.asarray(
+        np.stack([rng.standard_normal((1, 8, mcfg.text_dim)),
+                  np.zeros((1, 8, mcfg.text_dim))]),
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(23)
+
+    def ccfg(parallel, compact=CompactConfig()):
+        return CogVideoXPipelineConfig(
+            model=mcfg, parallel=parallel, compact=compact,
+            num_steps=4, height=64, width=64, num_frames=5,
+        )
+
+    mesh1 = make_mesh(ParallelConfig(), devices=jax.devices()[:1])
+    ref = CogVideoXPipeline(params, ccfg(ParallelConfig()), mesh1)(
+        txt, key, decode=False
+    )
+
+    par = ParallelConfig(ring_degree=4)
+    mesh = make_mesh(par)
+    out_mixed = CogVideoXPipeline(
+        params, ccfg(par, _mixed_plan(CompressType.IDENTITY, CompressType.BINARY)),
+        mesh,
+    )(txt, key, decode=False)
+    out_full = CogVideoXPipeline(
+        params, ccfg(par, _mixed_plan(CompressType.BINARY, CompressType.BINARY)),
+        mesh,
+    )(txt, key, decode=False)
+
+    err_mixed = rel_err(out_mixed, ref)
+    err_full = rel_err(out_full, ref)
+    assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
+    assert err_mixed > 1e-6
+    assert err_mixed < err_full, (err_mixed, err_full)
+
+
+def test_hunyuanvideo_per_layer_plan():
+    from compactfusion_tpu.models.hunyuanvideo import (
+        hunyuanvideo_tiny,
+        init_hunyuanvideo,
+    )
+    from compactfusion_tpu.pipelines.hunyuanvideo import (
+        HunyuanVideoPipeline,
+        HunyuanVideoPipelineConfig,
+    )
+
+    mcfg = hunyuanvideo_tiny()
+    params = spice_params(init_hunyuanvideo(jax.random.PRNGKey(31), mcfg))
+    rng = np.random.default_rng(32)
+    txt = jnp.asarray(rng.standard_normal((1, 8, mcfg.text_dim)), jnp.float32)
+    key = jax.random.PRNGKey(33)
+
+    def hcfg(parallel, compact=CompactConfig()):
+        return HunyuanVideoPipelineConfig(
+            model=mcfg, parallel=parallel, compact=compact,
+            num_steps=4, height=64, width=128, num_frames=5,
+        )
+
+    mesh1 = make_mesh(ParallelConfig(), devices=jax.devices()[:1])
+    ref = HunyuanVideoPipeline(params, hcfg(ParallelConfig()), mesh1)(
+        txt, key, decode=False
+    )
+
+    # double layer 0 lossless, everything else (incl. singles) binary
+    par = ParallelConfig(ring_degree=4)
+    mesh = make_mesh(par)
+    out_mixed = HunyuanVideoPipeline(
+        params, hcfg(par, _mixed_plan(CompressType.IDENTITY, CompressType.BINARY)),
+        mesh,
+    )(txt, key, decode=False)
+    out_full = HunyuanVideoPipeline(
+        params, hcfg(par, _mixed_plan(CompressType.BINARY, CompressType.BINARY)),
+        mesh,
+    )(txt, key, decode=False)
+
+    err_mixed = rel_err(out_mixed, ref)
+    err_full = rel_err(out_full, ref)
+    assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
+    assert err_mixed > 1e-6
+    assert err_mixed < err_full, (err_mixed, err_full)
