@@ -24,6 +24,9 @@ ROOFLINE_SEC = 0.61
 
 
 def main():
+    from compactfusion_tpu.utils import jax_cache
+
+    jax_cache.enable()  # warm-start remote compiles (minutes -> seconds)
     from compactfusion_tpu.config import ParallelConfig
     from compactfusion_tpu.models.pixart import init_pixart, pixart_alpha_512
     from compactfusion_tpu.models.vae import init_vae_decoder, sd_vae

@@ -1,0 +1,28 @@
+"""Persistent XLA compilation cache.
+
+Remote (axon-tunneled) TPU compiles routinely take minutes and their latency
+is highly variable; the persistent cache brings warm-start compile time down
+to seconds (measured: 280 s cold -> 1.5 s warm for a single fused matmul).
+Enable it in every entry point that touches the real chip (bench, service,
+driver hooks) and in the CPU test suite (scan-heavy pipelines recompile
+identically across runs).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable(path: str | None = None) -> str:
+    """Turn on the persistent compilation cache (idempotent)."""
+    import jax
+
+    path = path or os.environ.get("CFTPU_JAX_CACHE_DIR", _DEFAULT)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path

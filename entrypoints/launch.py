@@ -124,6 +124,9 @@ def make_handler(engine: Engine):
 
 
 def main():
+    from compactfusion_tpu.utils import jax_cache
+
+    jax_cache.enable()
     parser = FlexibleArgumentParser()
     xFuserArgs.add_cli_args(parser)
     parser.add_argument("--host", type=str, default="0.0.0.0")

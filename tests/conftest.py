@@ -24,6 +24,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite recompiles identical scan-heavy
+# pipelines on every run; warm-starting them cuts wall time substantially.
+from compactfusion_tpu.utils import jax_cache  # noqa: E402
+
+jax_cache.enable()
+
 import pytest  # noqa: E402
 
 
