@@ -310,6 +310,7 @@ def hunyuandit_forward(
     attn=SingleDeviceAttn(),
     attn_state_down=(),
     attn_state_up=(),
+    attn_up=None,
     text_mask: Optional[jax.Array] = None,
     tp_axis: Optional[str] = None,
     pp_stages: int = 1,
@@ -333,22 +334,34 @@ def hunyuandit_forward(
         jnp.sum(text_mask, axis=-1).astype(jnp.int32)
         if text_mask is not None else None
     )
-    body = _block_factory(temb, text, cfg, rope, attn, kv_lens, tp_axis)
+    def make_down(a):
+        b = _block_factory(temb, text, cfg, rope, a, kv_lens, tp_axis)
 
-    def down(carry, xs):
-        p, state = xs
-        x, state = body(p, carry, state)
-        return x, (state, x)  # ys: (state, skip activation)
+        def down(carry, xs):
+            p, state = xs
+            h, state = b(p, carry, state)
+            return h, (state, h)  # ys: (state, skip activation)
 
-    def up(carry, xs):
-        p, state, skip = xs
-        x = carry
-        cat = jnp.concatenate([x, skip], axis=-1)
-        x = cm.linear(p["skip_proj"], cm.layernorm(p["skip_norm"], cat))
-        x, state = body(p, x, state)
-        return x, state
+        return down
+
+    def make_up(a):
+        b = _block_factory(temb, text, cfg, rope, a, kv_lens, tp_axis)
+
+        def up(carry, xs):
+            p, state, skip = xs
+            cat = jnp.concatenate([carry, skip], axis=-1)
+            h = cm.linear(p["skip_proj"], cm.layernorm(p["skip_norm"], cat))
+            h, state = b(p, h, state)
+            return h, state
+
+        return up
+
+    segmented = isinstance(attn, (tuple, list))
+    if not segmented:
+        down, up = make_down(attn), make_up(attn)
 
     if pp_stages > 1:
+        assert not segmented, "per-layer plans are layer-uniform under pp>1"
         # PipeFusion with the long-skip channel: down/up block chunks are
         # pp-sharded; after the down pipeline each stage ships its skip stack
         # to the MIRROR stage (the reference's pipeline_send_skip/recv_skip,
@@ -385,6 +398,42 @@ def hunyuandit_forward(
         x, (state_up, _) = pipefusion_blocks(
             up_stage, x, (attn_state_up, skips_mirror), pp_stages
         )
+    elif segmented:
+        # per-layer compression plans (reference compress_func(layer, step)):
+        # one scan per contiguous layer segment, per block half; the up half
+        # consumes the reversed skip stack sliced to its segments
+        a_up = attn_up
+        assert a_up is not None, "segmented plans need explicit attn_up"
+        states, skip_parts = [], []
+        l0 = 0
+        for (seg_a, n_l), seg_st in zip(attn, attn_state_down):
+            seg_blocks = jax.tree_util.tree_map(
+                lambda v, _l0=l0, _n=n_l: v[_l0 : _l0 + _n],
+                params["down_blocks"],
+            )
+            x, (st, sk) = jax.lax.scan(
+                make_down(seg_a), x, (seg_blocks, seg_st)
+            )
+            states.append(st)
+            skip_parts.append(sk)
+            l0 += n_l
+        state_down = tuple(states)
+        # mirror order: up block k consumes the skip of down block (half-1-k)
+        skips_rev = jnp.flip(jnp.concatenate(skip_parts, axis=0), axis=0)
+        states, l0 = [], 0
+        for (seg_a, n_l), seg_st in zip(a_up, attn_state_up):
+            seg_blocks = jax.tree_util.tree_map(
+                lambda v, _l0=l0, _n=n_l: v[_l0 : _l0 + _n],
+                params["up_blocks"],
+            )
+            x, st = jax.lax.scan(
+                make_up(seg_a), x,
+                (seg_blocks, seg_st,
+                 jax.lax.slice_in_dim(skips_rev, l0, l0 + n_l)),
+            )
+            states.append(st)
+            l0 += n_l
+        state_up = tuple(states)
     else:
         x, (state_down, skips) = jax.lax.scan(
             down, x, (params["down_blocks"], attn_state_down)

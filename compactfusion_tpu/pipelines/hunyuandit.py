@@ -21,7 +21,6 @@ from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
     ParallelConfig,
-    compact_step_segments,
 )
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -100,8 +99,9 @@ def build_sample_fn(cfg: HunyuanDiTPipelineConfig, mesh: Mesh, params_tree=None)
     pos = hunyuandit_positions(hp, wp)
     cos_full, sin_full = cm.rope_frequencies(pos, mcfg.rope_axes)
 
-    segments = compact_step_segments(
-        cfg.compact, cfg.num_steps, mcfg.depth
+    # down half = layers [0, depth/2), up half = [depth/2, depth)
+    segments = base.compact_two_family_segments(
+        cfg.compact, cfg.num_steps, mcfg.depth // 2, mcfg.depth // 2
     )
 
     def spmd(params, text, text_mask, latents):
@@ -128,14 +128,36 @@ def build_sample_fn(cfg: HunyuanDiTPipelineConfig, mesh: Mesh, params_tree=None)
         dpm_state = dpm_init_state(latents.shape)
         carry = (latents, dpm_state, None, None)
         for method, steps in segments:
-            attn = _attn_impl(cfg, method)
-            sd = attn.init_state(half, nb, s_local, mcfg.heads, mcfg.head_dim, jnp.float32)
-            su = attn.init_state(half, nb, s_local, mcfg.heads, mcfg.head_dim, jnp.float32)
-            if carry[2] is not None and jax.tree_util.tree_leaves(carry[2]):
-                sd, su = carry[2], carry[3]
+
+            def _init(a, n_layers):
+                return a.init_state(
+                    n_layers, nb, s_local, mcfg.heads, mcfg.head_dim,
+                    jnp.float32,
+                )
+
+            if isinstance(method, tuple):  # per-layer (down, up) plans
+                assert p.pp_degree == 1, (
+                    "per-layer compress_func plans need pp_degree == 1"
+                )
+                attn_d = tuple((_attn_impl(cfg, m), n) for m, n in method[0])
+                attn_u = tuple((_attn_impl(cfg, m), n) for m, n in method[1])
+                sd = tuple(_init(a, n) for a, n in attn_d)
+                su = tuple(_init(a, n) for a, n in attn_u)
+            else:
+                attn_d = attn_u = _attn_impl(cfg, method)
+                sd = _init(attn_d, half)
+                su = _init(attn_u, half)
+            prev_sd, prev_su = carry[2], carry[3]
+            if (
+                prev_sd is not None
+                and jax.tree_util.tree_leaves(prev_sd)
+                and jax.tree_util.tree_structure(prev_sd)
+                == jax.tree_util.tree_structure(sd)
+            ):
+                sd, su = prev_sd, prev_su  # carry EF caches across segments
             carry = (carry[0], carry[1], sd, su)
 
-            def body(c, i, _attn=attn):
+            def body(c, i, _attn=attn_d, _attn_u=attn_u):
                 latents, dpm_st, sd, su = c
                 t = jnp.full((nb,), sched.timesteps[i], jnp.float32)
                 x = latents
@@ -151,6 +173,7 @@ def build_sample_fn(cfg: HunyuanDiTPipelineConfig, mesh: Mesh, params_tree=None)
                     attn=_attn,
                     attn_state_down=sd,
                     attn_state_up=su,
+                    attn_up=None if _attn is _attn_u else _attn_u,
                     text_mask=text_mask,
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
                     pp_stages=p.pp_degree,

@@ -353,3 +353,70 @@ def test_hunyuanvideo_per_layer_plan():
     assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
     assert err_mixed > 1e-6
     assert err_mixed < err_full, (err_mixed, err_full)
+
+
+# ---------------------------------------------------------------------------
+# HunyuanDiT: per-layer plans across the down/up skip halves
+# ---------------------------------------------------------------------------
+
+
+def test_hunyuandit_per_layer_plan():
+    from compactfusion_tpu.models.hunyuandit import (
+        hunyuandit_tiny,
+        init_hunyuandit,
+    )
+    from compactfusion_tpu.pipelines.hunyuandit import (
+        HunyuanDiTPipeline,
+        HunyuanDiTPipelineConfig,
+    )
+
+    mcfg = hunyuandit_tiny()
+    params = spice_params(init_hunyuandit(jax.random.PRNGKey(41), mcfg))
+    rng = np.random.default_rng(42)
+    text = jnp.asarray(
+        np.stack([rng.standard_normal((1, 8, mcfg.text_dim)),
+                  np.zeros((1, 8, mcfg.text_dim))]),
+        jnp.float32,
+    )
+    mask = jnp.ones((2, 1, 8), bool)
+    key = jax.random.PRNGKey(43)
+
+    def hcfg(parallel, compact=CompactConfig()):
+        return HunyuanDiTPipelineConfig(
+            model=mcfg, parallel=parallel, compact=compact,
+            num_steps=4, height=64, width=64,
+        )
+
+    mesh1 = make_mesh(ParallelConfig(), devices=jax.devices()[:1])
+    ref = HunyuanDiTPipeline(params, None, hcfg(ParallelConfig()), mesh1)(
+        text, mask, key, decode=False
+    )
+
+    def plan(first_down, rest):
+        # down layer 0 gets ``first_down``; all other down AND up layers
+        # (layer indices depth/2..depth-1) get ``rest``
+        return CompactConfig(
+            enabled=True, compress_type=CompressType.BINARY,
+            warmup_steps=1, residual=1, error_feedback=True,
+            compress_func=lambda layer, step: (
+                CompressType.WARMUP if step < 1
+                else (first_down if layer == 0 else rest)
+            ),
+        )
+
+    par = ParallelConfig(ring_degree=4)
+    mesh = make_mesh(par)
+    out_mixed = HunyuanDiTPipeline(
+        params, None,
+        hcfg(par, plan(CompressType.IDENTITY, CompressType.BINARY)), mesh,
+    )(text, mask, key, decode=False)
+    out_full = HunyuanDiTPipeline(
+        params, None,
+        hcfg(par, plan(CompressType.BINARY, CompressType.BINARY)), mesh,
+    )(text, mask, key, decode=False)
+
+    err_mixed = rel_err(out_mixed, ref)
+    err_full = rel_err(out_full, ref)
+    assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
+    assert err_mixed > 1e-6
+    assert err_mixed < err_full, (err_mixed, err_full)
