@@ -36,10 +36,12 @@ def main():
         PixArtPipelineConfig,
     )
 
+    from compactfusion_tpu.models.common import jit_init
+
     mcfg = pixart_alpha_512()
-    params = init_pixart(jax.random.PRNGKey(0), mcfg)
+    params = jit_init(init_pixart, jax.random.PRNGKey(0), mcfg)
     vcfg = sd_vae()
-    vae_params = init_vae_decoder(jax.random.PRNGKey(1), vcfg)
+    vae_params = jit_init(init_vae_decoder, jax.random.PRNGKey(1), vcfg)
 
     pcfg = PixArtPipelineConfig(
         model=mcfg,

@@ -299,3 +299,14 @@ def scan_segments(make_block, carry, blocks, attn, attn_state):
         new_state.append(st)
         l0 += n_l
     return carry, tuple(new_state)
+
+
+def jit_init(init_fn, key, *args, **kwargs):
+    """Run a parameter initializer as ONE compiled program.
+
+    Eager initializers dispatch hundreds of small RNG ops; through the
+    axon-tunneled TPU that costs minutes of round trips.  A single jitted
+    call is one dispatch, and the compile is served by the persistent
+    compilation cache (utils/jax_cache.py) after the first run.
+    """
+    return jax.jit(lambda k: init_fn(k, *args, **kwargs))(key)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from compactfusion_tpu.cache.accel import CacheAccelConfig
+from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.config import EngineConfig, InputConfig
 from compactfusion_tpu.parallel.mesh import make_mesh
 from compactfusion_tpu.utils.logger import init_logger
@@ -102,8 +103,8 @@ def _build_pixart(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[s
         params = hf.convert_pixart(hf.load_safetensors(checkpoint), mcfg)
         vae_params = None
     else:
-        params = init_pixart(jax.random.PRNGKey(0), mcfg)
-        vae_params = init_vae_decoder(jax.random.PRNGKey(1), vcfg)
+        params = cm.jit_init(init_pixart, jax.random.PRNGKey(0), mcfg)
+        vae_params = cm.jit_init(init_vae_decoder, jax.random.PRNGKey(1), vcfg)
     pcfg = PixArtPipelineConfig(
         model=mcfg,
         vae=vcfg,
@@ -139,7 +140,7 @@ def _build_flux(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str
     if checkpoint:
         params = hf.convert_flux(hf.load_safetensors(checkpoint), mcfg)
     else:
-        params = init_flux(jax.random.PRNGKey(0), mcfg)
+        params = cm.jit_init(init_flux, jax.random.PRNGKey(0), mcfg)
     pcfg = FluxPipelineConfig(
         model=mcfg,
         vae=flux_vae(),
@@ -166,7 +167,7 @@ def _build_sd3(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str]
     if checkpoint:
         params = hf.convert_sd3(hf.load_safetensors(checkpoint), mcfg)
     else:
-        params = init_sd3(jax.random.PRNGKey(0), mcfg)
+        params = cm.jit_init(init_sd3, jax.random.PRNGKey(0), mcfg)
     pcfg = SD3PipelineConfig(
         model=mcfg,
         vae=flux_vae(),
@@ -218,7 +219,7 @@ def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
             hf.load_safetensors(os.path.join(checkpoint, "transformer")), mcfg
         )
     else:
-        params = init_cogvideox(jax.random.PRNGKey(0), mcfg)
+        params = cm.jit_init(init_cogvideox, jax.random.PRNGKey(0), mcfg)
     vcfg = cogvideox_vae()
     pcfg = CogVideoXPipelineConfig(
         model=mcfg,
@@ -251,7 +252,7 @@ def _build_latte(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[st
             hf.load_safetensors(os.path.join(checkpoint, "transformer")), mcfg
         )
     else:
-        params = init_latte(jax.random.PRNGKey(0), mcfg)
+        params = cm.jit_init(init_latte, jax.random.PRNGKey(0), mcfg)
     pcfg = LattePipelineConfig(
         model=mcfg,
         parallel=engine.parallel_config,
@@ -289,14 +290,14 @@ def _build_hunyuanvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Opti
         if os.path.isdir(tdir):
             params = hf.convert_hunyuanvideo(hf.load_safetensors(tdir), mcfg)
         else:
-            params = init_hunyuanvideo(jax.random.PRNGKey(0), mcfg)
+            params = cm.jit_init(init_hunyuanvideo, jax.random.PRNGKey(0), mcfg)
         vdir = os.path.join(checkpoint, "vae")
         if os.path.isdir(vdir):
             vae_params = hf.convert_hv_vae3d_decoder(
                 hf.load_safetensors(vdir), vcfg
             )
     else:
-        params = init_hunyuanvideo(jax.random.PRNGKey(0), mcfg)
+        params = cm.jit_init(init_hunyuanvideo, jax.random.PRNGKey(0), mcfg)
     if vae_params is None:
         vae_params = init_hv_vae3d_decoder(jax.random.PRNGKey(12), vcfg)
     pcfg = HunyuanVideoPipelineConfig(
@@ -336,7 +337,7 @@ def _build_consisid(engine: EngineConfig, inp: InputConfig, checkpoint: Optional
         if "local_facial_extractor.latents" in state:
             lfe_params = hf.convert_local_facial_extractor(state, lfe_consisid())
     else:
-        params = init_consisid(jax.random.PRNGKey(0), mcfg)
+        params = cm.jit_init(init_consisid, jax.random.PRNGKey(0), mcfg)
     vcfg = cogvideox_vae()
     pcfg = ConsisIDPipelineConfig(
         model=mcfg,
@@ -376,7 +377,7 @@ def _build_stepvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
             hf.load_safetensors(os.path.join(checkpoint, "transformer")), mcfg
         )
     else:
-        params = init_stepvideo(jax.random.PRNGKey(0), mcfg)
+        params = cm.jit_init(init_stepvideo, jax.random.PRNGKey(0), mcfg)
     pcfg = StepVideoPipelineConfig(
         model=mcfg,
         parallel=engine.parallel_config,
