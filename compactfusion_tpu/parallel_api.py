@@ -93,12 +93,19 @@ def _build_pixart(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[s
         PixArtPipelineConfig,
     )
 
-    mcfg = (
-        pixart_sigma_1024()
-        if ("sigma" in engine.model_config.model.lower() or inp.height > 512)
-        else pixart_alpha_512()
-    )
-    vcfg = sd_vae()
+    name = engine.model_config.model.lower()
+    if "tiny" in name:  # smoke-test configs (examples/run.sh on the CPU mesh)
+        from compactfusion_tpu.models.pixart import pixart_tiny
+        from compactfusion_tpu.models.vae import tiny_vae
+
+        mcfg, vcfg = pixart_tiny(), tiny_vae()
+    else:
+        mcfg = (
+            pixart_sigma_1024()
+            if ("sigma" in name or inp.height > 512)
+            else pixart_alpha_512()
+        )
+        vcfg = sd_vae()
     if checkpoint:
         params = hf.convert_pixart(hf.load_safetensors(checkpoint), mcfg)
         vae_params = None
@@ -132,11 +139,13 @@ def _build_flux(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str
     from compactfusion_tpu.models.vae import flux_vae
     from compactfusion_tpu.pipelines.flux import FluxPipeline, FluxPipelineConfig
 
-    mcfg = (
-        flux_schnell()
-        if "schnell" in engine.model_config.model.lower()
-        else flux_dev()
-    )
+    name = engine.model_config.model.lower()
+    if "tiny" in name:
+        from compactfusion_tpu.models.flux import flux_tiny
+
+        mcfg = flux_tiny()
+    else:
+        mcfg = flux_schnell() if "schnell" in name else flux_dev()
     if checkpoint:
         params = hf.convert_flux(hf.load_safetensors(checkpoint), mcfg)
     else:
@@ -163,7 +172,12 @@ def _build_sd3(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str]
     from compactfusion_tpu.models.vae import flux_vae
     from compactfusion_tpu.pipelines.sd3 import SD3Pipeline, SD3PipelineConfig
 
-    mcfg = sd3_medium()
+    if "tiny" in engine.model_config.model.lower():
+        from compactfusion_tpu.models.sd3 import sd3_tiny
+
+        mcfg = sd3_tiny()
+    else:
+        mcfg = sd3_medium()
     if checkpoint:
         params = hf.convert_sd3(hf.load_safetensors(checkpoint), mcfg)
     else:
@@ -207,11 +221,13 @@ def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
         CogVideoXPipelineConfig,
     )
 
-    mcfg = (
-        cogvideox_5b()
-        if "5b" in engine.model_config.model.lower()
-        else cogvideox_2b()
-    )
+    name = engine.model_config.model.lower()
+    if "tiny" in name:
+        from compactfusion_tpu.models.cogvideox import cogvideox_tiny
+
+        mcfg = cogvideox_tiny()
+    else:
+        mcfg = cogvideox_5b() if "5b" in name else cogvideox_2b()
     if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
         from compactfusion_tpu.io import hf
 
@@ -220,7 +236,14 @@ def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
         )
     else:
         params = cm.jit_init(init_cogvideox, jax.random.PRNGKey(0), mcfg)
-    vcfg = cogvideox_vae()
+    if "tiny" in name:
+        from compactfusion_tpu.models.vae3d import tiny_vae3d
+
+        vcfg = dataclasses.replace(
+            tiny_vae3d(), latent_channels=mcfg.in_channels
+        )
+    else:
+        vcfg = cogvideox_vae()
     pcfg = CogVideoXPipelineConfig(
         model=mcfg,
         parallel=engine.parallel_config,
@@ -244,7 +267,12 @@ def _build_latte(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[st
     from compactfusion_tpu.models.latte import init_latte, latte_1
     from compactfusion_tpu.pipelines.latte import LattePipeline, LattePipelineConfig
 
-    mcfg = latte_1()
+    if "tiny" in engine.model_config.model.lower():
+        from compactfusion_tpu.models.latte import latte_tiny
+
+        mcfg = latte_tiny()
+    else:
+        mcfg = latte_1()
     if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
         from compactfusion_tpu.io import hf
 
@@ -280,8 +308,21 @@ def _build_hunyuanvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Opti
 
     from compactfusion_tpu.models.vae3d import hunyuanvideo_vae, init_hv_vae3d_decoder
 
-    mcfg = hunyuanvideo_config()
-    vcfg = hunyuanvideo_vae()
+    if "tiny" in engine.model_config.model.lower():
+        from compactfusion_tpu.models.hunyuanvideo import hunyuanvideo_tiny
+
+        mcfg = hunyuanvideo_tiny()
+    else:
+        mcfg = hunyuanvideo_config()
+    if "tiny" in engine.model_config.model.lower():
+        from compactfusion_tpu.models.vae3d import tiny_hv_vae3d
+
+        # HV tokens are 2x2-packed: VAE latent channels = in_channels//4
+        vcfg = dataclasses.replace(
+            tiny_hv_vae3d(), latent_channels=mcfg.in_channels // 4
+        )
+    else:
+        vcfg = hunyuanvideo_vae()
     vae_params = None
     if checkpoint:
         from compactfusion_tpu.io import hf
@@ -326,7 +367,12 @@ def _build_consisid(engine: EngineConfig, inp: InputConfig, checkpoint: Optional
         ConsisIDPipelineConfig,
     )
 
-    mcfg = consisid_preview()
+    if "tiny" in engine.model_config.model.lower():
+        from compactfusion_tpu.models.consisid import consisid_tiny
+
+        mcfg = consisid_tiny()
+    else:
+        mcfg = consisid_preview()
     lfe_params = None
     if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
         from compactfusion_tpu.io import hf
@@ -338,7 +384,14 @@ def _build_consisid(engine: EngineConfig, inp: InputConfig, checkpoint: Optional
             lfe_params = hf.convert_local_facial_extractor(state, lfe_consisid())
     else:
         params = cm.jit_init(init_consisid, jax.random.PRNGKey(0), mcfg)
-    vcfg = cogvideox_vae()
+    if "tiny" in engine.model_config.model.lower():
+        from compactfusion_tpu.models.vae3d import tiny_vae3d
+
+        vcfg = dataclasses.replace(
+            tiny_vae3d(), latent_channels=mcfg.in_channels
+        )
+    else:
+        vcfg = cogvideox_vae()
     pcfg = ConsisIDPipelineConfig(
         model=mcfg,
         parallel=engine.parallel_config,
@@ -369,7 +422,12 @@ def _build_stepvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
         StepVideoPipelineConfig,
     )
 
-    mcfg = stepvideo_t2v()
+    if "tiny" in engine.model_config.model.lower():
+        from compactfusion_tpu.models.stepvideo import stepvideo_tiny
+
+        mcfg = stepvideo_tiny()
+    else:
+        mcfg = stepvideo_t2v()
     if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
         from compactfusion_tpu.io import hf
 
@@ -403,7 +461,12 @@ def _build_hunyuan(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[
         HunyuanDiTPipelineConfig,
     )
 
-    mcfg = hunyuandit_v12()
+    if "tiny" in engine.model_config.model.lower():
+        from compactfusion_tpu.models.hunyuandit import hunyuandit_tiny
+
+        mcfg = hunyuandit_tiny()
+    else:
+        mcfg = hunyuandit_v12()
     if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
         from compactfusion_tpu.io import hf
 
