@@ -115,7 +115,7 @@ def flash_attn_with_lse(
     k: jax.Array,
     v: jax.Array,
     scale: Optional[float] = None,
-    block_q: int = 1024,
+    block_q: Optional[int] = None,
     block_k: int = 1024,
     interpret: bool = False,
     kv_lens: Optional[jax.Array] = None,
@@ -129,15 +129,20 @@ def flash_attn_with_lse(
     beyond the length are masked.  Scalar-prefetched, so masking costs one
     iota+where in-kernel instead of a materialised fp32 score mask.
 
-    Default 1024x1024 blocks: measured 2.3x faster than 512x512 on v5e at
-    DiT shapes (S 1k-4k, head dim 64-128) — fewer grid cells amortise the
-    per-block softmax bookkeeping, and the fp32 score block (4 MB) still
-    fits VMEM comfortably.
+    block_q=None picks a measured-on-v5e default: kv blocks of 1024 (the
+    fp32 score block stays ~1-4 MB in VMEM); block_q 1024 for short
+    sequences and 512 for long ones.  Isolated micro-benches prefer
+    block_q 256 at S=1024, but IN-MODEL (inside the scanned DiT block)
+    that is ~2% slower end to end — fewer q-grid cells win once the kernel
+    competes with neighbouring fusions for VMEM/DMA; at B1·H24·S4608·d128
+    512/1024 is 9% faster than 1024/1024 both isolated and in-model.
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if scale is None:
         scale = d**-0.5
+    if block_q is None:
+        block_q = 1024 if sq <= 2048 else 512
 
     block_q = min(block_q, _round_up(sq, 8))
     block_k = min(block_k, _round_up(sk, 128))
