@@ -1,0 +1,168 @@
+"""Per-component ablation of the PixArt-512 block on the real chip.
+
+Tunnel-latency-immune design: params are generated INSIDE the jit, the
+28-block forward runs in a device-side fori_loop, and per-iteration time is
+(t(N_HI) - t(N_LO)) / (N_HI - N_LO) — constant dispatch overhead and the
+param-gen cost cancel in the subtraction.  All compiles hit the persistent
+cache on retries.
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from compactfusion_tpu.utils import jax_cache
+
+jax_cache.enable()
+
+from compactfusion_tpu.models import common as cm
+from compactfusion_tpu.models.pixart import pixart_alpha_512
+from compactfusion_tpu.ops.attention import attn_with_lse, sdpa
+from compactfusion_tpu.ops.cross_pallas import small_kv_attn
+
+cfg = pixart_alpha_512()
+d, h, L = cfg.dim, cfg.heads, cfg.depth
+B, S, St = 2, 1024, 120
+N_LO, N_HI = 20, 120
+
+
+def make_params(key):
+    ks = iter(jax.random.split(key, 16))
+
+    def nrm(shape, scale):
+        return (jax.random.normal(next(ks), shape, jnp.float32) * scale).astype(
+            jnp.bfloat16
+        )
+
+    def lin(i, o):
+        return {"w": nrm((L, i, o), i**-0.5), "b": jnp.zeros((L, o), jnp.bfloat16)}
+
+    return {
+        "scale_shift_table": nrm((L, 6, d), 0.02),
+        "attn_qkv": lin(d, 3 * d),
+        "attn_out": lin(d, d),
+        "cross_q": lin(d, d),
+        "cross_kv": lin(d, 2 * d),
+        "cross_out": lin(d, d),
+        "ffn": {"fc1": lin(d, 4 * d), "fc2": lin(4 * d, d)},
+    }
+
+
+def _heads(x):
+    b, s, dd = x.shape
+    return x.reshape(b, s, h, dd // h)
+
+
+def _unheads(x):
+    b, s, hh, dh = x.shape
+    return x.reshape(b, s, hh * dh)
+
+
+def make_fwd(self_attn=True, cross=True, ffn=True, modulate=True,
+             cross_impl="auto"):
+    """28-block forward as a scan; text/mod inputs generated in-jit."""
+
+    def fwd(params, x, text_d, mod6, lens):
+        def block(carry, p):
+            x = carry
+            table = p["scale_shift_table"][None] + mod6
+            sh_a, sc_a, g_a, sh_m, sc_m, g_m = [
+                table[:, i][:, None] for i in range(6)
+            ]
+            if modulate:
+                xn = cm.layernorm({}, x) * (1 + sc_a) + sh_a
+            else:
+                xn = x
+            qkv = cm.linear(p["attn_qkv"], xn)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if self_attn:
+                o = sdpa(_heads(q), _heads(k), _heads(v))
+            else:
+                o = _heads(q)
+            x = x + g_a * cm.linear(p["attn_out"], _unheads(o))
+            if cross:
+                q = cm.linear(p["cross_q"], x)
+                kv = cm.linear(p["cross_kv"], text_d)
+                k2, v2 = jnp.split(kv, 2, axis=-1)
+                if cross_impl == "kernel":
+                    o = small_kv_attn(
+                        _heads(q), _heads(k2), _heads(v2), kv_lens=lens
+                    )
+                elif cross_impl == "xla":
+                    o, _ = attn_with_lse(
+                        _heads(q), _heads(k2), _heads(v2), impl="xla",
+                        kv_lens=lens,
+                    )
+                else:
+                    o = sdpa(_heads(q), _heads(k2), _heads(v2), kv_lens=lens)
+                x = x + cm.linear(p["cross_out"], _unheads(o))
+            if ffn:
+                if modulate:
+                    xn = cm.layernorm({}, x) * (1 + sc_m) + sh_m
+                else:
+                    xn = x
+                x = x + g_m * cm.ffn(p["ffn"], xn)
+            return x, None
+
+        x, _ = jax.lax.scan(block, x, params)
+        return x
+
+    return fwd
+
+
+def make_runner(n, **kw):
+    fwd = make_fwd(**kw)
+
+    @jax.jit
+    def run(key):
+        params = make_params(key)
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, 1), 3)
+        x0 = jax.random.normal(k1, (B, S, d), jnp.bfloat16)
+        text_d = jax.random.normal(k2, (B, St, d), jnp.bfloat16)
+        mod6 = jax.random.normal(k3, (B, 6, d), jnp.bfloat16)
+        lens = jnp.full((B,), St, jnp.int32)
+
+        def body(i, x):
+            # fold the step in so XLA cannot hoist the loop body
+            return fwd(params, x + (i * 0.0), text_d, mod6, lens)
+
+        x = jax.lax.fori_loop(0, n, body, x0)
+        return jnp.sum(x.astype(jnp.float32))
+
+    return run
+
+
+def timed(run, key):
+    t0 = time.time()
+    v = float(np.asarray(run(key)))
+    return time.time() - t0, v
+
+
+variants = [
+    ("full", {}),
+    ("no_self_attn", {"self_attn": False}),
+    ("no_cross", {"cross": False}),
+    ("no_ffn", {"ffn": False}),
+    ("no_modulation", {"modulate": False}),
+    ("cross_xla", {"cross_impl": "xla"}),
+    ("cross_kernel", {"cross_impl": "kernel"}),
+]
+if len(sys.argv) > 1:
+    variants = [v for v in variants if v[0] in sys.argv[1:]]
+
+key = jax.random.PRNGKey(0)
+for name, kw in variants:
+    lo, hi = make_runner(N_LO, **kw), make_runner(N_HI, **kw)
+    t_lo, v = timed(lo, key)  # compile+run
+    t_lo2, _ = timed(lo, key)
+    t_hi, _ = timed(hi, key)  # compile+run
+    t_hi2, _ = timed(hi, key)
+    per_iter = (t_hi2 - t_lo2) / (N_HI - N_LO) * 1e3
+    print(
+        f"{name:16s} {per_iter:8.3f} ms/fwd   "
+        f"(lo {t_lo2:6.2f}s hi {t_hi2:6.2f}s, compiles {t_lo:5.1f}/{t_hi:5.1f}s, "
+        f"chk {v:.3e})",
+        flush=True,
+    )
