@@ -20,7 +20,7 @@ jax_cache.enable()
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.pixart import pixart_alpha_512
 from compactfusion_tpu.ops.attention import attn_with_lse, sdpa
-from compactfusion_tpu.ops.cross_pallas import small_kv_attn
+from compactfusion_tpu.ops.flash_pallas import flash_attn_with_lse
 
 cfg = pixart_alpha_512()
 d, h, L = cfg.dim, cfg.heads, cfg.depth
@@ -61,7 +61,7 @@ def _unheads(x):
 
 
 def make_fwd(self_attn=True, cross=True, ffn=True, modulate=True,
-             cross_impl="auto"):
+             cross_impl="auto", self_kw=None):
     """28-block forward as a scan; text/mod inputs generated in-jit."""
 
     def fwd(params, x, text_d, mod6, lens):
@@ -78,7 +78,12 @@ def make_fwd(self_attn=True, cross=True, ffn=True, modulate=True,
             qkv = cm.linear(p["attn_qkv"], xn)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             if self_attn:
-                o = sdpa(_heads(q), _heads(k), _heads(v))
+                if self_kw is not None:
+                    o, _ = flash_attn_with_lse(
+                        _heads(q), _heads(k), _heads(v), **self_kw
+                    )
+                else:
+                    o = sdpa(_heads(q), _heads(k), _heads(v))
             else:
                 o = _heads(q)
             x = x + g_a * cm.linear(p["attn_out"], _unheads(o))
@@ -86,11 +91,7 @@ def make_fwd(self_attn=True, cross=True, ffn=True, modulate=True,
                 q = cm.linear(p["cross_q"], x)
                 kv = cm.linear(p["cross_kv"], text_d)
                 k2, v2 = jnp.split(kv, 2, axis=-1)
-                if cross_impl == "kernel":
-                    o = small_kv_attn(
-                        _heads(q), _heads(k2), _heads(v2), kv_lens=lens
-                    )
-                elif cross_impl == "xla":
+                if cross_impl == "xla":
                     o, _ = attn_with_lse(
                         _heads(q), _heads(k2), _heads(v2), impl="xla",
                         kv_lens=lens,
@@ -147,7 +148,9 @@ variants = [
     ("no_ffn", {"ffn": False}),
     ("no_modulation", {"modulate": False}),
     ("cross_xla", {"cross_impl": "xla"}),
-    ("cross_kernel", {"cross_impl": "kernel"}),
+    ("self_bq512", {"self_kw": {"block_q": 512}}),
+    ("self_bf16exp", {"self_kw": {"exp_bf16": True}}),
+    ("self_bq512_bf16exp", {"self_kw": {"block_q": 512, "exp_bf16": True}}),
 ]
 if len(sys.argv) > 1:
     variants = [v for v in variants if v[0] in sys.argv[1:]]

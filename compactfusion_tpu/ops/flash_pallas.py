@@ -47,6 +47,7 @@ def _flash_kernel(
     valid_k: int,
     block_k: int,
     use_lens: bool,
+    exp_bf16: bool,
 ):
     ki = pl.program_id(3)
 
@@ -86,8 +87,17 @@ def _flash_kernel(
     l_prev = l_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    if exp_bf16:
+        # the S^2 exp is the kernel's VPU bottleneck at small head dims;
+        # bf16 exp halves it (s - m <= 0 so exp is in [0, 1], bf16 rel err
+        # ~0.4% - below the bf16 matmul noise the model already carries)
+        p = jnp.exp((s - m_new).astype(jnp.bfloat16))
+        l_new = alpha * l_prev + jnp.sum(
+            p, axis=-1, keepdims=True, dtype=jnp.float32
+        )
+    else:
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
     pv = jax.lax.dot_general(
         p.astype(v.dtype),
@@ -108,7 +118,8 @@ def _flash_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret", "exp_bf16"),
 )
 def flash_attn_with_lse(
     q: jax.Array,
@@ -119,6 +130,7 @@ def flash_attn_with_lse(
     block_k: int = 1024,
     interpret: bool = False,
     kv_lens: Optional[jax.Array] = None,
+    exp_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Flash attention.  Same contract as ``attn_with_lse`` (non-causal).
 
@@ -189,6 +201,7 @@ def flash_attn_with_lse(
         valid_k=sk,
         block_k=block_k,
         use_lens=use_lens,
+        exp_bf16=exp_bf16,
     )
 
     out, lse8 = pl.pallas_call(

@@ -74,3 +74,17 @@ def test_flash_kv_lens_with_ragged_tail():
         q, k, v, block_q=64, block_k=128, interpret=True, kv_lens=lens
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_o), atol=2e-4)
+
+
+def test_flash_exp_bf16():
+    """Opt-in bf16 softmax exp (VPU relief at small head dims): output within
+    bf16 rounding of the fp32-exp path, LSE still fp32-accurate for merging."""
+    q, k, v = _qkv(1, 256, 256, h=2, d=72, seed=5)
+    ref_o, ref_l = attn_with_lse(q, k, v, impl="xla")
+    out, lse = flash_attn_with_lse(
+        q, k, v, block_q=128, block_k=128, interpret=True, exp_bf16=True
+    )
+    scale = float(np.max(np.abs(np.asarray(ref_o, np.float32))))
+    err = float(np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref_o, np.float32))))
+    assert err / scale < 0.02, err / scale
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_l), atol=5e-3)
