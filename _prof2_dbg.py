@@ -78,7 +78,13 @@ def make_fwd(self_attn=True, cross=True, ffn=True, modulate=True,
             qkv = cm.linear(p["attn_qkv"], xn)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             if self_attn:
-                if self_kw is not None:
+                if self_kw == "transpose_probe":
+                    # cost of the kernel-layout round trip alone:
+                    # (B,S,H,D) -> (B,H,S,D) -> back, barriers stop fusion
+                    qt = jnp.transpose(_heads(q), (0, 2, 1, 3))
+                    qt = jax.lax.optimization_barrier(qt)
+                    o = jnp.transpose(qt, (0, 2, 1, 3))
+                elif self_kw is not None:
                     o, _ = flash_attn_with_lse(
                         _heads(q), _heads(k), _heads(v), **self_kw
                     )
@@ -151,6 +157,11 @@ variants = [
     ("self_bq512", {"self_kw": {"block_q": 512}}),
     ("self_bf16exp", {"self_kw": {"exp_bf16": True}}),
     ("self_bq512_bf16exp", {"self_kw": {"block_q": 512, "exp_bf16": True}}),
+    ("self_transpose", {"self_kw": "transpose_probe"}),
+    ("self_hp2", {"self_kw": {"heads_per": 2}}),
+    ("self_hp4", {"self_kw": {"heads_per": 4}}),
+    ("self_hp2_bq512", {"self_kw": {"heads_per": 2, "block_q": 512}}),
+    ("self_hp4_bq256", {"self_kw": {"heads_per": 4, "block_q": 256}}),
 ]
 if len(sys.argv) > 1:
     variants = [v for v in variants if v[0] in sys.argv[1:]]

@@ -88,3 +88,18 @@ def test_flash_exp_bf16():
     err = float(np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref_o, np.float32))))
     assert err / scale < 0.02, err / scale
     np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_l), atol=5e-3)
+
+
+def test_flash_head_batched():
+    """heads_per>1 (one program computes several heads) matches the
+    single-head kernel and the XLA reference, incl. kv_lens masking."""
+    q, k, v = _qkv(2, 256, 256, h=4, d=72, seed=6)
+    lens = jnp.asarray([100, 256], jnp.int32)
+    ref_o, ref_l = attn_with_lse(q, k, v, impl="xla", kv_lens=lens)
+    for hp in (2, 4):
+        out, lse = flash_attn_with_lse(
+            q, k, v, block_q=128, block_k=128, interpret=True,
+            heads_per=hp, kv_lens=lens,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_o), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_l), atol=2e-4)
