@@ -65,6 +65,10 @@ def main():
         grng.standard_normal(params["blocks"]["scale_shift_table"].shape) * 0.5,
         mcfg.dtype,
     )
+    params["adaln_single"]["b"] = jnp.asarray(
+        grng.standard_normal(params["adaln_single"]["b"].shape) * 0.5,
+        mcfg.dtype,
+    )
     vae_params = init_vae_decoder(jax.random.PRNGKey(1), vcfg)
     rng = np.random.default_rng(2)
     text = jnp.asarray(
@@ -77,10 +81,13 @@ def main():
     key = jax.random.PRNGKey(3)
 
     def run(compact):
-        par = ParallelConfig(ring_degree=args.ring) if compact.enabled else ParallelConfig()
+        # the lossless reference ALSO runs on the ring: the baseline must
+        # share the ring's bf16 merge order, otherwise the codec error is
+        # buried under codec-independent reordering noise (~5e-4)
+        par = ParallelConfig(ring_degree=args.ring)
         cfg = PixArtPipelineConfig(
             model=mcfg, vae=vcfg, parallel=par, compact=compact,
-            num_steps=args.steps, guidance_scale=4.5, height=64, width=64,
+            num_steps=args.steps, guidance_scale=4.5, height=128, width=128,
         )
         devices = jax.devices()[: par.world_size]
         pipe = PixArtPipeline(params, vae_params, cfg, make_mesh(par, devices=devices))
@@ -90,38 +97,52 @@ def main():
 
     lat_ref, img_ref = run(CompactConfig())
 
-    n, c = 1 * (16 // args.ring), mcfg.heads * mcfg.head_dim
+    n, c = 1 * (256 // args.ring), mcfg.heads * mcfg.head_dim
     raw = n * c * 4
     results = []
-    for ctype in ("binary", "int2", "int4", "low-rank"):
+    # "warmup-only" = every step exchanges raw K/V through the compact
+    # machinery: its rel-err is the measurement FLOOR (program-recompilation
+    # bf16 noise) — codec errors at or near this floor are below resolution
+    for ctype in ("warmup-only", "binary", "int2", "int4", "low-rank"):
+        real = ctype != "warmup-only"
         compact = CompactConfig(
             enabled=True,
-            compress_type=CompressType(ctype),
-            warmup_steps=args.warmup,
+            compress_type=CompressType(ctype) if real else CompressType.BINARY,
+            warmup_steps=args.warmup if real else args.steps,
             comp_rank=2 if "rank" in ctype else -1,
             residual=1,
             error_feedback=True,
         )
         lat, img = run(compact)
-        payload = codecs.encode(
-            jnp.zeros((max(n, 8), c), jnp.bfloat16),
-            CompressType(ctype),
-            rank=2 if "rank" in ctype else -1,
-        )
-        ratio = (max(n, 8) * c * 2) / codecs.payload_nbytes(payload)
+        if real:
+            payload = codecs.encode(
+                jnp.zeros((max(n, 8), c), jnp.bfloat16),
+                CompressType(ctype),
+                rank=2 if "rank" in ctype else -1,
+            )
+            ratio = (max(n, 8) * c * 2) / codecs.payload_nbytes(payload)
+        else:
+            ratio = 1.0
         rel = float(
             np.linalg.norm(lat - lat_ref) / (np.linalg.norm(lat_ref) + 1e-12)
         )
         results.append(
             {
                 "codec": ctype,
-                "latent_rel_err": round(rel, 4),
+                "latent_rel_err": round(rel, 6),
                 "psnr_db": round(float(psnr(img, img_ref)), 2),
                 "ssim": round(float(ssim(img, img_ref)), 4),
                 "wire_compression": round(float(ratio), 1),
             }
         )
-    print(json.dumps({"steps": args.steps, "ring": args.ring, "results": results}, indent=2))
+    report = {"steps": args.steps, "ring": args.ring, "results": results}
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "QUALITY_SWEEP.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":
