@@ -39,11 +39,12 @@ run() {
   python "$@"
 }
 
-# PixArt: single / USP / compressed ring / CFG parallel
+# PixArt: single / USP / compressed ring / CFG parallel / per-layer plan
 run examples/pixartalpha_example.py $SMALL --model "$PIXART" --prompt "a cactus"
 run examples/pixartalpha_example.py $SMALL --model "$PIXART" --ulysses_degree 2 --ring_degree 2 --prompt "a cactus"
 run examples/pixartalpha_example.py $SMALL --model "$PIXART" --ring_degree 4 --compact --compact_type binary --prompt "a cactus"
 run examples/pixartalpha_example.py $SMALL --model "$PIXART" --use_cfg_parallel --ring_degree 2 --prompt "a cactus"
+run examples/per_layer_schedule_example.py $SMALL --model "$PIXART" --ring_degree 4 --prompt "a cactus"
 
 # FLUX: USP / compressed ring
 run examples/flux_example.py $SMALL --model "$FLUX" --ulysses_degree 2 --prompt "a fox"
