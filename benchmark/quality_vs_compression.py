@@ -103,14 +103,19 @@ def main():
     # "warmup-only" = every step exchanges raw K/V through the compact
     # machinery: its rel-err is the measurement FLOOR (program-recompilation
     # bf16 noise) — codec errors at or near this floor are below resolution
-    for ctype in ("warmup-only", "binary", "int2", "int4", "low-rank"):
-        real = ctype != "warmup-only"
+    for label in (
+        "warmup-only", "binary", "binary+residual2", "int2", "int2-minmax",
+        "int4", "sparse", "low-rank",
+    ):
+        real = label != "warmup-only"
+        ctype = label.split("+")[0] if real else "binary"
+        residual = 2 if "+residual2" in label else 1
         compact = CompactConfig(
             enabled=True,
-            compress_type=CompressType(ctype) if real else CompressType.BINARY,
+            compress_type=CompressType(ctype),
             warmup_steps=args.warmup if real else args.steps,
             comp_rank=2 if "rank" in ctype else -1,
-            residual=1,
+            residual=residual,
             error_feedback=True,
         )
         lat, img = run(compact)
@@ -128,7 +133,7 @@ def main():
         )
         results.append(
             {
-                "codec": ctype,
+                "codec": label,
                 "latent_rel_err": round(rel, 6),
                 "psnr_db": round(float(psnr(img, img_ref)), 2),
                 "ssim": round(float(ssim(img, img_ref)), 4),
