@@ -579,7 +579,7 @@ class xDiTParallel:
         if self.family in ("cogvideox", "hunyuanvideo", "consisid",
                            "stepvideo"):
             txt = enc.encode_for_video(prompts, negative, max_length=seq)
-            return self.pipeline(txt, key)
+            return self.pipeline(txt, key, decode=decode)
         # pixart / hunyuandit: (2, B, S, D) + mask
         txt, mask = enc.encode_for_pixart(prompts, negative, max_length=seq)
         return self.pipeline(txt, mask, key, decode=decode)

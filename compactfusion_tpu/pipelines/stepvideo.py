@@ -192,7 +192,10 @@ class StepVideoPipeline:
         self.mesh = mesh
         self._sample = build_sample_fn(cfg, mesh, params)
 
-    def __call__(self, txt, key):
+    def __call__(self, txt, key, decode=None):
+        # Step-Video's bespoke 16x16x8 video VAE is not implemented; the
+        # pipeline returns latents (decode accepted for registry-call
+        # uniformity and ignored).
         cfg = self.cfg
         latents = base.prepare_latents(
             key, txt.shape[1], cfg.tokens, cfg.model.in_channels, jnp.float32

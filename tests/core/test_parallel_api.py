@@ -148,3 +148,39 @@ def test_http_service(tiny_runner):
         assert img.format == "PNG" and img.size == (16, 16)
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# '-tiny' model names route the REAL registry builders to smoke-test configs
+# (no monkeypatching — exercises each family's actual build function)
+# ---------------------------------------------------------------------------
+
+
+def _run_family(model, sp=2, **extra):
+    parser = FlexibleArgumentParser()
+    xFuserArgs.add_cli_args(parser)
+    argv = ["--model", model, "--height", "64", "--width", "64",
+            "--num_inference_steps", "2", "--max_sequence_length", "8",
+            "--ulysses_degree", str(sp), "--prompt", "a cat"]
+    for k, v in extra.items():
+        argv += [f"--{k}", str(v)]
+    args = xFuserArgs.from_cli_args(parser.parse_args(argv))
+    engine, inp = args.create_config()
+    runner = xDiTParallel(engine, inp)
+    out = runner(decode=False)
+    arr = np.asarray(out, np.float32)
+    assert np.isfinite(arr).all()
+    return arr
+
+
+def test_registry_tiny_flux():
+    assert _run_family("flux-tiny").ndim == 3
+
+
+def test_registry_tiny_sd3():
+    assert _run_family("sd3-tiny").ndim == 3
+
+
+def test_registry_tiny_hunyuanvideo():
+    arr = _run_family("hunyuanvideo-tiny", num_frames=5)
+    assert arr.ndim == 3
