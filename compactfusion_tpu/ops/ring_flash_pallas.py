@@ -159,6 +159,27 @@ def _ring_kernel(
 
     lax.fori_loop(0, ring_size, step_body, 0)
 
+    if ring_size > 1:
+        # Trailing neighbor barrier: the NEXT grid cell's step-0 RDMA writes
+        # the neighbor's kv_buf slot 1 — the very slot the neighbor reads on
+        # its final ring step whenever ring_size is even.  The per-step
+        # barrier above only covers steps < ring_size-1, so without this
+        # fence a device that advances to the next (batch, head) cell can
+        # overwrite KV the neighbor is still flash-computing on (silent
+        # output corruption on silicon; invisible in interpret mode where
+        # DMAs are eager).  Two-sided NCCL isend/irecv gives the reference
+        # this ordering for free; one-sided RDMA needs the explicit barrier.
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=ids_ref[1],
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=ids_ref[2],
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        pltpu.semaphore_wait(barrier, 2)
+
     l_final = l_scr[:, :1]
     l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
     o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
@@ -215,13 +236,16 @@ def ring_flash_attn_with_lse(
     block_q = min(block_q, _round_up(sq, 8))
     block_k = min(block_k, _round_up(sk, 128))
 
-    # VMEM: double-buffered KV (2*2*Sk*D bf16) + fp32 acc/m/l + score block
+    # VMEM: double-buffered KV in k.dtype + fp32 acc/m/l + score block
+    kv_itemsize = jnp.dtype(k.dtype).itemsize
+    q_itemsize = jnp.dtype(q.dtype).itemsize
+
     def _vmem_bytes(bq, bk):
         return (
-            4 * sk * d * 2  # kv_buf
+            4 * sk * d * kv_itemsize  # kv_buf (2, 2, Sk, D)
             + 4 * sq * (d + 128 + 128)  # acc, m, l
             + 4 * bq * bk  # scores
-            + 2 * (sq + sk) * d  # q/k/v input blocks
+            + (sq * q_itemsize + 2 * sk * kv_itemsize) * d  # q/k/v inputs
         )
 
     while _vmem_bytes(block_q, block_k) > 10 * 1024 * 1024 and (

@@ -72,6 +72,26 @@ def prepare_latents(
     return jax.random.normal(key, (batch, tokens, token_dim), jnp.float32).astype(dtype)
 
 
+def carry_ef_state(prev, fresh):
+    """Pick the EF cache to enter a step segment with.
+
+    Returns ``prev`` (the previous segment's final cache — EF must continue
+    across the warmup/steady or per-layer-plan segment boundary) when it is
+    structurally compatible with ``fresh``, else the freshly initialised
+    cache.  Each attention-state family must be checked INDEPENDENTLY: with a
+    per-layer ``compress_func`` only one family's plan may change method class
+    at a boundary, so one family can be carryable while the other is not.
+    """
+    if (
+        prev is not None
+        and jax.tree_util.tree_leaves(prev)
+        and jax.tree_util.tree_structure(prev)
+        == jax.tree_util.tree_structure(fresh)
+    ):
+        return prev
+    return fresh
+
+
 def layer_plan_segments(plans, depth):
     """Resolve per-step per-layer plans to a COMMON layer segmentation.
 

@@ -153,14 +153,7 @@ def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
                     mcfg.depth, n_model_batch, s_local, mcfg.heads,
                     mcfg.head_dim, jnp.float32,
                 )
-            prev = carry[1]
-            if (
-                prev is not None
-                and jax.tree_util.tree_leaves(prev)
-                and jax.tree_util.tree_structure(prev)
-                == jax.tree_util.tree_structure(st)
-            ):
-                st = prev  # carry EF caches across step segments
+            st = base.carry_ef_state(carry[1], st)  # EF caches across segments
             carry = (carry[0], st)
 
             def body(c, i, _attn=attn):

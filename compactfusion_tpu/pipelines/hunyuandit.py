@@ -147,14 +147,10 @@ def build_sample_fn(cfg: HunyuanDiTPipelineConfig, mesh: Mesh, params_tree=None)
                 attn_d = attn_u = _attn_impl(cfg, method)
                 sd = _init(attn_d, half)
                 su = _init(attn_u, half)
-            prev_sd, prev_su = carry[2], carry[3]
-            if (
-                prev_sd is not None
-                and jax.tree_util.tree_leaves(prev_sd)
-                and jax.tree_util.tree_structure(prev_sd)
-                == jax.tree_util.tree_structure(sd)
-            ):
-                sd, su = prev_sd, prev_su  # carry EF caches across segments
+            # carry EF caches across segments, per family: a per-layer plan
+            # can change one family's method class but not the other's
+            sd = base.carry_ef_state(carry[2], sd)
+            su = base.carry_ef_state(carry[3], su)
             carry = (carry[0], carry[1], sd, su)
 
             def body(c, i, _attn=attn_d, _attn_u=attn_u):

@@ -132,14 +132,10 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
                 attn_d = attn_s = _attn_impl(cfg, method)
                 sd = _init(attn_d, mcfg.double_layers)
                 ss = _init(attn_s, mcfg.single_layers)
-            prev_sd, prev_ss = carry[1], carry[2]
-            if (
-                prev_sd is not None
-                and jax.tree_util.tree_leaves(prev_sd)
-                and jax.tree_util.tree_structure(prev_sd)
-                == jax.tree_util.tree_structure(sd)
-            ):
-                sd, ss = prev_sd, prev_ss  # carry EF caches across segments
+            # carry EF caches across segments, per family: a per-layer plan
+            # can change one family's method class but not the other's
+            sd = base.carry_ef_state(carry[1], sd)
+            ss = base.carry_ef_state(carry[2], ss)
             carry = (carry[0], sd, ss)
 
             def body(c, i, _attn=attn_d, _attn_s=attn_s):

@@ -269,14 +269,8 @@ def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh, params_tree=None):
                     cfg.model.head_dim,
                     jnp.float32,
                 )
-            prev = carry[2]
-            if (
-                prev is not None
-                and jax.tree_util.tree_leaves(prev)
-                and jax.tree_util.tree_structure(prev)
-                == jax.tree_util.tree_structure(attn_state)
-            ):
-                attn_state = prev  # carry EF caches across step segments
+            # EF caches across step segments
+            attn_state = base.carry_ef_state(carry[2], attn_state)
             carry = (carry[0], carry[1], attn_state, carry[3])
 
             def body(c, i, _step=step_fn, _pos=pos_local):
