@@ -34,6 +34,10 @@ class CompressType(enum.Enum):
     IDENTITY = "identity"
     LOW_RANK = "low-rank"
     LOW_RANK_Q = "low-rank-int4"
+    #: attention-aware low-rank: rows weighted by V-norm key importance
+    #: before the subspace fit (reference ``LOW_RANK_AWL``,
+    #: ``xfuser/compact/ring.py:74-117`` + ``slowpath.py:218-237``)
+    LOW_RANK_AWL = "low-rank-awl"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -229,39 +233,6 @@ class EngineConfig:
     parallel_config: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
     fast_attn_config: FastAttnConfig = dataclasses.field(default_factory=FastAttnConfig)
     compact_config: CompactConfig = dataclasses.field(default_factory=CompactConfig)
-
-
-def compact_step_segments(
-    compact: CompactConfig, num_steps: int, depth: int
-):
-    """Contiguous per-step method segments [(method | None, [step, ...])].
-
-    For pipelines that compile one scan per method segment and support only
-    LAYER-UNIFORM schedules (PixArt, FLUX and SD3 support per-layer plans via
-    ``pipelines.base.compact_layer_segments``; the rest use this): raises if
-    a per-layer ``compress_func`` produces different methods across layers,
-    instead of silently applying layer 0's plan everywhere.
-    """
-    schedule = []
-    for s in range(num_steps):
-        if not compact.enabled:
-            schedule.append(None)
-            continue
-        plan = compact.layer_plan(s, depth)
-        if len(set(plan)) > 1:
-            raise NotImplementedError(
-                "per-layer compress_func schedules are supported by the "
-                "PixArt pipeline only; this pipeline needs a layer-uniform "
-                f"plan but step {s} mixes {sorted(set(p.name for p in plan))}"
-            )
-        schedule.append(plan[0])
-    segments = []
-    for s, m in enumerate(schedule):
-        if segments and segments[-1][0] == m:
-            segments[-1][1].append(s)
-        else:
-            segments.append((m, [s]))
-    return segments
 
 
 def resolve_compress_schedule(

@@ -135,47 +135,50 @@ def consisid_forward(
         out = cm.linear(p, cm.silu(temb))
         return jnp.split(out[:, None, :], 6, axis=-1)
 
-    def block(carry, xs):
-        vid, txt = carry
-        p, pid, flag, state = xs
-        v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_attn"], temb)
-        vid_n = cm.layernorm(p["norm1"], vid, eps=1e-5) * (1 + v_sc) + v_sh
-        txt_n = cm.layernorm(p["norm1"], txt, eps=1e-5) * (1 + t_sc) + t_sh
-        vq, vk, vv = [
-            _heads(x, h) for x in jnp.split(cm.linear(p["qkv"], vid_n), 3, -1)
-        ]
-        tq, tk, tv = [
-            _heads(x, h) for x in jnp.split(cm.linear(p["qkv"], txt_n), 3, -1)
-        ]
-        vq = cm.layernorm(p["q_norm"], vq, eps=1e-6)
-        vk = cm.layernorm(p["k_norm"], vk, eps=1e-6)
-        tq = cm.layernorm(p["q_norm"], tq, eps=1e-6)
-        tk = cm.layernorm(p["k_norm"], tk, eps=1e-6)
-        if video_rope is not None:
-            cos_v, sin_v = video_rope
-            vq = cm.apply_rope(vq, cos_v, sin_v)
-            vk = cm.apply_rope(vk, cos_v, sin_v)
-        o, state = attn(vq, vk, vv, state, joint_q=tq, joint_k=tk, joint_v=tv)
-        s_txt = txt.shape[1]
-        txt_o, vid_o = o[:, :s_txt], o[:, s_txt:]
-        proj = cm.linear(p["attn_out"], _unheads(jnp.concatenate([txt_o, vid_o], 1)))
-        txt = txt + t_g * proj[:, :s_txt]
-        vid = vid + v_g * proj[:, s_txt:]
+    def make_block(attn):
+        def block(carry, xs):
+            vid, txt = carry
+            (p, pid, flag), state = xs
+            v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_attn"], temb)
+            vid_n = cm.layernorm(p["norm1"], vid, eps=1e-5) * (1 + v_sc) + v_sh
+            txt_n = cm.layernorm(p["norm1"], txt, eps=1e-5) * (1 + t_sc) + t_sh
+            vq, vk, vv = [
+                _heads(x, h) for x in jnp.split(cm.linear(p["qkv"], vid_n), 3, -1)
+            ]
+            tq, tk, tv = [
+                _heads(x, h) for x in jnp.split(cm.linear(p["qkv"], txt_n), 3, -1)
+            ]
+            vq = cm.layernorm(p["q_norm"], vq, eps=1e-6)
+            vk = cm.layernorm(p["k_norm"], vk, eps=1e-6)
+            tq = cm.layernorm(p["q_norm"], tq, eps=1e-6)
+            tk = cm.layernorm(p["k_norm"], tk, eps=1e-6)
+            if video_rope is not None:
+                cos_v, sin_v = video_rope
+                vq = cm.apply_rope(vq, cos_v, sin_v)
+                vk = cm.apply_rope(vk, cos_v, sin_v)
+            o, state = attn(vq, vk, vv, state, joint_q=tq, joint_k=tk, joint_v=tv)
+            s_txt = txt.shape[1]
+            txt_o, vid_o = o[:, :s_txt], o[:, s_txt:]
+            proj = cm.linear(p["attn_out"], _unheads(jnp.concatenate([txt_o, vid_o], 1)))
+            txt = txt + t_g * proj[:, :s_txt]
+            vid = vid + v_g * proj[:, s_txt:]
 
-        v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_ff"], temb)
-        vid_n = cm.layernorm(p["norm2"], vid, eps=1e-5) * (1 + v_sc) + v_sh
-        txt_n = cm.layernorm(p["norm2"], txt, eps=1e-5) * (1 + t_sc) + t_sh
-        ff = cm.ffn(p["ffn"], jnp.concatenate([txt_n, vid_n], 1), tp_axis=tp_axis)
-        txt = txt + t_g * ff[:, :s_txt]
-        vid = vid + v_g * ff[:, s_txt:]
+            v_sh, v_sc, v_g, t_sh, t_sc, t_g = _mod6(p["mod_ff"], temb)
+            vid_n = cm.layernorm(p["norm2"], vid, eps=1e-5) * (1 + v_sc) + v_sh
+            txt_n = cm.layernorm(p["norm2"], txt, eps=1e-5) * (1 + t_sc) + t_sh
+            ff = cm.ffn(p["ffn"], jnp.concatenate([txt_n, vid_n], 1), tp_axis=tp_axis)
+            txt = txt + t_g * ff[:, :s_txt]
+            vid = vid + v_g * ff[:, s_txt:]
 
-        # gated identity injection AFTER the block (reference: every
-        # cross_attn_interval-th block adds local_face_scale * perceiver)
-        if id_states is not None:
-            vid = vid + flag * cfg.local_face_scale * perceiver_ca(
-                pid, id_states.astype(vid.dtype), vid, h
-            )
-        return (vid, txt), state
+            # gated identity injection AFTER the block (reference: every
+            # cross_attn_interval-th block adds local_face_scale * perceiver)
+            if id_states is not None:
+                vid = vid + flag * cfg.local_face_scale * perceiver_ca(
+                    pid, id_states.astype(vid.dtype), vid, h
+                )
+            return (vid, txt), state
+
+        return block
 
     interval = cfg.cross_attn_interval
     flags = (jnp.arange(cfg.depth) % interval == 0).astype(cfg.dtype)
@@ -183,8 +186,11 @@ def consisid_forward(
         lambda a: jnp.repeat(a, interval, axis=0)[: cfg.depth],
         params["perceiver"],
     )
-    (vid, txt), new_state = jax.lax.scan(
-        block, (vid, txt), (params["blocks"], pc, flags, attn_state)
+    # per-layer compression plans: attn may be ((strategy, n_layers), ...);
+    # the per-layer xs (block params, perceiver params, injection flags) are
+    # bundled as the "blocks" pytree so scan_segments slices them together
+    (vid, txt), new_state = cm.scan_segments(
+        make_block, (vid, txt), (params["blocks"], pc, flags), attn, attn_state
     )
 
     joint = jnp.concatenate([txt, vid], axis=1)

@@ -233,36 +233,44 @@ def stepvideo_forward(
 
     from compactfusion_tpu.ops.attention import sdpa
 
-    def block(carry, xs):
-        x = carry
-        p, state = xs
-        table = p["scale_shift_table"][None] + mod6
-        sh_a, sc_a, g_a, sh_m, sc_m, g_m = [table[:, i][:, None] for i in range(6)]
+    def make_block(attn):
+        def block(carry, xs):
+            x = carry
+            p, state = xs
+            table = p["scale_shift_table"][None] + mod6
+            sh_a, sc_a, g_a, sh_m, sc_m, g_m = [
+                table[:, i][:, None] for i in range(6)
+            ]
 
-        # reference block (blocks.py:253-290): affine norm1, modulate, RoPE'd
-        # qk-normed self attention, gated residual
-        xn = cm.layernorm(p["norm1"], x) * (1 + sc_a) + sh_a
-        q, k, v = _qkv_proj(p["qkv"], xn, h_local)
-        q = cm.rmsnorm(p["q_norm"], q)
-        k = cm.rmsnorm(p["k_norm"], k)
-        q = apply_rope_3d_half(q, video_rope, cfg.axes_dim)
-        k = apply_rope_3d_half(k, video_rope, cfg.axes_dim)
-        o, state = attn(q, k, v, state)
-        x = x + g_a * _head_out(p["attn_out"], o, tp_axis)
+            # reference block (blocks.py:253-290): affine norm1, modulate,
+            # RoPE'd qk-normed self attention, gated residual
+            xn = cm.layernorm(p["norm1"], x) * (1 + sc_a) + sh_a
+            q, k, v = _qkv_proj(p["qkv"], xn, h_local)
+            q = cm.rmsnorm(p["q_norm"], q)
+            k = cm.rmsnorm(p["k_norm"], k)
+            q = apply_rope_3d_half(q, video_rope, cfg.axes_dim)
+            k = apply_rope_3d_half(k, video_rope, cfg.axes_dim)
+            o, state = attn(q, k, v, state)
+            x = x + g_a * _head_out(p["attn_out"], o, tp_axis)
 
-        # cross attention on the RAW stream, ungated (blocks.py:276-282)
-        q, _, _ = _qkv_proj(p["cross_q"], x, h_local)
-        _, kt, vt = _qkv_proj(p["cross_kv"], txt, h_local)
-        q = cm.rmsnorm(p["cross_q_norm"], q)
-        kt = cm.rmsnorm(p["cross_k_norm"], kt)
-        o = sdpa(q, kt, vt)
-        x = x + _head_out(p["cross_out"], o, tp_axis)
+            # cross attention on the RAW stream, ungated (blocks.py:276-282)
+            q, _, _ = _qkv_proj(p["cross_q"], x, h_local)
+            _, kt, vt = _qkv_proj(p["cross_kv"], txt, h_local)
+            q = cm.rmsnorm(p["cross_q_norm"], q)
+            kt = cm.rmsnorm(p["cross_k_norm"], kt)
+            o = sdpa(q, kt, vt)
+            x = x + _head_out(p["cross_out"], o, tp_axis)
 
-        xn = cm.layernorm(p["norm2"], x) * (1 + sc_m) + sh_m
-        x = x + g_m * cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
-        return x, state
+            xn = cm.layernorm(p["norm2"], x) * (1 + sc_m) + sh_m
+            x = x + g_m * cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
+            return x, state
 
-    x, new_state = jax.lax.scan(block, x, (params["blocks"], attn_state))
+        return block
+
+    # per-layer compression plans: attn may be ((strategy, n_layers), ...)
+    x, new_state = cm.scan_segments(
+        make_block, x, params["blocks"], attn, attn_state
+    )
 
     fin = params["final_scale_shift"][None] + temb[:, None, :].repeat(2, axis=1)
     shift, scale = fin[:, 0][:, None], fin[:, 1][:, None]

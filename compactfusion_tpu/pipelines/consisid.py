@@ -21,7 +21,7 @@ from jax import lax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-from compactfusion_tpu.config import CompressType, compact_step_segments
+from compactfusion_tpu.config import CompressType
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.consisid import (
     ConsisIDConfig,
@@ -65,7 +65,7 @@ def build_sample_fn(cfg: ConsisIDPipelineConfig, mesh: Mesh, params_tree=None):
         video_positions(f, hp, wp), mcfg.axes_dim
     )
 
-    segments = compact_step_segments(
+    segments = base.compact_layer_segments(
         cfg.compact, cfg.num_steps, mcfg.depth
     )
 
@@ -94,13 +94,22 @@ def build_sample_fn(cfg: ConsisIDPipelineConfig, mesh: Mesh, params_tree=None):
 
         carry = (latents, None)
         for method, steps in segments:
-            attn = _attn_impl(cfg, method)
-            st = attn.init_state(
-                mcfg.depth, n_model_batch, s_local, mcfg.heads,
-                mcfg.head_dim, jnp.float32,
-            )
-            if carry[1] is not None and jax.tree_util.tree_leaves(carry[1]):
-                st = carry[1]
+            if isinstance(method, tuple):  # per-layer compress_func plans
+                attn = tuple((_attn_impl(cfg, m), n) for m, n in method)
+                st = tuple(
+                    a.init_state(
+                        n, n_model_batch, s_local, mcfg.heads, mcfg.head_dim,
+                        jnp.float32,
+                    )
+                    for a, n in attn
+                )
+            else:
+                attn = _attn_impl(cfg, method)
+                st = attn.init_state(
+                    mcfg.depth, n_model_batch, s_local, mcfg.heads,
+                    mcfg.head_dim, jnp.float32,
+                )
+            st = base.carry_ef_state(carry[1], st)  # EF caches across segments
             carry = (carry[0], st)
 
             def body(c, i, _attn=attn):

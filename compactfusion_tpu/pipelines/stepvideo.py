@@ -25,7 +25,6 @@ from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
     ParallelConfig,
-    compact_step_segments,
 )
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -104,7 +103,7 @@ def build_sample_fn(cfg: StepVideoPipelineConfig, mesh: Mesh, params_tree=None):
     sched = flow_match_schedule(cfg.num_steps, shift=cfg.shift)
     rope_full = stepvideo_rope_tables(f, hp, wp, mcfg.axes_dim)
 
-    segments = compact_step_segments(
+    segments = base.compact_layer_segments(
         cfg.compact, cfg.num_steps, mcfg.depth
     )
 
@@ -135,13 +134,23 @@ def build_sample_fn(cfg: StepVideoPipelineConfig, mesh: Mesh, params_tree=None):
 
         carry = (latents, None)
         for method, steps in segments:
-            attn = _attn_impl(cfg, method)
-            st = attn.init_state(
-                mcfg.depth, n_model_batch, s_local,
-                h_local * p.ulysses_degree, mcfg.head_dim, jnp.float32,
-            )
-            if carry[1] is not None and jax.tree_util.tree_leaves(carry[1]):
-                st = carry[1]
+            if isinstance(method, tuple):  # per-layer compress_func plans
+                attn = tuple((_attn_impl(cfg, m), n) for m, n in method)
+                st = tuple(
+                    a.init_state(
+                        n, n_model_batch, s_local,
+                        h_local * p.ulysses_degree, mcfg.head_dim,
+                        jnp.float32,
+                    )
+                    for a, n in attn
+                )
+            else:
+                attn = _attn_impl(cfg, method)
+                st = attn.init_state(
+                    mcfg.depth, n_model_batch, s_local,
+                    h_local * p.ulysses_degree, mcfg.head_dim, jnp.float32,
+                )
+            st = base.carry_ef_state(carry[1], st)  # EF caches across segments
             carry = (carry[0], st)
 
             def body(c, i, _attn=attn):

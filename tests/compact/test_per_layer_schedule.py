@@ -356,6 +356,114 @@ def test_hunyuanvideo_per_layer_plan():
 
 
 # ---------------------------------------------------------------------------
+# ConsisID: per-layer plans with interval identity injection in the scan
+# ---------------------------------------------------------------------------
+
+
+def test_consisid_per_layer_plan():
+    from compactfusion_tpu.models.consisid import consisid_tiny, init_consisid
+    from compactfusion_tpu.pipelines.consisid import (
+        ConsisIDPipeline,
+        ConsisIDPipelineConfig,
+    )
+
+    mcfg = consisid_tiny()
+    params = spice_params(init_consisid(jax.random.PRNGKey(51), mcfg))
+    rng = np.random.default_rng(52)
+    txt = jnp.asarray(
+        np.stack([rng.standard_normal((1, 8, mcfg.text_dim)),
+                  np.zeros((1, 8, mcfg.text_dim))]),
+        jnp.float32,
+    )
+    ids = jnp.asarray(
+        rng.standard_normal((1, 5, mcfg.id_dim)), jnp.float32
+    )
+    key = jax.random.PRNGKey(53)
+
+    def ccfg(parallel, compact=CompactConfig()):
+        return ConsisIDPipelineConfig(
+            model=mcfg, parallel=parallel, compact=compact,
+            num_steps=4, height=64, width=64, num_frames=5,
+        )
+
+    mesh1 = make_mesh(ParallelConfig(), devices=jax.devices()[:1])
+    ref = ConsisIDPipeline(params, ccfg(ParallelConfig()), mesh1)(
+        txt, key, id_states=ids, decode=False
+    )
+
+    par = ParallelConfig(ring_degree=4)
+    mesh = make_mesh(par)
+    out_mixed = ConsisIDPipeline(
+        params, ccfg(par, _mixed_plan(CompressType.IDENTITY, CompressType.BINARY)),
+        mesh,
+    )(txt, key, id_states=ids, decode=False)
+    out_full = ConsisIDPipeline(
+        params, ccfg(par, _mixed_plan(CompressType.BINARY, CompressType.BINARY)),
+        mesh,
+    )(txt, key, id_states=ids, decode=False)
+
+    err_mixed = rel_err(out_mixed, ref)
+    err_full = rel_err(out_full, ref)
+    assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
+    assert err_mixed > 1e-6
+    assert err_mixed < err_full, (err_mixed, err_full)
+
+
+# ---------------------------------------------------------------------------
+# Step-Video: per-layer plans on the full-TP video backbone
+# ---------------------------------------------------------------------------
+
+
+def test_stepvideo_per_layer_plan():
+    from compactfusion_tpu.models.stepvideo import init_stepvideo, stepvideo_tiny
+    from compactfusion_tpu.pipelines.stepvideo import (
+        StepVideoPipeline,
+        StepVideoPipelineConfig,
+    )
+
+    mcfg = stepvideo_tiny()
+    params = spice_params(init_stepvideo(jax.random.PRNGKey(61), mcfg))
+    rng = np.random.default_rng(62)
+    txt = jnp.asarray(
+        np.stack([rng.standard_normal((1, 8, mcfg.text_dim)),
+                  np.zeros((1, 8, mcfg.text_dim))]),
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(63)
+
+    def scfg(parallel, compact=CompactConfig()):
+        return StepVideoPipelineConfig(
+            model=mcfg, parallel=parallel, compact=compact,
+            num_steps=4, height=4 * 32, width=4 * 32, num_frames=17,
+        )
+
+    # reference = the SAME ring topology with an all-lossless plan, so the
+    # measured error is purely compression-induced (the SP-vs-single-device
+    # bf16/merge noise otherwise dominates this tiny model's binary error)
+    par = ParallelConfig(ring_degree=4)
+    mesh = make_mesh(par)
+    ref = StepVideoPipeline(
+        params, scfg(par, _mixed_plan(CompressType.IDENTITY, CompressType.IDENTITY)),
+        mesh,
+    )(txt, key)
+
+    out_mixed = StepVideoPipeline(
+        params, scfg(par, _mixed_plan(CompressType.IDENTITY, CompressType.BINARY)),
+        mesh,
+    )(txt, key)
+    out_full = StepVideoPipeline(
+        params, scfg(par, _mixed_plan(CompressType.BINARY, CompressType.BINARY)),
+        mesh,
+    )(txt, key)
+
+    err_mixed = rel_err(out_mixed, ref)
+    err_full = rel_err(out_full, ref)
+    assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
+    assert err_mixed > 1e-6
+    assert err_mixed < err_full, (err_mixed, err_full)
+
+
+# ---------------------------------------------------------------------------
 # HunyuanDiT: per-layer plans across the down/up skip halves
 # ---------------------------------------------------------------------------
 
