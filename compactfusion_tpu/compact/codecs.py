@@ -295,6 +295,43 @@ def sim_low_rank(x: jax.Array, rank: int) -> jax.Array:
     return (u @ v).astype(x.dtype)
 
 
+def awl_row_scale(v_nc: jax.Array) -> jax.Array:
+    """V-norm key-importance weights for attention-aware low-rank (AWL).
+
+    Reference ``compact_update_awl_scale`` (``xfuser/compact/ring.py:86-103``):
+    per-token weight ``mean(||v_row||) / ||v_row||`` — keys whose V rows have
+    small norm typically carry large attention scores, so they get larger
+    weight in the weighted subspace fit.  ``v_nc``: the (N, C) view of the
+    LOCAL (uncompressed) V tensor of the rank whose K is being compressed.
+    """
+    norm = jnp.linalg.norm(v_nc.astype(jnp.float32), axis=-1)
+    return jnp.mean(norm) / (norm + _EPS)
+
+
+def encode_low_rank_awl(
+    x: jax.Array, rank: int, row_scale: Optional[jax.Array] = None
+) -> LowRankPayload:
+    """Row-weighted rank-k fit (reference ``sim_compress`` LOW_RANK_AWL,
+    ``slowpath.py:218-237``): fit ``diag(s) @ x`` and unscale U afterwards,
+    so important rows dominate the subspace.  The payload is wire-identical
+    to plain LOW_RANK — the receiver needs no knowledge of the scale."""
+    if row_scale is None:
+        return encode_low_rank(x, rank)
+    s = row_scale.astype(jnp.float32)[:, None]
+    u, v, _ = subspace_iter(x.astype(jnp.float32) * s, rank, num_iters=2)
+    return LowRankPayload((u / s).astype(SCALE_DTYPE), v.astype(SCALE_DTYPE))
+
+
+def sim_low_rank_awl(
+    x: jax.Array, rank: int, row_scale: Optional[jax.Array] = None
+) -> jax.Array:
+    if row_scale is None:
+        return sim_low_rank(x, rank)
+    s = row_scale.astype(jnp.float32)[:, None]
+    u, v, _ = subspace_iter(x.astype(jnp.float32) * s, rank, num_iters=2)
+    return ((u / s) @ v).astype(x.dtype)
+
+
 def encode_low_rank_q(x: jax.Array, rank: int) -> LowRankQPayload:
     u, v, _ = subspace_iter(x.astype(jnp.float32), rank, num_iters=2)
     return LowRankQPayload(encode_int4(u, axis=0), encode_int4(v.T, axis=0))
@@ -349,6 +386,7 @@ def encode(
     *,
     rank: int = -1,
     sparse_ratio: int = 8,
+    awl_scale: Optional[jax.Array] = None,
 ) -> Payload:
     """Compress an (N, C) tensor into a static-shape packed payload."""
     if method in (CompressType.IDENTITY, CompressType.WARMUP):
@@ -365,6 +403,8 @@ def encode(
         return encode_int8(x)
     if method == CompressType.LOW_RANK:
         return encode_low_rank(x, rank)
+    if method == CompressType.LOW_RANK_AWL:
+        return encode_low_rank_awl(x, rank, awl_scale)
     if method == CompressType.LOW_RANK_Q:
         return encode_low_rank_q(x, rank)
     if method == CompressType.SPARSE:
@@ -392,7 +432,7 @@ def decode(
         return decode_int4(payload, dtype)
     if method == CompressType.INT8:
         return decode_int8(payload, dtype)
-    if method == CompressType.LOW_RANK:
+    if method in (CompressType.LOW_RANK, CompressType.LOW_RANK_AWL):
         return decode_low_rank(payload, dtype)
     if method == CompressType.LOW_RANK_Q:
         return decode_low_rank_q(payload, dtype)
@@ -407,6 +447,7 @@ def sim_roundtrip(
     *,
     rank: int = -1,
     sparse_ratio: int = 8,
+    awl_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Compress→decompress locally without packing (reference ``sim_compress``)."""
     if method in (CompressType.IDENTITY, CompressType.WARMUP):
@@ -423,6 +464,8 @@ def sim_roundtrip(
         return decode_int8(encode_int8(x), x.dtype)
     if method == CompressType.LOW_RANK:
         return sim_low_rank(x, rank)
+    if method == CompressType.LOW_RANK_AWL:
+        return sim_low_rank_awl(x, rank, awl_scale)
     if method == CompressType.LOW_RANK_Q:
         return sim_low_rank_q(x, rank)
     if method == CompressType.SPARSE:

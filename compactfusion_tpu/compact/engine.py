@@ -122,13 +122,17 @@ def _fastpath_decompress(payload, state: EFState, cfg: CompactConfig, method, up
     return x_hat, state
 
 
-def _encode(x, cfg: CompactConfig, method: CompressType):
+def _encode(x, cfg: CompactConfig, method: CompressType, awl_scale=None):
     if cfg.simulate:
         # simulate mode sends the dense roundtripped tensor (main.py:117-121)
         return codecs.sim_roundtrip(
-            x, method, rank=cfg.comp_rank, sparse_ratio=cfg.sparse_ratio
+            x, method, rank=cfg.comp_rank, sparse_ratio=cfg.sparse_ratio,
+            awl_scale=awl_scale,
         )
-    return codecs.encode(x, method, rank=cfg.comp_rank, sparse_ratio=cfg.sparse_ratio)
+    return codecs.encode(
+        x, method, rank=cfg.comp_rank, sparse_ratio=cfg.sparse_ratio,
+        awl_scale=awl_scale,
+    )
 
 
 def _decode(payload, cfg: CompactConfig, method: CompressType, dtype):
@@ -143,21 +147,25 @@ def ef_compress(
     cfg: CompactConfig,
     method: CompressType,
     update_cache: bool = True,
+    awl_scale: Optional[jax.Array] = None,
 ):
     """Sender side: compress ``x`` against ``state``.
 
     With ``cfg.quantized_cache`` the base lives int8-quantized in the carry
     (dequantize on entry, requantize on exit — the reference CompactCache
-    quantize/put semantics)."""
+    quantize/put semantics).  ``awl_scale``: optional (N,) row-importance
+    weights for :data:`CompressType.LOW_RANK_AWL` (sender-only; the EF base
+    update uses the decoded payload, so receiver caches stay identical)."""
     if cfg.quantized_cache:
         # dequantize to fp32 on BOTH sender and receiver so the EF math (and
         # hence the requantized caches) stay bit-identical across ranks
         orig = state
         payload, new_state = _ef_compress_raw(
-            x, _dequant_state(state, jnp.float32), cfg, method, update_cache
+            x, _dequant_state(state, jnp.float32), cfg, method, update_cache,
+            awl_scale,
         )
         return payload, (_requant_state(new_state) if update_cache else orig)
-    return _ef_compress_raw(x, state, cfg, method, update_cache)
+    return _ef_compress_raw(x, state, cfg, method, update_cache, awl_scale)
 
 
 def _ef_compress_raw(
@@ -166,6 +174,7 @@ def _ef_compress_raw(
     cfg: CompactConfig,
     method: CompressType,
     update_cache: bool = True,
+    awl_scale: Optional[jax.Array] = None,
 ):
     """Sender side: compress ``x`` against ``state``.
 
@@ -192,14 +201,14 @@ def _ef_compress_raw(
         return x, state
 
     if cfg.residual == 0:
-        payload = _encode(x, cfg, method)
+        payload = _encode(x, cfg, method, awl_scale)
         return payload, state
 
     if cfg.residual == 1:
         if _use_fastpath(cfg, method):
             return _fastpath_compress(x, state, cfg, method, update_cache)
         delta = x - state.base
-        payload = _encode(delta, cfg, method)
+        payload = _encode(delta, cfg, method, awl_scale)
         recv_delta = _decode(payload, cfg, method, dtype)
         reconstructed = state.base + recv_delta
         if update_cache:
@@ -209,7 +218,7 @@ def _ef_compress_raw(
 
     # residual == 2: second-order delta with decay (main.py:244-266)
     delta_delta = x - state.base - state.delta_base
-    payload = _encode(delta_delta, cfg, method)
+    payload = _encode(delta_delta, cfg, method, awl_scale)
     rdd = _decode(payload, cfg, method, dtype)
     new_base = state.base + state.delta_base + rdd
     new_delta_base = (state.delta_base + rdd) * jnp.asarray(

@@ -57,12 +57,13 @@ def subspace_iter(
     a32 = a.astype(jnp.float32)
     q = _init_q(n, rank) if init_q is None else init_q.astype(jnp.float32)
 
-    def body(_, q):
+    # static unrolled loop (the fori_loop equivalent ran with unroll=True, so
+    # the compiled code is identical; a Python loop additionally avoids the
+    # replicated-init vs device-varying-carry type clash under shard_map's
+    # varying-manual-axes checking)
+    for _ in range(num_iters):
         z = a32.T @ (a32 @ q)
         q, _ = jnp.linalg.qr(z)
-        return q
-
-    q = jax.lax.fori_loop(0, num_iters, body, q, unroll=True)
     u, _ = jnp.linalg.qr(a32 @ q)
     v = u.T @ a32
     return u.astype(dtype), v.astype(dtype), q.astype(dtype)

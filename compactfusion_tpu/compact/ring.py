@@ -113,7 +113,15 @@ def compact_ring_attention(
 
     # --- sender: compress own K/V against own base slot (update_cache=True)
     k_own, v_own = _slot(state.k, my), _slot(state.v, my)
-    payload_k, k_own = ef_compress(_as_nc(k), k_own, cfg, method)
+    awl = None
+    if method == CompressType.LOW_RANK_AWL:
+        # attention-aware weighting: key importance from the LOCAL V rows
+        # (reference compact_update_awl_scale, ring.py:86-103 — K gets the
+        # V-norm scale, V itself is fit unweighted: scale_v stays None)
+        from compactfusion_tpu.compact import codecs
+
+        awl = codecs.awl_row_scale(_as_nc(v))
+    payload_k, k_own = ef_compress(_as_nc(k), k_own, cfg, method, awl_scale=awl)
     payload_v, v_own = ef_compress(_as_nc(v), v_own, cfg, method)
     state = CompactRingState(
         k=_set_slot(state.k, my, k_own), v=_set_slot(state.v, my, v_own)

@@ -97,6 +97,51 @@ def test_low_rank_exact_on_low_rank_input(rank):
     assert rel_err(out, x) < 2e-2
 
 
+def test_low_rank_awl_upweights_rows():
+    """AWL (attention-aware low-rank): rows with larger importance weight are
+    fit better than under the unweighted rank-k model, the wire payload is
+    byte-identical to plain LOW_RANK, and a None scale degrades exactly to
+    plain LOW_RANK (reference ``slowpath.py:218-237``)."""
+    x = _rand((256, 128), seed=13)
+    scale = jnp.ones((256,)).at[:32].set(10.0)
+
+    p_awl = codecs.encode_low_rank_awl(x, 4, scale)
+    p_plain = codecs.encode_low_rank(x, 4)
+    assert codecs.payload_nbytes(p_awl) == codecs.payload_nbytes(p_plain)
+
+    out_awl = np.asarray(codecs.decode_low_rank(p_awl))
+    out_plain = np.asarray(codecs.decode_low_rank(p_plain))
+    xa = np.asarray(x)
+
+    def row_err(out, rows):
+        return np.linalg.norm((out - xa)[rows]) / np.linalg.norm(xa[rows])
+
+    assert row_err(out_awl, slice(0, 32)) < row_err(out_plain, slice(0, 32))
+
+    # None scale == plain low-rank, exactly
+    p_none = codecs.encode_low_rank_awl(x, 4, None)
+    np.testing.assert_array_equal(np.asarray(p_none.u), np.asarray(p_plain.u))
+    np.testing.assert_array_equal(np.asarray(p_none.v), np.asarray(p_plain.v))
+
+    # sim twin agrees with the packed path (scales travel as bf16)
+    sim = codecs.sim_low_rank_awl(x, 4, scale)
+    assert rel_err(jnp.asarray(out_awl), sim) < 5e-2
+
+
+def test_awl_row_scale_semantics():
+    """mean(||v_row||)/||v_row|| — small-norm rows get large weight."""
+    v = jnp.concatenate(
+        [jnp.ones((4, 64)) * 0.1, jnp.ones((4, 64)) * 10.0], axis=0
+    )
+    s = np.asarray(codecs.awl_row_scale(v))
+    assert (s[:4] > s[4:]).all()
+    np.testing.assert_allclose(
+        s * np.linalg.norm(np.asarray(v), axis=-1),
+        np.mean(np.linalg.norm(np.asarray(v), axis=-1)),
+        rtol=1e-3,
+    )
+
+
 def test_low_rank_q_matches_sim():
     x = _rand((128, 256), seed=9)
     sim = codecs.sim_low_rank_q(x, 4)

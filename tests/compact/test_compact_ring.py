@@ -133,6 +133,36 @@ def test_compact_ring_tracks_exact_and_stays_consistent(method, simulate):
     assert np.mean(errs[-3:]) < 0.08
 
 
+@pytest.mark.parametrize(
+    "method", [CompressType.LOW_RANK, CompressType.LOW_RANK_AWL]
+)
+def test_low_rank_ring_tracks_and_stays_consistent(method):
+    """LOW_RANK(_AWL) through the compressed ring: EF caches bit-identical
+    across devices (AWL's sender-side row weighting must not leak into the
+    receiver state) and the output tracks the exact attention."""
+    ring = 4
+    cfg = CompactConfig(
+        enabled=True, compress_type=method, comp_rank=4,
+        residual=1, error_feedback=True, warmup_steps=2,
+    )
+    state = _init_state_stack(ring)
+    steps = _drift_qkv(6, drift=0.03, seed=3)
+    errs = []
+    for step, (q, k, v) in enumerate(steps):
+        m = cfg.type_at(0, step)
+        mesh, f = _make_runner(ring, cfg, m)
+        out, state = f(q, k, v, state)
+        ref, _ = attn_with_lse(q, k, v)
+        errs.append(rel_err(out, ref))
+        for leaf in jax.tree_util.tree_leaves(state):
+            arr = np.asarray(leaf)
+            for dev in range(1, ring):
+                np.testing.assert_array_equal(arr[dev], arr[0])
+    assert errs[0] < 1e-5 and errs[1] < 1e-5
+    assert errs[-1] < 0.08
+    assert errs[-1] > 1e-6  # compression actually engaged
+
+
 def test_packed_equals_simulate_binary():
     """Packed payload path must be numerically close to simulate mode (same
     algorithm, scales travel as bf16)."""
