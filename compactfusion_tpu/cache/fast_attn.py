@@ -1,18 +1,24 @@
 """DiTFastAttn: per-(step, layer) attention compression plans.
 
 Reference semantics: ``xfuser/core/fast_attention/`` —
-``FastAttnMethod`` {FULL_ATTN, RESIDUAL_WINDOW_ATTN, OUTPUT_SHARE} (CFG_SHARE
-is subsumed by the cfg axis in this build), windowed attention plus a cached
-full-minus-window residual, per-step-per-layer greedy method selection whose
-threshold ramps with depth (``select_methods``, ``fast_attention/
-utils.py:143-192``), and a JSON-persisted calibration plan
+``FastAttnMethod`` {FULL_ATTN, RESIDUAL_WINDOW_ATTN, OUTPUT_SHARE, CFG_SHARE
+and the window|full x CFG_SHARE combos} (``attn_layer.py:19-26``), windowed
+attention plus a cached full-minus-window residual, CFG sharing (compute the
+cond half of a batch-doubled CFG batch only, mirror to the uncond half —
+``attn_layer.py:102-116,179-186``), per-step-per-layer greedy method
+selection whose threshold ramps with depth (``select_methods``,
+``fast_attention/utils.py:143-192``), and a JSON-persisted calibration plan
 (``fast_attn_state.py:38-40``).
 
 Here the plan is a static (steps, layers) int table baked into the denoise
 scan: the pipeline writes ``plan[i]`` into the attention state each step, the
-scan slices a per-layer method scalar, and a 3-way ``lax.switch`` picks the
-branch.  Single-device acceleration (reference L7): combine with DP/CFG axes
-freely, but not with sequence parallelism (window masks don't shard).
+scan slices a per-layer method scalar, and a ``lax.switch`` picks the branch.
+Window attention runs the BANDED Pallas flash kernel
+(``ops/flash_pallas.flash_attn_with_lse(window=...)``) on TPU — off-band KV
+blocks are skipped, so FLOPs scale with S*window like the reference's
+``flash_attn_func(window_size=...)``, not masked full-cost attention.
+Single-device acceleration (reference L7): combine with DP/CFG axes freely,
+but not with sequence parallelism (window bands don't shard).
 """
 
 from __future__ import annotations
@@ -33,6 +39,8 @@ class FastAttnMethod(enum.IntEnum):
     FULL_ATTN = 0
     RESIDUAL_WINDOW_ATTN = 1
     OUTPUT_SHARE = 2
+    FULL_ATTN_CFG_SHARE = 3
+    RESIDUAL_WINDOW_ATTN_CFG_SHARE = 4
 
 
 def window_mask(s: int, window: int) -> jax.Array:
@@ -42,8 +50,22 @@ def window_mask(s: int, window: int) -> jax.Array:
 
 
 def window_attention(q, k, v, window: int):
-    mask = window_mask(q.shape[1], window)
-    return sdpa(q, k, v, mask=mask)
+    """Banded self-attention |i-j| <= window.
+
+    TPU: banded flash kernel, skipping off-band KV blocks (real FLOP
+    savings).  Other backends (CPU tests): masked sdpa fallback.
+    """
+    if jax.default_backend() == "tpu":
+        from compactfusion_tpu.ops.flash_pallas import flash_attn_with_lse
+
+        out, _ = flash_attn_with_lse(q, k, v, window=window)
+        return out
+    return sdpa(q, k, v, mask=window_mask(q.shape[1], window))
+
+
+def _tile_cond(x_half: jax.Array) -> jax.Array:
+    """[cond] -> [cond; cond] (CFG share: mirror to the uncond rows)."""
+    return jnp.concatenate([x_half, x_half], axis=0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,9 +76,15 @@ class FastAttnAttn:
       method:   (L,) int32 — written by the pipeline from plan[step];
       residual: (L, B, S, H, D) cached full-minus-window residual;
       last_out: (L, B, S, H, D) cached output for OUTPUT_SHARE.
+
+    ``cfg_batched``: the model batch is [cond; uncond] rows (batch-doubled
+    CFG, cfg_degree == 1) — enables the CFG_SHARE methods, which run
+    attention on the cond half only and mirror the output.  When False the
+    CFG_SHARE methods silently degrade to their non-shared counterparts.
     """
 
     window_size: int = 64
+    cfg_batched: bool = False
 
     def init_state(self, n_layers, batch, seq_local, heads, head_dim, dtype):
         z = jnp.zeros((n_layers, batch, seq_local, heads, head_dim), dtype)
@@ -73,6 +101,8 @@ class FastAttnAttn:
         assert joint_q is None, "fast-attn plans are for self-attention DiTs"
         method = state["method"]
         dt = state["residual"].dtype
+        half = q.shape[0] // 2
+        cfg_ok = self.cfg_batched and q.shape[0] % 2 == 0
 
         def full(_):
             out = sdpa(q, k, v)
@@ -88,7 +118,33 @@ class FastAttnAttn:
         def share(_):
             return state["last_out"].astype(q.dtype), state["residual"]
 
-        out, residual = lax.switch(method, [full, window_res, share], None)
+        def full_cfg(_):
+            # cond half only; mirror output AND residual (reference caches
+            # the doubled residual, attn_layer.py:179-181)
+            out_h = sdpa(q[:half], k[:half], v[:half])
+            win_h = window_attention(
+                q[:half], k[:half], v[:half], self.window_size
+            )
+            res_h = (
+                out_h.astype(jnp.float32) - win_h.astype(jnp.float32)
+            ).astype(dt)
+            return _tile_cond(out_h), _tile_cond(res_h)
+
+        def window_cfg(_):
+            win_h = window_attention(
+                q[:half], k[:half], v[:half], self.window_size
+            )
+            out_h = (
+                win_h.astype(jnp.float32)
+                + state["residual"][:half].astype(jnp.float32)
+            ).astype(q.dtype)
+            return _tile_cond(out_h), state["residual"]
+
+        branches = [full, window_res, share]
+        branches.append(full_cfg if cfg_ok else full)
+        branches.append(window_cfg if cfg_ok else window_res)
+
+        out, residual = lax.switch(method, branches, None)
         new_state = {
             "method": method,
             "residual": residual,
@@ -113,11 +169,15 @@ def compression_loss(ref: jax.Array, approx: jax.Array) -> jax.Array:
 class CalibrationAttn:
     """Computes FULL output while measuring candidate losses per layer.
 
-    State: {last_out (L,B,S,H,D)}; per-layer ys carry (window_loss,
-    share_loss) — gathered by the caller across one forward per step.
+    State: {last_out (L,B,S,H,D)}; per-layer ys carry the loss of every
+    candidate method — gathered by the caller across one forward per step.
+    With ``cfg_batched`` the CFG-share candidates are measured by mirroring
+    the cond half; otherwise their losses are reported as inf so
+    ``select_methods`` never picks them.
     """
 
     window_size: int = 64
+    cfg_batched: bool = False
 
     def init_state(self, n_layers, batch, seq_local, heads, head_dim, dtype):
         return {
@@ -126,6 +186,8 @@ class CalibrationAttn:
             ),
             "window_loss": jnp.zeros((n_layers,), jnp.float32),
             "share_loss": jnp.zeros((n_layers,), jnp.float32),
+            "full_cfg_loss": jnp.zeros((n_layers,), jnp.float32),
+            "window_cfg_loss": jnp.zeros((n_layers,), jnp.float32),
         }
 
     def __call__(
@@ -134,34 +196,61 @@ class CalibrationAttn:
     ):
         out = sdpa(q, k, v)
         win = window_attention(q, k, v, self.window_size)
+        if self.cfg_batched and q.shape[0] % 2 == 0:
+            half = q.shape[0] // 2
+            full_cfg_loss = compression_loss(out, _tile_cond(out[:half]))
+            window_cfg_loss = compression_loss(out, _tile_cond(win[:half]))
+        else:
+            full_cfg_loss = jnp.asarray(jnp.inf, jnp.float32)
+            window_cfg_loss = jnp.asarray(jnp.inf, jnp.float32)
         new_state = {
             "last_out": out.astype(state["last_out"].dtype),
             "window_loss": compression_loss(out, win),
             "share_loss": compression_loss(out, state["last_out"]),
+            "full_cfg_loss": full_cfg_loss,
+            "window_cfg_loss": window_cfg_loss,
         }
         return out, new_state
 
 
 def select_methods(
-    window_loss, share_loss, threshold: float, n_layers: int
+    window_loss,
+    share_loss,
+    threshold: float,
+    n_layers: int,
+    window_cfg_loss=None,
+    full_cfg_loss=None,
 ) -> Any:
     """Greedy per-layer selection with depth-ramped threshold.
 
-    Reference ``select_methods``: for block i the budget is
-    ``(i+1)/L * threshold``; pick the cheapest method under budget
-    (OUTPUT_SHARE < RESIDUAL_WINDOW_ATTN < FULL_ATTN).
+    Reference ``select_methods`` + ``transformer_forward_pre_hook``
+    (``utils.py:94-122,143-192``): for block i the budget is
+    ``(i+1)/L * threshold``; candidates are tried cheapest-first —
+    OUTPUT_SHARE, RESIDUAL_WINDOW_ATTN_CFG_SHARE, RESIDUAL_WINDOW_ATTN,
+    FULL_ATTN_CFG_SHARE — falling back to FULL_ATTN.
     """
     import numpy as np
 
     window_loss = np.asarray(window_loss)
     share_loss = np.asarray(share_loss)
+    inf = np.full_like(window_loss, np.inf)
+    window_cfg_loss = (
+        np.asarray(window_cfg_loss) if window_cfg_loss is not None else inf
+    )
+    full_cfg_loss = (
+        np.asarray(full_cfg_loss) if full_cfg_loss is not None else inf
+    )
     plan = np.full((n_layers,), int(FastAttnMethod.FULL_ATTN), np.int32)
     for i in range(n_layers):
         budget = (i + 1) / n_layers * threshold
         if share_loss[i] < budget:
             plan[i] = int(FastAttnMethod.OUTPUT_SHARE)
+        elif window_cfg_loss[i] < budget:
+            plan[i] = int(FastAttnMethod.RESIDUAL_WINDOW_ATTN_CFG_SHARE)
         elif window_loss[i] < budget:
             plan[i] = int(FastAttnMethod.RESIDUAL_WINDOW_ATTN)
+        elif full_cfg_loss[i] < budget:
+            plan[i] = int(FastAttnMethod.FULL_ATTN_CFG_SHARE)
     return plan
 
 

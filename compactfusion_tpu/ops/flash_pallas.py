@@ -31,6 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _band_lo(qi, *, block_q, block_k, window, kv_blocks, band_nb):
+    """First KV block of q-block ``qi``'s band |i-j| <= window.
+
+    Clamped so the visited range is always ``band_nb`` contiguous DISTINCT
+    blocks (edge q-blocks visit a few fully-masked extras instead of
+    duplicating in-band blocks, which would double-count keys)."""
+    lo = jax.lax.div(qi * block_q - window, block_k)  # floor for qi*bq>=window
+    lo = jnp.where(qi * block_q < window, 0, lo)
+    return jnp.clip(lo, 0, kv_blocks - band_nb)
+
+
 def _flash_kernel(
     lens_ref,
     q_ref,
@@ -45,11 +56,14 @@ def _flash_kernel(
     scale: float,
     kv_blocks: int,
     valid_k: int,
+    block_q: int,
     block_k: int,
     use_lens: bool,
     exp_bf16: bool,
+    window: Optional[int] = None,
+    band_nb: int = 0,
 ):
-    ki = pl.program_id(3)
+    ki = pl.program_id(3)  # kv block index; band-relative when window is set
 
     @pl.when(ki == 0)
     def _():
@@ -71,17 +85,31 @@ def _flash_kernel(
         * scale
     )  # (Bq, Bk) fp32
 
-    if use_lens:
-        # per-batch valid KV length (contiguous-prefix text masks)
-        col = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1
+    if window is not None:
+        qi = pl.program_id(2)
+        k_block = _band_lo(
+            qi, block_q=block_q, block_k=block_k, window=window,
+            kv_blocks=kv_blocks, band_nb=band_nb,
+        ) + ki
+        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col = k_block * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(
+            (jnp.abs(row - col) <= window) & (col < valid_k), s, NEG_INF
         )
-        s = jnp.where(col < lens_ref[pl.program_id(0)], s, NEG_INF)
-    elif valid_k % block_k != 0:
-        col = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1
-        )
-        s = jnp.where(col < valid_k, s, NEG_INF)
+        last_block = band_nb - 1
+    else:
+        if use_lens:
+            # per-batch valid KV length (contiguous-prefix text masks)
+            col = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=1
+            )
+            s = jnp.where(col < lens_ref[pl.program_id(0)], s, NEG_INF)
+        elif valid_k % block_k != 0:
+            col = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=1
+            )
+            s = jnp.where(col < valid_k, s, NEG_INF)
+        last_block = kv_blocks - 1
 
     m_prev = m_scr[:, :1]  # (Bq, 1)
     l_prev = l_scr[:, :1]
@@ -109,11 +137,14 @@ def _flash_kernel(
     m_scr[:, :1] = m_new
     l_scr[:, :1] = l_new
 
-    @pl.when(ki == kv_blocks - 1)
+    @pl.when(ki == last_block)
     def _():
-        o_ref[0, 0, :, :] = (acc_scr[:] / l_new).astype(o_ref.dtype)
+        # fully-masked rows (q padding beyond the band) have l == 0; guard
+        # the division - those rows are sliced off by the wrapper
+        l_safe = jnp.where(l_new == 0.0, 1.0, l_new)
+        o_ref[0, 0, :, :] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
         lse_ref[0, 0, :, :] = jnp.broadcast_to(
-            m_new + jnp.log(l_new), lse_ref.shape[2:]
+            m_new + jnp.log(l_safe), lse_ref.shape[2:]
         )
 
 
@@ -216,7 +247,8 @@ def _flash_kernel_heads(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scale", "block_q", "block_k", "interpret", "exp_bf16", "heads_per"
+        "scale", "block_q", "block_k", "interpret", "exp_bf16", "heads_per",
+        "window",
     ),
 )
 def flash_attn_with_lse(
@@ -230,6 +262,7 @@ def flash_attn_with_lse(
     kv_lens: Optional[jax.Array] = None,
     exp_bf16: bool = False,
     heads_per: int = 1,
+    window: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Flash attention.  Same contract as ``attn_with_lse`` (non-causal).
 
@@ -239,6 +272,12 @@ def flash_attn_with_lse(
     contiguous text-padding masks of the cross-attention layers); keys at or
     beyond the length are masked.  Scalar-prefetched, so masking costs one
     iota+where in-kernel instead of a materialised fp32 score mask.
+    window: optional banded-attention half-width (|i - j| <= window; the
+    reference's ``flash_attn_func(..., window_size=...)`` used by
+    DiTFastAttn, ``fast_attention/attn_layer.py:175-186``).  Off-band KV
+    blocks are SKIPPED, not masked — each q block visits only the constant
+    number of KV blocks its band overlaps, so FLOPs scale with S*window
+    instead of S^2.  Requires Sq == Sk and excludes kv_lens.
 
     block_q=None picks a measured-on-v5e default: kv blocks of 1024 (the
     fp32 score block stays ~1-4 MB in VMEM); block_q 1024 for short
@@ -292,6 +331,72 @@ def flash_attn_with_lse(
     else:
         lens = jnp.full((b,), sk, jnp.int32)
 
+    if window is not None:
+        assert sq == sk, "windowed attention is for self-attention (Sq == Sk)"
+        assert not use_lens, "window excludes kv_lens masking"
+        # number of KV blocks a q block's band can overlap (constant)
+        band_nb = min(kv_blocks, (block_q + 2 * window - 1) // block_k + 2)
+        bq, bk, w, nkv, nb = block_q, block_k, window, kv_blocks, band_nb
+
+        def _k_index(bi, hi, qi, ki, L):
+            return (
+                bi, hi,
+                _band_lo(qi, block_q=bq, block_k=bk, window=w,
+                         kv_blocks=nkv, band_nb=nb) + ki,
+                0,
+            )
+
+        kernel = functools.partial(
+            _flash_kernel,
+            scale=scale,
+            kv_blocks=kv_blocks,
+            valid_k=sk,
+            block_q=block_q,
+            block_k=block_k,
+            use_lens=False,
+            exp_bf16=exp_bf16,
+            window=window,
+            band_nb=band_nb,
+        )
+        grid = (b, h, sq_p // block_q, band_nb)
+        in_specs = [
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki, L: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), _k_index),
+            pl.BlockSpec((1, 1, block_k, d), _k_index),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, qi, ki, L: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda b, h, qi, ki, L: (b, h, qi, 0)),
+        ]
+        scratch = [
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+        out, lse8 = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+                jax.ShapeDtypeStruct((b, h, sq_p, 8), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "parallel", "arbitrary"
+                ),
+            ),
+            interpret=interpret,
+        )(lens, qt, kt, vt)
+        out = jnp.transpose(out[:, :, :sq, :], (0, 2, 1, 3))
+        lse = lse8[:, :, :sq, 0]
+        return out, lse
+
     hp = heads_per if h % max(heads_per, 1) == 0 else 1
     if hp > 1:
         kernel = functools.partial(
@@ -325,6 +430,7 @@ def flash_attn_with_lse(
             scale=scale,
             kv_blocks=kv_blocks,
             valid_k=sk,
+            block_q=block_q,
             block_k=block_k,
             use_lens=use_lens,
             exp_bf16=exp_bf16,

@@ -86,9 +86,14 @@ def _attn_impl(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
     if cfg.fast_attn_plan is not None:
         from compactfusion_tpu.cache.fast_attn import FastAttnAttn
 
-        assert p.sp_degree == 1, "DiTFastAttn window masks do not shard"
+        assert p.sp_degree == 1, "DiTFastAttn window bands do not shard"
         assert not cfg.compact.enabled
-        return FastAttnAttn(window_size=cfg.fast_attn_window)
+        return FastAttnAttn(
+            window_size=cfg.fast_attn_window,
+            # batch-doubled CFG rows [cond; uncond] enable the CFG_SHARE
+            # methods (reference attn_layer.py:24-26,102-116)
+            cfg_batched=cfg.do_cfg and p.cfg_degree == 1,
+        )
     if cfg.compact.enabled and cfg.compact.patch_gather:
         # patch-parallel override (reference override_with_patch_gather_fwd);
         # patches live on the ring axis, so ulysses must be 1
@@ -103,6 +108,14 @@ def _attn_impl(cfg: PixArtPipelineConfig, method: Optional[CompressType]):
             mode = "sync"
         return PatchParallelAttn(
             cfg=cfg.compact, method=method, mode=mode, world=p.ring_degree
+        )
+    if cfg.compact.enabled and cfg.compact.simulate_ring > 0:
+        from compactfusion_tpu.models.attn_impl import SimRingAttn
+
+        assert p.sp_degree == 1, "simulate_ring runs on a single device"
+        assert method is not None
+        return SimRingAttn(
+            cfg=cfg.compact, method=method, ring_size=cfg.compact.simulate_ring
         )
     if cfg.compact.enabled:
         assert method is not None

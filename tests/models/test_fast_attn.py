@@ -74,6 +74,113 @@ def test_select_methods_ramp():
     assert plan[3] == FastAttnMethod.RESIDUAL_WINDOW_ATTN
 
 
+def test_select_methods_cfg_share_order():
+    """Candidate order matches the reference pre-hook (utils.py:94-99):
+    OUTPUT_SHARE > WINDOW_CFG > WINDOW > FULL_CFG > FULL."""
+    wl = np.array([0.5, 0.15, 0.5, 0.5])
+    sl = np.array([0.9, 0.9, 0.9, 0.9])
+    wcl = np.array([0.5, 0.05, 0.5, 0.5])
+    fcl = np.array([0.5, 0.5, 0.25, 0.5])
+    plan = select_methods(
+        wl, sl, threshold=0.4, n_layers=4,
+        window_cfg_loss=wcl, full_cfg_loss=fcl,
+    )
+    assert plan[0] == FastAttnMethod.FULL_ATTN
+    assert plan[1] == FastAttnMethod.RESIDUAL_WINDOW_ATTN_CFG_SHARE
+    assert plan[2] == FastAttnMethod.FULL_ATTN_CFG_SHARE  # budget 0.3
+    assert plan[3] == FastAttnMethod.FULL_ATTN
+
+
+def test_cfg_share_methods():
+    """CFG_SHARE computes on the cond half and mirrors it; with identical
+    cond/uncond inputs it equals the non-shared method exactly."""
+    b, s, h, d = 2, 32, 4, 16
+    rng = np.random.default_rng(5)
+    half = lambda: jnp.asarray(rng.standard_normal((1, s, h, d)), jnp.float32)
+    qh, kh, vh = half(), half(), half()
+    q = jnp.concatenate([qh, qh]); k = jnp.concatenate([kh, kh])
+    v = jnp.concatenate([vh, vh])
+
+    impl = FastAttnAttn(window_size=4, cfg_batched=True)
+    st = jax.tree_util.tree_map(
+        lambda a: a[0], impl.init_state(1, b, s, h, d, jnp.float32)
+    )
+    st = dict(st, method=jnp.int32(FastAttnMethod.FULL_ATTN))
+    out_full, st_full = impl(q, k, v, st)
+    st = dict(st, method=jnp.int32(FastAttnMethod.FULL_ATTN_CFG_SHARE))
+    out_cfg, st_cfg = impl(q, k, v, st)
+    np.testing.assert_allclose(
+        np.asarray(out_cfg), np.asarray(out_full), atol=1e-5
+    )
+    # mirrored halves by construction
+    np.testing.assert_array_equal(
+        np.asarray(out_cfg)[:1], np.asarray(out_cfg)[1:]
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_cfg["residual"]), np.asarray(st_full["residual"]),
+        atol=1e-5,
+    )
+
+    # WINDOW + CFG_SHARE reconstructs the full output from the cached
+    # residual on identical inputs
+    st2 = dict(
+        st_cfg, method=jnp.int32(FastAttnMethod.RESIDUAL_WINDOW_ATTN_CFG_SHARE)
+    )
+    out_wc, _ = impl(q, k, v, st2)
+    np.testing.assert_allclose(
+        np.asarray(out_wc), np.asarray(out_full), atol=1e-4
+    )
+
+
+def test_calibration_cfg_losses():
+    """With mirrored cond/uncond inputs, CFG-share losses are ~0 while the
+    window loss is not; without cfg_batched they are inf."""
+    b, s, h, d = 2, 32, 4, 16
+    rng = np.random.default_rng(6)
+    half = lambda: jnp.asarray(rng.standard_normal((1, s, h, d)), jnp.float32)
+    qh, kh, vh = half(), half(), half()
+    q = jnp.concatenate([qh, qh]); k = jnp.concatenate([kh, kh])
+    v = jnp.concatenate([vh, vh])
+
+    cal = CalibrationAttn(window_size=4, cfg_batched=True)
+    st = jax.tree_util.tree_map(
+        lambda a: a[0], cal.init_state(1, b, s, h, d, jnp.float32)
+    )
+    _, st = cal(q, k, v, st)
+    assert float(st["full_cfg_loss"]) < 1e-5
+    assert float(st["window_loss"]) > 0.01
+    assert abs(
+        float(st["window_cfg_loss"]) - float(st["window_loss"])
+    ) < 1e-5  # mirrored inputs: window == window-on-half-mirrored
+
+    cal_nc = CalibrationAttn(window_size=4, cfg_batched=False)
+    st = jax.tree_util.tree_map(
+        lambda a: a[0], cal_nc.init_state(1, b, s, h, d, jnp.float32)
+    )
+    _, st = cal_nc(q, k, v, st)
+    assert np.isinf(float(st["full_cfg_loss"]))
+
+
+def test_window_flash_kernel_matches_masked_sdpa():
+    """The banded Pallas kernel (interpret mode) == masked sdpa, including
+    band widths that are not block multiples."""
+    from compactfusion_tpu.ops.flash_pallas import flash_attn_with_lse
+    from compactfusion_tpu.cache.fast_attn import window_mask
+
+    rng = np.random.default_rng(7)
+    for s, w, bq, bk in [(256, 32, 64, 128), (256, 100, 128, 128)]:
+        q = jnp.asarray(rng.standard_normal((1, s, 2, 64)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, s, 2, 64)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, s, 2, 64)), jnp.float32)
+        out, _ = flash_attn_with_lse(
+            q, k, v, block_q=bq, block_k=bk, interpret=True, window=w
+        )
+        ref = sdpa(q, k, v, mask=window_mask(s, w))
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+
 def test_plan_persistence(tmp_path):
     plan = np.array([[0, 1], [2, 0]], np.int32)
     p = str(tmp_path / "plan.json")
