@@ -65,6 +65,12 @@ class CompactConfig:
     error_feedback: bool = True
     #: simulate: compress->decompress locally, exchange uncompressed tensors.
     simulate: bool = False
+    #: single-device ring-topology emulation for quality studies: run the
+    #: pipeline on ONE device while each attention reproduces the exact K/V
+    #: mix a ``ring_degree=simulate_ring`` compressed run would see (own
+    #: chunk exact + R-1 EF-reconstructed chunks).  0 = off.  Requires
+    #: sp_degree == 1.  See ``models/attn_impl.SimRingAttn``.
+    simulate_ring: int = 0
     #: 1:M structured sparsity ratio for SPARSE.
     sparse_ratio: int = 8
     #: decay on the second-order delta base.

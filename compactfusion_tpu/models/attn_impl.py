@@ -207,6 +207,94 @@ class PatchKVUlyssesAttn:
 
 
 @dataclasses.dataclass(frozen=True)
+class SimRingAttn:
+    """Single-device emulation of the compressed ring, at topology fidelity.
+
+    Reproduces what a ``ring_size=R`` compressed run computes, on ONE device
+    (the real-scale quality study on the one real chip — reference
+    ``simulate`` semantics ``xfuser/compact/main.py:117-121``, upgraded from
+    codec-error injection to full ring-topology fidelity): the sequence is
+    split into R chunks; each chunk's K/V runs the same EF state machine as
+    a ring rank's own block (``engine.ef_compress``); query chunk i attends
+    its own chunk EXACT (ring step 0 reads the local shard uncompressed,
+    ``compact/ring.py:142-144``) and the other R-1 chunks RECONSTRUCTED —
+    exactly the K/V mix device i sees in a real ring.  Joint (text) K/V is
+    appended exact once per query chunk, like ``_with_joint`` does at its
+    designated ring step.
+    """
+
+    cfg: CompactConfig
+    method: CompressType
+    ring_size: int
+
+    def init_state(self, n_layers, batch, seq_local, heads, head_dim, dtype):
+        assert seq_local % self.ring_size == 0
+        n = batch * (seq_local // self.ring_size)
+        c = heads * head_dim
+        one = init_ring_state(self.ring_size, n, c, dtype, self.cfg.residual)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (n_layers,) + a.shape), one
+        )
+
+    def __call__(
+        self, q, k, v, state, *, joint_q=None, joint_k=None, joint_v=None,
+        joint_strategy="front",
+    ):
+        from compactfusion_tpu.compact import codecs
+        from compactfusion_tpu.compact.engine import ef_compress, ef_decompress
+        from compactfusion_tpu.compact.ring import _set_slot, _slot
+
+        assert joint_q is None, "joint queries are not emulated"
+        b, s, h, d = k.shape
+        R = self.ring_size
+        sc = s // R
+
+        def as_nc(x):
+            return x.reshape(b * sc, h * d)
+
+        k_chunks = jnp.split(k, R, axis=1)
+        v_chunks = jnp.split(v, R, axis=1)
+        recon_k, recon_v = [], []
+        for j in range(R):
+            k_st, v_st = _slot(state.k, j), _slot(state.v, j)
+            awl = None
+            if self.method == CompressType.LOW_RANK_AWL:
+                awl = codecs.awl_row_scale(as_nc(v_chunks[j]))
+            pk, k_new = ef_compress(
+                as_nc(k_chunks[j]), k_st, self.cfg, self.method, awl_scale=awl
+            )
+            pv, v_new = ef_compress(
+                as_nc(v_chunks[j]), v_st, self.cfg, self.method
+            )
+            # receiver view from the PRE-compress state — identical to the
+            # sender's new base (the EF consistency invariant)
+            rk, _ = ef_decompress(pk, k_st, self.cfg, self.method, update_cache=False)
+            rv, _ = ef_decompress(pv, v_st, self.cfg, self.method, update_cache=False)
+            recon_k.append(rk.reshape(b, sc, h, d).astype(k.dtype))
+            recon_v.append(rv.reshape(b, sc, h, d).astype(v.dtype))
+            state = type(state)(
+                k=_set_slot(state.k, j, k_new), v=_set_slot(state.v, j, v_new)
+            )
+
+        q_chunks = jnp.split(q, R, axis=1)
+        outs = []
+        for i in range(R):
+            kk = [k_chunks[j] if j == i else recon_k[j] for j in range(R)]
+            vv = [v_chunks[j] if j == i else recon_v[j] for j in range(R)]
+            if joint_k is not None:
+                if joint_strategy == "front":
+                    kk = [joint_k] + kk
+                    vv = [joint_v] + vv
+                else:
+                    kk = kk + [joint_k]
+                    vv = vv + [joint_v]
+            outs.append(
+                sdpa(q_chunks[i], jnp.concatenate(kk, 1), jnp.concatenate(vv, 1))
+            )
+        return jnp.concatenate(outs, axis=1), state
+
+
+@dataclasses.dataclass(frozen=True)
 class CompactUSPAttn:
     """CompactFusion: USP with the compressed ring and EF state threading.
 

@@ -163,6 +163,57 @@ def test_low_rank_ring_tracks_and_stays_consistent(method):
     assert errs[-1] > 1e-6  # compression actually engaged
 
 
+@pytest.mark.parametrize(
+    "method", [CompressType.BINARY, CompressType.LOW_RANK_AWL]
+)
+def test_sim_ring_matches_real_ring(method):
+    """SimRingAttn (single-device ring-topology emulation, used by the
+    real-scale quality bench) must reproduce the REAL compressed ring's
+    output — same EF state machine, same exact-own/reconstructed-rest K/V
+    mix — across a multi-step drifting sequence."""
+    from compactfusion_tpu.models.attn_impl import SimRingAttn
+
+    ring = 4
+    cfg = CompactConfig(
+        enabled=True, compress_type=method,
+        comp_rank=4 if "rank" in method.value else -1,
+        residual=1, error_feedback=True, warmup_steps=1, fastpath=False,
+    )
+    # sign-based binary is bit-stable across compilation layouts; the
+    # low-rank subspace iteration (QR) is numerically sensitive to XLA
+    # fusion differences between the shard_map'd ring and the single-device
+    # emulation, so it gets looser (still far below codec error) tolerances
+    out_tol, cache_atol = (
+        (5e-5, 1e-5) if method == CompressType.BINARY else (2e-3, 2e-2)
+    )
+    real_state = _init_state_stack(ring)
+    steps = _drift_qkv(4, drift=0.05, seed=11)
+
+    sim = None
+    sim_state = None
+    for step, (q, k, v) in enumerate(steps):
+        m = cfg.type_at(0, step)
+        mesh, f = _make_runner(ring, cfg, m)
+        out_real, real_state = f(q, k, v, real_state)
+
+        sim = SimRingAttn(cfg=cfg, method=m, ring_size=ring)
+        if sim_state is None:
+            stacked = sim.init_state(1, B, S, H, D, jnp.float32)
+            sim_state = jax.tree_util.tree_map(lambda a: a[0], stacked)
+        out_sim, sim_state = sim(q, k, v, sim_state)
+
+        err = rel_err(out_sim, out_real)
+        assert err < out_tol, (step, err)
+        # the emulated EF caches equal the real ring's (any device's copy)
+        for ls, lr in zip(
+            jax.tree_util.tree_leaves(sim_state),
+            jax.tree_util.tree_leaves(real_state),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(ls), np.asarray(lr)[0], atol=cache_atol
+            )
+
+
 def test_packed_equals_simulate_binary():
     """Packed payload path must be numerically close to simulate mode (same
     algorithm, scales travel as bf16)."""
