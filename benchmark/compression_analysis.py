@@ -1,0 +1,140 @@
+"""Compression analysis dumps: eigenvalue spectra + err-vs-step curves.
+
+Analog of the reference analysis tooling that drove the paper's codec
+choices (``xfuser/compact/stats.py:683-762`` — ``plot_eigenvalues`` /
+``save_eigenvalues`` / ``dump_err_vs_steps``), emitting JSON instead of
+matplotlib figures.  Runs the PixArt pipeline with ``log_stats=True``
+(ordered host callbacks from inside the compiled denoise scan) and writes
+``ANALYSIS_STATS.json`` containing:
+
+  * top-k singular-value spectra of the K ACTIVATION vs its step DELTA,
+    per (denoise step, layer) — the CompactFusion premise is that the delta
+    spectrum decays much faster, which is what makes rank-2 low-rank viable
+    at 100x+ while direct activation low-rank is not;
+  * per-step layer-averaged reconstruction rel-err / cosine for each codec
+    (error feedback keeps the error flat instead of accumulating).
+
+    JAX_PLATFORMS=cpu python benchmark/compression_analysis.py --steps 8
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--codecs", default="binary,int2,low-rank")
+    args = p.parse_args()
+
+    from compactfusion_tpu.compact.stats import StatsLogger
+    from compactfusion_tpu.config import (
+        CompactConfig,
+        CompressType,
+        ParallelConfig,
+    )
+    from compactfusion_tpu.models.pixart import init_pixart, pixart_tiny
+    from compactfusion_tpu.parallel.mesh import make_mesh
+    from compactfusion_tpu.pipelines.pixart import (
+        PixArtPipeline,
+        PixArtPipelineConfig,
+    )
+
+    mcfg = pixart_tiny()
+    params = init_pixart(jax.random.PRNGKey(0), mcfg)
+    grng = np.random.default_rng(99)
+    params["blocks"]["scale_shift_table"] = jnp.asarray(
+        grng.standard_normal(
+            np.shape(params["blocks"]["scale_shift_table"])
+        ) * 0.5,
+        mcfg.dtype,
+    )
+    rng = np.random.default_rng(2)
+    text = jnp.asarray(
+        np.stack([rng.standard_normal((1, 8, mcfg.text_dim)),
+                  np.zeros((1, 8, mcfg.text_dim))]),
+        jnp.float32,
+    )
+    mask = jnp.ones((2, 1, 8), bool)
+    key = jax.random.PRNGKey(3)
+    # single-device mesh: ONE ordered callback stream, so arrival order maps
+    # cleanly to (denoise step, layer)
+    par = ParallelConfig()
+    mesh = make_mesh(par, devices=jax.devices()[:1])
+
+    report = {"depth": mcfg.depth, "codecs": {}}
+    for name in args.codecs.split(","):
+        StatsLogger.reset()
+        compact = CompactConfig(
+            enabled=True,
+            compress_type=CompressType(name),
+            warmup_steps=args.warmup,
+            comp_rank=2 if "rank" in name else -1,
+            residual=1,
+            error_feedback=True,
+            fastpath=False,
+            log_stats=True,
+        )
+        cfg = PixArtPipelineConfig(
+            model=mcfg, vae=None, parallel=par, compact=compact,
+            num_steps=args.steps, guidance_scale=4.5, height=64, width=64,
+        )
+        lat = PixArtPipeline(params, None, cfg, mesh)(
+            text, mask, key, decode=False
+        )
+        lat.block_until_ready()
+
+        log = StatsLogger.instance()
+        errs = log.dump_err_vs_steps("/dev/null", depth=mcfg.depth)
+        spectra = log.dump_eigenvalues("/dev/null", depth=mcfg.depth)
+
+        # spectrum decay summary: fraction of spectral energy in the top-2
+        # singular values, averaged over (step, layer)
+        def top2_energy(grouped):
+            fracs = []
+            for step_rows in grouped:
+                for sv in step_rows:
+                    a = np.asarray(sv, np.float64)
+                    fracs.append(float((a[:2] ** 2).sum() / (a**2).sum()))
+            return sum(fracs) / len(fracs)
+
+        report["codecs"][name] = {
+            "rel_err_vs_step": [
+                round(m["rel_err"], 6) for m in errs.get("k", [])
+            ],
+            "cos_vs_step": [
+                round(m["cos_sim"], 6) for m in errs.get("k", [])
+            ],
+            "activation_top2_energy": round(
+                top2_energy(spectra["k-activation"]), 4
+            ),
+            "delta_top2_energy": round(top2_energy(spectra["k-delta"]), 4),
+        }
+        print(name, report["codecs"][name], flush=True)
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ANALYSIS_STATS.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

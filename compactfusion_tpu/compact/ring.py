@@ -121,8 +121,36 @@ def compact_ring_attention(
         from compactfusion_tpu.compact import codecs
 
         awl = codecs.awl_row_scale(_as_nc(v))
+    if cfg.log_stats and not cfg.quantized_cache and method not in (
+        CompressType.WARMUP, CompressType.IDENTITY
+    ):
+        # analysis mode (reference StatsLogger.log + eigenvalue profiling,
+        # stats.py:683-762): ordered callbacks arrive layer-major per step,
+        # so the host can reshape by depth.  Sender-side ground truth: the
+        # reconstruction every receiver will hold equals our post-EF base.
+        from compactfusion_tpu.compact import stats
+
+        k_nc = _as_nc(k).astype(jnp.float32)
+        delta = k_nc - k_own.base.astype(jnp.float32)
+        stats.log_spectrum_inside_jit("k-activation", k_nc)
+        stats.log_spectrum_inside_jit("k-delta", delta)
+
     payload_k, k_own = ef_compress(_as_nc(k), k_own, cfg, method, awl_scale=awl)
     payload_v, v_own = ef_compress(_as_nc(v), v_own, cfg, method)
+
+    if cfg.log_stats and not cfg.quantized_cache and method not in (
+        CompressType.WARMUP, CompressType.IDENTITY
+    ) and cfg.residual == 1 and cfg.error_feedback:
+        from compactfusion_tpu.compact import stats
+
+        stats.log_inside_jit(
+            "k", -1,
+            stats.compression_metrics(_as_nc(k), k_own.base), ordered=True,
+        )
+        stats.log_inside_jit(
+            "v", -1,
+            stats.compression_metrics(_as_nc(v), v_own.base), ordered=True,
+        )
     state = CompactRingState(
         k=_set_slot(state.k, my, k_own), v=_set_slot(state.v, my, v_own)
     )

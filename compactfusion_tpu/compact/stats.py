@@ -50,6 +50,7 @@ class StatsLogger:
 
     def __init__(self):
         self.records = collections.defaultdict(list)  # key -> [(step, metrics)]
+        self.spectra = collections.defaultdict(list)  # key -> [[sv...], ...]
         self.sent_bytes = 0
         self.raw_bytes = 0
 
@@ -79,6 +80,52 @@ class StatsLogger:
     def compression_ratio(self) -> float:
         return self.raw_bytes / max(self.sent_bytes, 1)
 
+    def dump_eigenvalues(self, path: str, depth: Optional[int] = None):
+        """JSON eigenvalue dump (reference ``save_eigenvalues``).
+
+        ``depth``: with ordered logging, records arrive layer-major per
+        denoise step; when given, spectra are grouped as
+        ``[step][layer] -> [sv...]``, else as a flat per-call list.
+        """
+        import json
+
+        out = {}
+        for key, rows in self.spectra.items():
+            if depth and len(rows) % depth == 0:
+                out[key] = [
+                    rows[i : i + depth] for i in range(0, len(rows), depth)
+                ]
+            else:
+                out[key] = rows
+        with open(path, "w") as f:
+            json.dump(out, f)
+        return out
+
+    def dump_err_vs_steps(self, path: str, depth: Optional[int] = None):
+        """JSON err-vs-step dump (reference ``dump_err_vs_steps``): per key,
+        the layer-averaged rel-err / cos trajectory over denoise steps."""
+        import json
+
+        out = {}
+        for key, recs in self.records.items():
+            vals = [m for _, m in recs]
+            if depth and len(vals) % depth == 0:
+                steps = [
+                    vals[i : i + depth] for i in range(0, len(vals), depth)
+                ]
+                out[key] = [
+                    {
+                        k: sum(m[k] for m in layer_ms) / len(layer_ms)
+                        for k in layer_ms[0]
+                    }
+                    for layer_ms in steps
+                ]
+            else:
+                out[key] = vals
+        with open(path, "w") as f:
+            json.dump(out, f)
+        return out
+
     def summary(self) -> str:
         lines = []
         for key in sorted(self.records):
@@ -98,10 +145,41 @@ class StatsLogger:
         return "\n".join(lines)
 
 
-def log_inside_jit(key: str, step, metrics: Dict[str, jax.Array]):
-    """Ship metrics from a compiled region to the host logger (debug mode)."""
+def log_inside_jit(key: str, step, metrics: Dict[str, jax.Array], ordered=False):
+    """Ship metrics from a compiled region to the host logger (debug mode).
+
+    ``ordered=True`` preserves program execution order on the host — required
+    when the host reconstructs (layer, denoise-step) indices from arrival
+    order (the analysis harness does).
+    """
 
     def cb(step_, **m):
         StatsLogger.instance().log(key, step_, m)
 
-    jax.debug.callback(cb, step, **metrics)
+    jax.debug.callback(cb, step, **metrics, ordered=ordered)
+
+
+# ---------------------------------------------------------------------------
+# analysis: eigenvalue spectra + err-vs-step dumps
+# (reference ``plot_eigenvalues`` / ``save_eigenvalues`` /
+#  ``dump_err_vs_steps``, ``xfuser/compact/stats.py:683-762`` — JSON dumps
+#  instead of matplotlib; these drove the paper's codec choices)
+# ---------------------------------------------------------------------------
+
+
+def spectrum(x: jax.Array, top_k: int = 64) -> jax.Array:
+    """Top-k singular values of an (N, C) tensor (fp32, jit-safe)."""
+    s = jnp.linalg.svd(x.astype(jnp.float32), compute_uv=False)
+    k = min(top_k, s.shape[-1])
+    return s[..., :k]
+
+
+def log_spectrum_inside_jit(key: str, x: jax.Array, top_k: int = 64):
+    """Record the singular-value spectrum of ``x`` under ``key`` (ordered)."""
+
+    def cb(sv):
+        StatsLogger.instance().spectra[key].append(
+            [float(v) for v in sv.ravel()]
+        )
+
+    jax.debug.callback(cb, spectrum(x, top_k), ordered=True)

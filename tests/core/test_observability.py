@@ -63,6 +63,98 @@ def test_log_inside_jit():
     assert len(recs) == 1 and recs[0][0] == 3
 
 
+def test_spectrum_and_analysis_dumps(tmp_path):
+    """Eigenvalue spectra + err-vs-step JSON dumps (reference
+    ``stats.py:683-762`` analysis tooling)."""
+    import json
+
+    from compactfusion_tpu.compact.stats import (
+        log_spectrum_inside_jit,
+        spectrum,
+    )
+
+    # exact rank-2 input: spectrum must have exactly 2 nonzero values
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal((32, 2))
+    v = rng.standard_normal((2, 16))
+    x = jnp.asarray(u @ v, jnp.float32)
+    sv = np.asarray(spectrum(x, top_k=8))
+    assert sv.shape == (8,)
+    assert sv[0] >= sv[1] > 1e-3 and (sv[2:] < 1e-3).all()
+
+    StatsLogger.reset()
+
+    @jax.jit
+    def f(x):
+        log_spectrum_inside_jit("act", x, top_k=4)
+        m = compression_metrics(x, x * 0.9)
+        log_inside_jit("k", -1, m, ordered=True)
+        return x
+
+    for _ in range(4):  # 2 "steps" x depth 2
+        np.asarray(f(x))
+    jax.effects_barrier()
+    log = StatsLogger.instance()
+    assert len(log.spectra["act"]) == 4 and len(log.spectra["act"][0]) == 4
+
+    eig = log.dump_eigenvalues(str(tmp_path / "eig.json"), depth=2)
+    assert len(eig["act"]) == 2 and len(eig["act"][0]) == 2  # [step][layer]
+    errs = log.dump_err_vs_steps(str(tmp_path / "err.json"), depth=2)
+    assert len(errs["k"]) == 2  # layer-averaged per step
+    assert abs(errs["k"][0]["rel_err"] - 0.1) < 1e-3
+    assert json.load(open(tmp_path / "eig.json"))  # valid JSON on disk
+
+
+def test_ring_log_stats_wiring():
+    """cfg.log_stats inside the compressed ring ships ordered records whose
+    count reshapes by depth (one per layer per compressed step)."""
+    from compactfusion_tpu.compact.engine import EFState
+    from compactfusion_tpu.compact.ring import compact_ring_attention
+    from compactfusion_tpu.config import CompactConfig, CompressType
+    from compactfusion_tpu.parallel.mesh import make_mesh
+    from compactfusion_tpu.config import ParallelConfig
+    from jax.sharding import PartitionSpec as P
+
+    StatsLogger.reset()
+    cfg = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY, residual=1,
+        error_feedback=True, fastpath=False, log_stats=True,
+    )
+    b, s, h, d = 1, 16, 2, 8
+    rng = np.random.default_rng(2)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        for _ in range(3)
+    )
+    state = EFState(base=jnp.zeros((1, b * s, h * d), jnp.float32), delta_base=None)
+    from compactfusion_tpu.compact.ring import CompactRingState
+
+    st = CompactRingState(k=state, v=state)
+    mesh = make_mesh(ParallelConfig(), devices=jax.devices()[:1])
+
+    def body(q, k, v, st):
+        return compact_ring_attention(
+            q, k, v, st, cfg=cfg, method=CompressType.BINARY,
+            ring_size=1,
+        )
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False,
+    ))
+    out, _ = f(q, k, v, st)
+    out.block_until_ready()
+    jax.effects_barrier()
+    log = StatsLogger.instance()
+    assert len(log.records["k"]) == 1 and len(log.records["v"]) == 1
+    assert len(log.spectra["k-activation"]) == 1
+    assert len(log.spectra["k-delta"]) == 1
+    # base was zero: first delta == activation, identical spectra
+    np.testing.assert_allclose(
+        log.spectra["k-activation"][0], log.spectra["k-delta"][0], rtol=1e-5
+    )
+
+
 def test_collector(tmp_path, monkeypatch):
     import importlib
 
