@@ -114,6 +114,9 @@ def main():
             if tokens % max(par.sp_degree, 1):
                 rows.append({"config": tag, "skipped": "tokens % sp != 0"})
                 continue
+            if mcfg.heads % uly:
+                rows.append({"config": tag, "skipped": "heads % ulysses != 0"})
+                continue
             compact = (
                 CompactConfig()
                 if args.compact == "none" or ring == 1

@@ -331,3 +331,395 @@ def ring_flash_attn_with_lse(
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Fused COMPRESSED ring: rotate packed 1-bit payloads, dequant + EF base
+# update + flash accumulate in ONE kernel (SURVEY §7 stage 5's end state;
+# reference semantics = compact/ring.py ppermute path + fastpath.py kernels,
+# fused so compressed bytes never round-trip HBM between hops).
+# ---------------------------------------------------------------------------
+#
+# Payload layout (fused-path-specific, per (batch, head) grid cell):
+#   packed: (S, D/8) uint8 — grouped bits WITHIN the head slice (bit i of
+#           byte j = channel i*(D/8)+j), vs the unfused wire format which
+#           groups over the full C = H*D; both ends of the fused ring use
+#           this kernel, so the formats interoperate end-to-end.
+#   u: (S, K) bf16 per-token scale rows; v: (K, D) per-head scale columns
+#      (the rank-K scale model of the 1-bit codec, computed OUTSIDE from
+#      |delta| like the reference fastpath wrapper, fastpath.py:123-228).
+# EF base caches: (B, H, R, S, D) fp32, input/output-aliased — slot
+# src = (my - s) % R is updated in-kernel from the payload each hop, so the
+# sender (s=0, src=my) and every receiver derive bit-identical bases.
+
+
+def _cring_kernel(
+    ids_ref,  # scalar prefetch: [send_to, prev, nxt]
+    q_ref,  # (1, 1, Sq, D)
+    k_ref,  # (1, 1, Sk, D) local EXACT shard (step-0 attention)
+    v_ref,
+    pk_ref,  # (1, 1, Sk, D8) own packed K payload
+    pv_ref,
+    uk_ref,  # (1, Sk, K) own K scale rows (shared across heads)
+    uv_ref,
+    vk_ref,  # (1, K, D) own K scale cols (this head)
+    vv_ref,
+    kbase_ref,  # (1, 1, R, Sk, D) fp32 EF bases (aliased in/out)
+    vbase_ref,
+    o_ref,  # (1, 1, Sq, D)
+    lse_ref,  # (1, 1, Sq, 8)
+    kbase_out,  # aliased with kbase_ref
+    vbase_out,
+    pk_buf,  # VMEM (2, Sk, D8) uint8 payload double buffers
+    pv_buf,
+    uk_buf,  # VMEM (2, Sk, K) fp32
+    uv_buf,
+    vk_buf,  # VMEM (2, K, D) fp32
+    vv_buf,
+    m_scr,
+    l_scr,
+    acc_scr,
+    send_sems,  # DMA (6, 2)
+    recv_sems,
+    *,
+    scale: float,
+    ring_size: int,
+    block_q: int,
+    block_k: int,
+):
+    sq = q_ref.shape[2]
+    sk = k_ref.shape[2]
+    d = q_ref.shape[3]
+    d8 = d // 8
+    n_qb = sq // block_q
+    n_kb = sk // block_k
+    my = ids_ref[3]  # this device's ring coordinate (host-computed)
+
+    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+    # own payload -> comm slot 0
+    pk_buf[0] = pk_ref[0, 0]
+    pv_buf[0] = pv_ref[0, 0]
+    uk_buf[0] = uk_ref[0].astype(jnp.float32)
+    uv_buf[0] = uv_ref[0].astype(jnp.float32)
+    vk_buf[0] = vk_ref[0].astype(jnp.float32)
+    vv_buf[0] = vv_ref[0].astype(jnp.float32)
+
+    def dequant_update(slot, src, packed_buf, u_buf, v_buf, base_ref, base_out):
+        """bits + scales + base[src] -> reconstructed block; EF-update base."""
+        packed = packed_buf[slot].astype(jnp.int32)  # (Sk, D8)
+        parts = [(packed >> i) & 1 for i in range(8)]
+        bits = jnp.concatenate(parts, axis=1)  # (Sk, D), grouped layout
+        sign = bits.astype(jnp.float32) * 2.0 - 1.0
+        s = jax.lax.dot_general(
+            u_buf[slot], v_buf[slot],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Sk, D)
+        base = base_ref[0, 0, src]
+        blk = base + sign * s
+        base_out[0, 0, src] = blk
+        return blk
+
+    def flash_block(q0, k_blk, v_blk):
+        # q0, k0 are STATIC (python-unrolled loops): the kv blocks are
+        # in-register values, not refs, so slicing must be static
+        q = q_ref[0, 0, q0 : q0 + block_q, :]
+        for ki in range(n_kb):
+            k0 = ki * block_k
+            k = k_blk[k0 : k0 + block_k, :]
+            v = v_blk[k0 : k0 + block_k, :]
+            s = (
+                lax.dot_general(
+                    q.astype(jnp.float32), k.astype(jnp.float32),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            m_prev = m_scr[q0 : q0 + block_q, :1]
+            l_prev = l_scr[q0 : q0 + block_q, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            pv_ = lax.dot_general(
+                p, v.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[q0 : q0 + block_q, :] = (
+                acc_scr[q0 : q0 + block_q, :] * alpha + pv_
+            )
+            m_scr[q0 : q0 + block_q, :1] = m_new
+            l_scr[q0 : q0 + block_q, :1] = l_new
+
+    def _rdma(buf, slot, nxt, i):
+        return pltpu.make_async_remote_copy(
+            src_ref=buf.at[slot],
+            dst_ref=buf.at[nxt],
+            send_sem=send_sems.at[i, slot],
+            recv_sem=recv_sems.at[i, nxt],
+            device_id=ids_ref[0],
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    bufs = (pk_buf, pv_buf, uk_buf, uv_buf, vk_buf, vv_buf)
+
+    for s in range(ring_size):
+        slot = s % 2
+        nxt = (s + 1) % 2
+        src = lax.rem(my - s + ring_size, ring_size)
+        if s < ring_size - 1:
+            for i, buf in enumerate(bufs):
+                _rdma(buf, slot, nxt, i).start()
+
+        # EF base update for slot `src` from the payload in hand (sender at
+        # s=0 where src==my, receivers at s>0 — identical bit path)
+        k_rec = dequant_update(slot, src, pk_buf, uk_buf, vk_buf, kbase_ref, kbase_out)
+        v_rec = dequant_update(slot, src, pv_buf, uv_buf, vv_buf, vbase_ref, vbase_out)
+
+        if s == 0:
+            # step 0 attends the local EXACT shard (compact/ring.py:178-180)
+            flash_block_kv = (
+                k_ref[0, 0].astype(jnp.float32),
+                v_ref[0, 0].astype(jnp.float32),
+            )
+        else:
+            flash_block_kv = (k_rec, v_rec)
+
+        for qi in range(n_qb):
+            flash_block(qi * block_q, flash_block_kv[0], flash_block_kv[1])
+
+        if s < ring_size - 1:
+            for i, buf in enumerate(bufs):
+                _rdma(buf, slot, nxt, i).wait()
+            barrier = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(
+                barrier, inc=1, device_id=ids_ref[1],
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_signal(
+                barrier, inc=1, device_id=ids_ref[2],
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_wait(barrier, 2)
+
+    if ring_size > 1:
+        # trailing fence: the next grid cell's step-0 RDMA writes slot 1,
+        # which the neighbor reads on its final step when ring_size is even
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=ids_ref[1],
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=ids_ref[2],
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        pltpu.semaphore_wait(barrier, 2)
+
+    l_final = l_scr[:, :1]
+    l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
+    o_ref[0, 0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.broadcast_to(
+        m_scr[:, :1] + jnp.log(l_safe), lse_ref.shape[2:]
+    )
+
+
+def pack_bits_per_head(bits: jax.Array) -> jax.Array:
+    """(B, H, S, D) {0,1} -> (B, H, S, D/8) uint8, grouped within the head:
+    bit i of byte j = channel i*(D/8)+j (the fused-ring payload layout)."""
+    b, h, s, d = bits.shape
+    g = d // 8
+    r = bits.astype(jnp.int32).reshape(b, h, s, 8, g)
+    out = r[..., 0, :]
+    for i in range(1, 8):
+        out = out | (r[..., i, :] << i)
+    return out.astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "axis_name", "ring_size", "mesh_axes", "comp_rank", "scale",
+        "block_q", "block_k", "interpret", "collective_id",
+    ),
+)
+def compact_binary_ring_flash(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_base: jax.Array,
+    v_base: jax.Array,
+    *,
+    axis_name: str,
+    ring_size: int,
+    mesh_axes: Tuple[Tuple[str, int], ...],
+    comp_rank: int = -1,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret=False,
+    collective_id: int = 8,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused compressed (1-bit, residual-1, EF) ring flash attention.
+
+    Inside shard_map.  q: (B, Sq, H, D); k, v: (B, Sk, H, D) local shard;
+    k_base, v_base: (R, B*Sk, H*D) fp32 EF base stacks (the unfused
+    ``CompactRingState`` layout — reshaped internally to the per-head kernel
+    layout).  Returns (out, lse, new_k_base, new_v_base).
+
+    The sender-side scale model (mean or rank-K subspace over |delta|) runs
+    outside the kernel like the reference fastpath wrapper; packed bits +
+    scale factors are the ONLY inter-chip traffic, rotated by in-kernel RDMA
+    with dequant + EF base update fused before each flash partial.
+    """
+    from compactfusion_tpu.compact import codecs
+
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    assert d % 8 == 0 and sq % 8 == 0
+    if scale is None:
+        scale = d**-0.5
+    R = ring_size
+
+    my = lax.axis_index(axis_name)
+    # ---- sender-side compression (outside kernel, like fastpath wrapper)
+    k_nc = k.reshape(b * sk, h * d).astype(jnp.float32)
+    v_nc = v.reshape(b * sk, h * d).astype(jnp.float32)
+    base_k_my = jnp.take(k_base, my, axis=0).astype(jnp.float32)
+    base_v_my = jnp.take(v_base, my, axis=0).astype(jnp.float32)
+    dk = k_nc - base_k_my
+    dv = v_nc - base_v_my
+    uk, vk = codecs._scale_uv(dk, comp_rank)
+    uv_, vv_ = codecs._scale_uv(dv, comp_rank)
+    # scales travel bf16 on the wire (codecs.SCALE_DTYPE) — round-trip here
+    # so the fused path's EF bases stay bit-identical to the unfused codecs
+    uk = uk.astype(codecs.SCALE_DTYPE).astype(jnp.float32)
+    vk = vk.astype(codecs.SCALE_DTYPE).astype(jnp.float32)
+    uv_ = uv_.astype(codecs.SCALE_DTYPE).astype(jnp.float32)
+    vv_ = vv_.astype(codecs.SCALE_DTYPE).astype(jnp.float32)
+    kk = max(1, uk.shape[1])
+
+    def to_bhsd(x_nc):
+        return x_nc.reshape(b, sk, h, d).transpose(0, 2, 1, 3)
+
+    pk = pack_bits_per_head((to_bhsd(dk) >= 0).astype(jnp.uint8))
+    pv = pack_bits_per_head((to_bhsd(dv) >= 0).astype(jnp.uint8))
+    # u rows are shared across heads: (B, Sk, K); v cols per head: (H, K, D)
+    uk_r = uk.reshape(b, sk, kk)
+    uv_r = uv_.reshape(b, sk, kk)
+    vk_r = vk.reshape(kk, h, d).transpose(1, 0, 2)
+    vv_r = vv_.reshape(kk, h, d).transpose(1, 0, 2)
+
+    # EF bases to kernel layout (B, H, R, Sk, D)
+    def base_to_kernel(x):
+        return (
+            x.astype(jnp.float32)
+            .reshape(R, b, sk, h, d)
+            .transpose(1, 3, 0, 2, 4)
+        )
+
+    kb = base_to_kernel(k_base)
+    vb = base_to_kernel(v_base)
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+
+    names = tuple(n for n, _ in mesh_axes)
+    sizes = tuple(s for _, s in mesh_axes)
+    ids = jnp.stack(
+        [
+            _flat_ids(names, sizes, axis_name, +1),
+            _flat_ids(names, sizes, axis_name, -1),
+            _flat_ids(names, sizes, axis_name, +1),
+            my.astype(jnp.int32),
+        ]
+    )
+
+    block_q = min(block_q, _round_up(sq, 8))
+    block_k = min(block_k, _round_up(sk, 8))
+    d8 = d // 8
+
+    kernel = functools.partial(
+        _cring_kernel,
+        scale=scale,
+        ring_size=R,
+        block_q=block_q,
+        block_k=block_k,
+    )
+
+    cell = lambda bi, hi, ids: (bi, hi, 0, 0)
+    cell3 = lambda bi, hi, ids: (bi, 0, 0)
+    cell5 = lambda bi, hi, ids: (bi, hi, 0, 0, 0)
+    out, lse8, kb_new, vb_new = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h),
+            in_specs=[
+                pl.BlockSpec((1, 1, sq, d), cell),
+                pl.BlockSpec((1, 1, sk, d), cell),
+                pl.BlockSpec((1, 1, sk, d), cell),
+                pl.BlockSpec((1, 1, sk, d8), cell),
+                pl.BlockSpec((1, 1, sk, d8), cell),
+                pl.BlockSpec((1, sk, kk), cell3),
+                pl.BlockSpec((1, sk, kk), cell3),
+                pl.BlockSpec((1, kk, d), lambda bi, hi, ids: (hi, 0, 0)),
+                pl.BlockSpec((1, kk, d), lambda bi, hi, ids: (hi, 0, 0)),
+                pl.BlockSpec((1, 1, R, sk, d), cell5),
+                pl.BlockSpec((1, 1, R, sk, d), cell5),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, sq, d), cell),
+                pl.BlockSpec((1, 1, sq, 8), cell),
+                pl.BlockSpec((1, 1, R, sk, d), cell5),
+                pl.BlockSpec((1, 1, R, sk, d), cell5),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, sk, d8), jnp.uint8),
+                pltpu.VMEM((2, sk, d8), jnp.uint8),
+                pltpu.VMEM((2, sk, kk), jnp.float32),
+                pltpu.VMEM((2, sk, kk), jnp.float32),
+                pltpu.VMEM((2, kk, d), jnp.float32),
+                pltpu.VMEM((2, kk, d), jnp.float32),
+                pltpu.VMEM((sq, 128), jnp.float32),
+                pltpu.VMEM((sq, 128), jnp.float32),
+                pltpu.VMEM((sq, d), jnp.float32),
+                pltpu.SemaphoreType.DMA((6, 2)),
+                pltpu.SemaphoreType.DMA((6, 2)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, R, sk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, R, sk, d), jnp.float32),
+        ],
+        # NOTE: the base stacks could be input/output-aliased to halve their
+        # HBM footprint; left unaliased until on-silicon validation (the
+        # interpreter milestone verifies semantics, not memory placement)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            collective_id=collective_id,
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(
+        ids, qt, kt, vt, pk, pv,
+        uk_r.astype(jnp.float32), uv_r.astype(jnp.float32),
+        vk_r.astype(jnp.float32), vv_r.astype(jnp.float32),
+        kb, vb,
+    )
+
+    out = jnp.transpose(out, (0, 2, 1, 3))
+    lse = lse8[:, :, :, 0]
+
+    # kernel layout back to the CompactRingState layout (R, B*Sk, H*D)
+    def base_from_kernel(x):
+        return x.transpose(2, 0, 3, 1, 4).reshape(R, b * sk, h * d)
+
+    return out, lse, base_from_kernel(kb_new), base_from_kernel(vb_new)

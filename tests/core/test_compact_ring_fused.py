@@ -1,0 +1,156 @@
+"""Fused COMPRESSED ring kernel (packed payload RDMA + in-kernel dequant +
+EF base update + flash) vs the ppermute compact ring, on the interpret-mode
+multi-device emulator (SURVEY §7 stage 5)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+
+from compactfusion_tpu.compact.ring import (
+    CompactRingState,
+    compact_ring_attention,
+    init_ring_state,
+)
+from compactfusion_tpu.config import CompactConfig, CompressType
+from compactfusion_tpu.ops.ring_flash_pallas import compact_binary_ring_flash
+from tests.helpers import rel_err
+
+
+def _mesh(ring):
+    return Mesh(np.array(jax.devices()[:ring]), ("ring",))
+
+
+def _drift(n_steps, b, s, h, d, seed=0, drift=0.05):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, s, h, d))
+    k = rng.standard_normal((b, s, h, d))
+    v = rng.standard_normal((b, s, h, d))
+    seq = []
+    for _ in range(n_steps):
+        q = q + drift * rng.standard_normal(q.shape)
+        k = k + drift * rng.standard_normal(k.shape)
+        v = v + drift * rng.standard_normal(v.shape)
+        seq.append(tuple(jnp.asarray(x, jnp.float32) for x in (q, k, v)))
+    return seq
+
+
+@pytest.mark.parametrize("ring", [2, 4])
+@pytest.mark.parametrize("comp_rank", [-1, 2])
+def test_fused_compact_ring_matches_ppermute_path(ring, comp_rank):
+    """Multi-step: outputs AND EF base stacks of the fused kernel must track
+    the unfused compact ring (binary, residual=1, EF, bf16 scales)."""
+    b, h, d = 1, 2, 16
+    s_local = 32
+    s = s_local * ring
+    n, c = b * s_local, h * d
+    mesh = _mesh(ring)
+
+    cfg = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY,
+        comp_rank=comp_rank, residual=1, error_feedback=True,
+        warmup_steps=0, fastpath=False,
+    )
+
+    spec = P(None, "ring", None, None)
+    state_spec = P("ring")
+
+    def ref_body(q, k, v, state):
+        state = jax.tree_util.tree_map(lambda a: a[0], state)
+        out, new_state = compact_ring_attention(
+            q, k, v, state, cfg=cfg, method=CompressType.BINARY,
+            axis_name="ring", ring_size=ring,
+        )
+        return out, jax.tree_util.tree_map(lambda a: a[None], new_state)
+
+    ref_fn = jax.jit(jax.shard_map(
+        ref_body, mesh=mesh, in_specs=(spec, spec, spec, state_spec),
+        out_specs=(spec, state_spec), check_vma=False,
+    ))
+
+    def fused_body(q, k, v, kb, vb):
+        out, lse, kb2, vb2 = compact_binary_ring_flash(
+            q, k, v, kb[0], vb[0],
+            axis_name="ring", ring_size=ring, mesh_axes=(("ring", ring),),
+            comp_rank=comp_rank, block_q=32, block_k=32,
+            interpret=pltpu.InterpretParams(dma_execution_mode="eager"),
+        )
+        return out, kb2[None], vb2[None]
+
+    fused_fn = jax.jit(jax.shard_map(
+        fused_body, mesh=mesh,
+        in_specs=(spec, spec, spec, state_spec, state_spec),
+        out_specs=(spec, state_spec, state_spec), check_vma=False,
+    ))
+
+    def stack(x):
+        return jnp.broadcast_to(x[None], (ring,) + x.shape)
+
+    ref_state = jax.tree_util.tree_map(
+        stack, init_ring_state(ring, n, c, jnp.float32, 1)
+    )
+    kb = stack(jnp.zeros((ring, n, c), jnp.float32))
+    vb = stack(jnp.zeros((ring, n, c), jnp.float32))
+
+    for step, (q, k, v) in enumerate(_drift(3, b, s, h, d, seed=3)):
+        ref_out, ref_state = ref_fn(q, k, v, ref_state)
+        out, kb, vb = fused_fn(q, k, v, kb, vb)
+
+        err = rel_err(out, ref_out)
+        assert err < 5e-5, (step, err)
+        # EF base stacks bit-track the unfused codecs (bf16-scale math)
+        for fused_b, ref_b in ((kb, ref_state.k.base), (vb, ref_state.v.base)):
+            assert rel_err(fused_b, ref_b) < 1e-6, step
+        # and are identical across devices (consistency invariant)
+        for dev in range(1, ring):
+            np.testing.assert_array_equal(
+                np.asarray(kb)[dev], np.asarray(kb)[0]
+            )
+
+
+def test_fused_compact_ring_converges_with_ef():
+    """Error feedback through the fused kernel: compressed output error vs
+    exact attention must shrink over a drifting sequence."""
+    from compactfusion_tpu.ops.attention import attn_with_lse
+
+    ring, b, h, d = 2, 1, 2, 16
+    s_local = 32
+    s = s_local * ring
+    n, c = b * s_local, h * d
+    mesh = _mesh(ring)
+    spec = P(None, "ring", None, None)
+    state_spec = P("ring")
+
+    def fused_body(q, k, v, kb, vb):
+        out, lse, kb2, vb2 = compact_binary_ring_flash(
+            q, k, v, kb[0], vb[0],
+            axis_name="ring", ring_size=ring, mesh_axes=(("ring", ring),),
+            comp_rank=-1, block_q=32, block_k=32,
+            interpret=pltpu.InterpretParams(dma_execution_mode="eager"),
+        )
+        return out, kb2[None], vb2[None]
+
+    fn = jax.jit(jax.shard_map(
+        fused_body, mesh=mesh,
+        in_specs=(spec, spec, spec, state_spec, state_spec),
+        out_specs=(spec, state_spec, state_spec), check_vma=False,
+    ))
+
+    def stack(x):
+        return jnp.broadcast_to(x[None], (ring,) + x.shape)
+
+    kb = stack(jnp.zeros((ring, n, c), jnp.float32))
+    vb = stack(jnp.zeros((ring, n, c), jnp.float32))
+    errs = []
+    for q, k, v in _drift(6, b, s, h, d, seed=4, drift=0.02):
+        out, kb, vb = fn(q, k, v, kb, vb)
+        ref, _ = attn_with_lse(q, k, v)
+        errs.append(rel_err(out, ref))
+    # from a ZERO base with no warmup steps, EF still contracts the error
+    # every step (measured trajectory ~0.47 -> 0.09 over six steps)
+    assert errs[-1] < errs[0] * 0.3, errs
+    assert errs[-1] < 0.12, errs
