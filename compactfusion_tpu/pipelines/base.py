@@ -72,6 +72,24 @@ def prepare_latents(
     return jax.random.normal(key, (batch, tokens, token_dim), jnp.float32).astype(dtype)
 
 
+def dynamic_cfg_table(guidance_scale: float, timesteps, num_steps: int):
+    """Per-step CogVideoX dynamic-CFG scales (reference
+    ``pipeline_cogvideox.py:303-306``): g(t) = 1 + g0 * (1 - cos(pi *
+    ((n - t)/n)^5)) / 2 with t the RAW timestep value.  Computed on the HOST
+    in float64 exactly like the reference (``math.cos`` of ``t.item()``) —
+    the phase is up to ~1e7 rad, far beyond fp32 cosine precision — and
+    indexed per step inside the scan."""
+    import math
+
+    import numpy as np
+
+    ts = np.asarray(timesteps, np.float64)
+    g = 1.0 + guidance_scale * (
+        (1.0 - np.cos(np.pi * ((num_steps - ts) / num_steps) ** 5.0)) / 2.0
+    )
+    return jnp.asarray(g, jnp.float32)
+
+
 def carry_ef_state(prev, fresh):
     """Pick the EF cache to enter a step segment with.
 

@@ -48,6 +48,10 @@ class CogVideoXPipelineConfig:
     compact: CompactConfig = CompactConfig()
     num_steps: int = 50
     guidance_scale: float = 6.0
+    #: per-step cosine-ramped guidance (reference ``use_dynamic_cfg``,
+    #: ``pipeline_cogvideox.py:62,303-306``): g(t) = 1 + g0 * (1 - cos(pi *
+    #: ((n - t)/n)^5)) / 2 with t the raw timestep value.
+    use_dynamic_cfg: bool = False
     height: int = 480
     width: int = 720
     num_frames: int = 49  # pixel frames; latent frames = (n-1)//4 + 1
@@ -108,6 +112,9 @@ def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
 
     segments = base.compact_layer_segments(
         cfg.compact, cfg.num_steps, mcfg.depth
+    )
+    dyn_cfg = base.dynamic_cfg_table(
+        cfg.guidance_scale, sched.timesteps, cfg.num_steps
     )
 
     def spmd(params, txt, latents):
@@ -175,7 +182,11 @@ def build_sample_fn(cfg: CogVideoXPipelineConfig, mesh: Mesh, params_tree=None):
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
                 )
                 if cfg.do_cfg:
-                    v = base.cfg_combine(v, cfg.guidance_scale, p.cfg_degree)
+                    g = (
+                        dyn_cfg[i] if cfg.use_dynamic_cfg
+                        else cfg.guidance_scale
+                    )
+                    v = base.cfg_combine(v, g, p.cfg_degree)
                 latents = ddim_step_v(sched, i, cfg.num_steps, latents, v)
                 return (latents, st), None
 

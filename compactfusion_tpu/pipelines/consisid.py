@@ -68,6 +68,9 @@ def build_sample_fn(cfg: ConsisIDPipelineConfig, mesh: Mesh, params_tree=None):
     segments = base.compact_layer_segments(
         cfg.compact, cfg.num_steps, mcfg.depth
     )
+    dyn_cfg = base.dynamic_cfg_table(
+        cfg.guidance_scale, sched.timesteps, cfg.num_steps
+    )
 
     def spmd(params, txt, id_states, latents):
         if cfg.do_cfg and p.cfg_degree == 2:
@@ -131,7 +134,11 @@ def build_sample_fn(cfg: ConsisIDPipelineConfig, mesh: Mesh, params_tree=None):
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
                 )
                 if cfg.do_cfg:
-                    v = base.cfg_combine(v, cfg.guidance_scale, p.cfg_degree)
+                    g = (
+                        dyn_cfg[i] if cfg.use_dynamic_cfg
+                        else cfg.guidance_scale
+                    )
+                    v = base.cfg_combine(v, g, p.cfg_degree)
                 latents = ddim_step_v(sched, i, cfg.num_steps, latents, v)
                 return (latents, st), None
 

@@ -173,3 +173,25 @@ def test_collector(tmp_path, monkeypatch):
 def test_logger_level(monkeypatch):
     logger = init_logger("compactfusion_tpu.test")
     logger.info("hello")  # should not raise
+
+
+def test_envs_registry(monkeypatch):
+    """Lazy env registry + capability probing (reference envs.py:22-129)."""
+    from compactfusion_tpu import envs
+
+    monkeypatch.setenv("CFTPU_LOGGING_LEVEL", "DEBUG")
+    assert envs.CFTPU_LOGGING_LEVEL == "DEBUG"
+    monkeypatch.delenv("CFTPU_LOGGING_LEVEL")
+    monkeypatch.setenv("XDIT_LOGGING_LEVEL", "WARNING")  # reference fallback
+    assert envs.CFTPU_LOGGING_LEVEL == "WARNING"
+    monkeypatch.setenv("PROCESS_ID", "3")
+    assert envs.PROCESS_ID == 3
+
+    info = envs.PACKAGES_CHECKER.get_env_info()
+    assert info["device_count"] >= 1
+    assert info["platform"] in ("cpu", "tpu")
+    assert info["has_pallas_tpu"] == (info["platform"] == "tpu")
+    assert envs.PACKAGES_CHECKER.check_platform(info["platform"])
+
+    with __import__("pytest").raises(AttributeError):
+        envs.NOT_A_VAR

