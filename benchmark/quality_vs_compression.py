@@ -105,7 +105,7 @@ def main():
     # bf16 noise) — codec errors at or near this floor are below resolution
     for label in (
         "warmup-only", "binary", "binary+residual2", "int2", "int2-minmax",
-        "int4", "sparse", "low-rank",
+        "int4", "sparse", "low-rank", "low-rank-awl", "low-rank-int4",
     ):
         real = label != "warmup-only"
         ctype = label.split("+")[0] if real else "binary"
