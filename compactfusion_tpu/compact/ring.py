@@ -83,6 +83,55 @@ def _as_nc(x: jax.Array) -> jax.Array:
     return x.reshape(b * s, h * d)
 
 
+def _fused_compact_ring(
+    q, k, v, state, cfg, axis_name, ring_size, scale,
+    joint_k, joint_v, joint_strategy, interpret,
+):
+    """Route through the single-kernel compressed ring
+    (``ops/ring_flash_pallas.compact_binary_ring_flash``): packed payloads
+    rotate by in-kernel RDMA with dequant + EF base update fused before each
+    flash partial; the replicated joint block merges after (same math —
+    online-softmax merging is order-independent)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from compactfusion_tpu.compact.engine import EFState
+    from compactfusion_tpu.ops.ring_flash_pallas import (
+        compact_binary_ring_flash,
+    )
+    from compactfusion_tpu.parallel.mesh import MESH_AXIS_ORDER
+
+    axes = []
+    for name in MESH_AXIS_ORDER:
+        try:
+            axes.append((name, lax.axis_size(name)))
+        except NameError:
+            pass
+    if not any(n == axis_name for n, _ in axes):
+        axes.append((axis_name, ring_size))
+
+    out, lse, kb, vb = compact_binary_ring_flash(
+        q, k, v, state.k.base, state.v.base,
+        axis_name=axis_name,
+        ring_size=ring_size,
+        mesh_axes=tuple(axes),
+        comp_rank=cfg.comp_rank,
+        scale=scale,
+        interpret=(
+            pltpu.InterpretParams(dma_execution_mode="eager")
+            if interpret
+            else False
+        ),
+    )
+    if joint_k is not None and joint_strategy != "none":
+        j_out, j_lse = attn_with_lse(q, joint_k, joint_v, scale=scale)
+        out, lse = merge_out_lse(out, lse, j_out, j_lse)
+    new_state = CompactRingState(
+        k=EFState(base=kb.astype(state.k.base.dtype), delta_base=None),
+        v=EFState(base=vb.astype(state.v.base.dtype), delta_base=None),
+    )
+    return out.astype(q.dtype), new_state
+
+
 def compact_ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -97,11 +146,15 @@ def compact_ring_attention(
     joint_k: Optional[jax.Array] = None,
     joint_v: Optional[jax.Array] = None,
     joint_strategy: str = "none",
+    fused=False,
 ) -> Tuple[jax.Array, CompactRingState]:
     """Ring attention exchanging compressed K/V deltas.
 
     Per-device views inside shard_map; q/k/v (B, S_local, H, D).  ``method``
     is the static codec for this denoise step (WARMUP -> raw payload).
+    ``fused``: opt-in single-kernel compressed ring for the 1-bit +
+    residual-1 + EF configuration (TPU, or ``"interpret"`` in tests);
+    everything else takes the ppermute path.
 
     Returns (out, new_state); out in q.dtype, state updated in every slot
     (own slot at compress time, each source slot at decompress time) exactly
@@ -109,6 +162,28 @@ def compact_ring_attention(
     """
     b, s, h, d = k.shape
     kv_shape = (b, s, h, d)
+
+    if (
+        fused
+        and ring_size > 1
+        and method == CompressType.BINARY
+        and cfg.residual == 1
+        and cfg.error_feedback
+        and not cfg.simulate
+        and not cfg.quantized_cache
+        and not cfg.log_stats
+        and state.k.delta_base is None
+    ):
+        interp = fused == "interpret"
+        if interp or jax.default_backend() == "tpu":
+            out, state = _fused_compact_ring(
+                q, k, v, state, cfg, axis_name, ring_size, scale,
+                joint_k, joint_v, joint_strategy, interp,
+            )
+            if cfg.check_consistency:
+                _consistency_assert(state, axis_name)
+            return out, state
+
     my = lax.axis_index(axis_name)
 
     # --- sender: compress own K/V against own base slot (update_cache=True)
@@ -186,22 +261,26 @@ def compact_ring_attention(
         out, lse = merge_out_lse(out, lse, block_out, block_lse)
 
     if cfg.check_consistency:
-        # distributed invariant oracle (reference ring.py:273-274 ->
-        # CompactCache.check_consistency): every cache slot must be identical
-        # across ring ranks after the exchange
-        from compactfusion_tpu.compact.engine import check_consistency
-
-        dev_k = check_consistency(state.k, axis_name)
-        dev_v = check_consistency(state.v, axis_name)
-
-        def _assert(dk, dv):
-            assert dk < 1e-2 and dv < 1e-2, (
-                f"EF cache divergence across ring ranks: k={dk} v={dv}"
-            )
-
-        jax.debug.callback(_assert, dev_k, dev_v)
+        _consistency_assert(state, axis_name)
 
     return out.astype(q.dtype), state
+
+
+def _consistency_assert(state: CompactRingState, axis_name: str):
+    """Distributed invariant oracle (reference ring.py:273-274 ->
+    CompactCache.check_consistency): every cache slot must be identical
+    across ring ranks after the exchange."""
+    from compactfusion_tpu.compact.engine import check_consistency
+
+    dev_k = check_consistency(state.k, axis_name)
+    dev_v = check_consistency(state.v, axis_name)
+
+    def _assert(dk, dv):
+        assert dk < 1e-2 and dv < 1e-2, (
+            f"EF cache divergence across ring ranks: k={dk} v={dv}"
+        )
+
+    jax.debug.callback(_assert, dev_k, dev_v)
 
 
 def compact_usp_attention(
@@ -221,6 +300,7 @@ def compact_usp_attention(
     joint_k: Optional[jax.Array] = None,
     joint_v: Optional[jax.Array] = None,
     joint_strategy: str = "none",
+    fused=False,
 ) -> Tuple[jax.Array, CompactRingState]:
     """USP (ulysses x ring) with the compressed ring inner loop.
 
@@ -256,6 +336,7 @@ def compact_usp_attention(
         joint_k=joint_k,
         joint_v=joint_v,
         joint_strategy=joint_strategy,
+        fused=fused,
     )
 
     if ulysses_size > 1:

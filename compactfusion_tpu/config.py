@@ -145,8 +145,11 @@ class ParallelConfig:
     #: PipeFusion micro-patches per image (None -> pp_degree, reference
     #: --num_pipeline_patch default).
     num_pipeline_patch: Optional[int] = None
-    #: route ring attention through the fused RDMA+flash Pallas kernel
-    #: (``ops/ring_flash_pallas``).  Opt-in: semantics are interpreter-
+    #: route ring attention through the fused Pallas ring kernels
+    #: (``ops/ring_flash_pallas``): RDMA+flash for the uncompressed ring,
+    #: and packed-payload RDMA + in-kernel dequant/EF + flash for the
+    #: compressed ring (1-bit + residual-1 + EF config; other codecs fall
+    #: back to the ppermute path).  Opt-in: semantics are interpreter-
     #: verified, on-silicon multi-chip validation pending hardware.
     use_fused_ring: bool = False
 

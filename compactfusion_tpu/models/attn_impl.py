@@ -309,6 +309,10 @@ class CompactUSPAttn:
     ring_size: int = 1
     ulysses_axis: str = AXIS_ULYSSES
     ring_axis: str = AXIS_RING
+    #: route the 1-bit+EF configuration through the fused compressed ring
+    #: kernel (``ops/ring_flash_pallas.compact_binary_ring_flash``); TPU
+    #: only, "interpret" for tests, other codecs fall back to ppermute
+    fused_ring: bool = False
 
     def init_state(self, n_layers, batch, seq_local, heads, head_dim, dtype):
         """Stacked per-layer ring caches: leaves (L, R, N, C).
@@ -343,4 +347,5 @@ class CompactUSPAttn:
             joint_k=joint_k,
             joint_v=joint_v,
             joint_strategy=joint_strategy if joint_q is not None else "none",
+            fused=self.fused_ring,
         )

@@ -85,6 +85,7 @@ def _attn_impl(cfg: StepVideoPipelineConfig, method: Optional[CompressType]):
         return CompactUSPAttn(
             cfg=cfg.compact, method=method,
             ulysses_size=p.ulysses_degree, ring_size=p.ring_degree,
+            fused_ring=p.use_fused_ring,
         )
     if p.sp_degree > 1:
         return USPAttn(ulysses_size=p.ulysses_degree, ring_size=p.ring_degree,

@@ -112,6 +112,65 @@ def test_fused_compact_ring_matches_ppermute_path(ring, comp_rank):
             )
 
 
+def test_fused_flag_through_compact_usp_with_joint():
+    """The opt-in routing (CompactUSPAttn.fused_ring -> compact_ring_attention
+    fused=...) must match the ppermute path including the replicated joint
+    (text) block, which the fused path merges after the kernel."""
+    from compactfusion_tpu.compact.ring import compact_usp_attention
+
+    ring, b, h, d, sj = 4, 1, 2, 16, 8
+    s_local = 32
+    s = s_local * ring
+    n, c = b * s_local, h * d
+    mesh = _mesh(ring)
+    cfg = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY, comp_rank=-1,
+        residual=1, error_feedback=True, warmup_steps=0, fastpath=False,
+    )
+    spec = P(None, "ring", None, None)
+    state_spec = P("ring")
+
+    def run(fused):
+        def body(q, k, v, jk, jv, state):
+            state = jax.tree_util.tree_map(lambda a: a[0], state)
+            out, new_state = compact_usp_attention(
+                q, k, v, state, cfg=cfg, method=CompressType.BINARY,
+                ulysses_size=1, ring_size=ring, ring_axis="ring",
+                joint_k=jk, joint_v=jv, joint_strategy="rear",
+                fused=fused,
+            )
+            return out, jax.tree_util.tree_map(lambda a: a[None], new_state)
+
+        return jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(spec, spec, spec, P(), P(), state_spec),
+            out_specs=(spec, state_spec), check_vma=False,
+        ))
+
+    rng = np.random.default_rng(9)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        for _ in range(3)
+    )
+    jk, jv = (
+        jnp.asarray(rng.standard_normal((b, sj, h, d)), jnp.float32)
+        for _ in range(2)
+    )
+
+    def stack():
+        one = init_ring_state(ring, n, c, jnp.float32, 1)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (ring,) + a.shape), one
+        )
+
+    # note: the fused path only stores `base` (delta_base None) — structures
+    # already match for residual=1
+    out_ref, st_ref = run(False)(q, k, v, jk, jv, stack())
+    out_fused, st_fused = run("interpret")(q, k, v, jk, jv, stack())
+    assert rel_err(out_fused, out_ref) < 5e-5
+    assert rel_err(st_fused.k.base, st_ref.k.base) < 1e-6
+
+
 def test_fused_compact_ring_converges_with_ef():
     """Error feedback through the fused kernel: compressed output error vs
     exact attention must shrink over a drifting sequence."""
