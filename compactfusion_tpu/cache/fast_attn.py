@@ -254,6 +254,94 @@ def select_methods(
     return plan
 
 
+def calibrate_pixart(params, pcfg, text, text_mask, key, threshold: float = 0.5):
+    """Full DiTFastAttn calibration on the PixArt pipeline.
+
+    Reference workflow (``select_methods`` + ``transformer_forward_pre_hook``,
+    ``fast_attention/utils.py:77-192``): drive the denoise loop once with
+    calibration prompts, measure each candidate method's loss per (step,
+    layer), and pick the cheapest under the depth-ramped budget.  Here the
+    per-layer candidate losses come out of one CalibrationAttn forward per
+    step (attention-output loss instead of the reference's whole-transformer
+    re-runs — one forward per step instead of 4L), and step 0 is pinned to
+    FULL like the reference (``now_stepi == 0`` is skipped).
+
+    Single-device (calibration is offline).  Returns a (steps, depth) int32
+    plan for ``PixArtPipelineConfig.fast_attn_plan`` — persist with
+    :func:`save_plan`.
+    """
+    import numpy as np
+
+    from compactfusion_tpu.models import common as cm
+    from compactfusion_tpu.models.pixart import pixart_forward
+    from compactfusion_tpu.pipelines import base as pipe_base
+    from compactfusion_tpu.schedulers.diffusion import (
+        ddpm_schedule,
+        dpm_init_state,
+        dpm_step,
+    )
+
+    assert pcfg.parallel.world_size == 1, "calibrate on a single device"
+    mcfg = pcfg.model
+    steps = pcfg.num_steps
+    sched = ddpm_schedule(steps)
+    hp, wp = pcfg.grid
+    pos = cm.sincos_pos_embed_2d(
+        mcfg.dim, hp, wp,
+        base_size=mcfg.base_size,
+        interpolation_scale=mcfg.interpolation_scale,
+    )
+    do_cfg = pcfg.do_cfg
+    cal = CalibrationAttn(
+        window_size=pcfg.fast_attn_window, cfg_batched=do_cfg
+    )
+
+    if do_cfg:
+        txt = jnp.concatenate([text[0], text[1]], axis=0)
+        mask = jnp.concatenate([text_mask[0], text_mask[1]], axis=0)
+    else:
+        txt, mask = text[0], text_mask[0]
+
+    b = text.shape[1]
+    nb = 2 * b if do_cfg else b
+    latents = pipe_base.prepare_latents(
+        key, b, pcfg.tokens, mcfg.patch**2 * mcfg.in_channels, jnp.float32
+    )
+    dpm = dpm_init_state(latents.shape)
+    cst = cal.init_state(
+        mcfg.depth, nb, pcfg.tokens, mcfg.heads, mcfg.head_dim, jnp.float32
+    )
+
+    @jax.jit
+    def step(latents, dpm, cst, i):
+        t = jnp.full((nb,), sched.timesteps[i], jnp.float32)
+        x = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+        out, cst = pixart_forward(
+            params, x.astype(mcfg.dtype), t, txt, mcfg,
+            pos_embed=pos, attn=cal, attn_state=cst, text_mask=mask,
+        )
+        eps = out[..., : out.shape[-1] // 2]
+        if do_cfg:
+            eps = pipe_base.cfg_combine(eps, pcfg.guidance_scale, 1)
+        latents, dpm = dpm_step(sched, i, steps, latents, eps, dpm)
+        return latents, dpm, cst
+
+    plan = np.zeros((steps, mcfg.depth), np.int32)  # FULL everywhere
+    for i in range(steps):
+        latents, dpm, cst = step(latents, dpm, cst, jnp.int32(i))
+        if i == 0:
+            continue  # reference pins step 0 to FULL_ATTN
+        plan[i] = select_methods(
+            np.asarray(cst["window_loss"]),
+            np.asarray(cst["share_loss"]),
+            threshold,
+            mcfg.depth,
+            window_cfg_loss=np.asarray(cst["window_cfg_loss"]),
+            full_cfg_loss=np.asarray(cst["full_cfg_loss"]),
+        )
+    return plan
+
+
 def save_plan(plan, path: str):
     import numpy as np
 

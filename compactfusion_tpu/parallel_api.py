@@ -514,6 +514,82 @@ class xDiTParallel:
             engine_config, input_config, checkpoint
         )
         self.prompt_encoder = self._build_prompt_encoder(checkpoint)
+        if engine_config.fast_attn_config.use_fast_attn:
+            self._apply_fast_attn(engine_config.fast_attn_config)
+
+    def _apply_fast_attn(self, fa):
+        """DiTFastAttn calibration workflow (reference
+        ``fast_attention_compression``: calibrate on captions -> per-(step,
+        layer) method plan -> JSON cache -> run compressed).  PixArt family;
+        requires sp_degree == 1 and compression off (window bands don't
+        shard)."""
+        import dataclasses
+
+        from compactfusion_tpu.cache.fast_attn import (
+            calibrate_pixart,
+            load_plan,
+            save_plan,
+        )
+        from compactfusion_tpu.pipelines.pixart import PixArtPipeline
+
+        if self.family != "pixart":
+            logger.warning("use_fast_attn: only the PixArt family is wired; ignoring")
+            return
+        pcfg = self.pipeline_config
+        if pcfg.parallel.sp_degree > 1 or pcfg.compact.enabled:
+            logger.warning(
+                "use_fast_attn needs sp_degree == 1 and compression off; ignoring"
+            )
+            return
+
+        mcfg = pcfg.model
+        cache_path = (
+            f".cftpu_fastattn_{self.engine_config.model_config.model}"
+            f"_{pcfg.num_steps}s_{mcfg.depth}l_w{fa.window_size}.json"
+        )
+        plan = None
+        if fa.use_cache and os.path.exists(cache_path):
+            plan = load_plan(cache_path)
+            if plan.shape != (pcfg.num_steps, mcfg.depth):
+                plan = None  # stale cache for another config
+        if plan is None:
+            # calibration captions: COCO file when provided (reference
+            # get_fast_attn_coco_path), else the request's own prompts
+            prompts = list(self.input_config.prompt)
+            if fa.coco_path and os.path.exists(fa.coco_path):
+                import json as _json
+
+                with open(fa.coco_path) as f:
+                    anno = _json.load(f)
+                prompts = [
+                    d["caption"] for d in anno["annotations"][: max(fa.n_calib, 1)]
+                ]
+            negative = [""] * len(prompts)
+            txt, mask = self.prompt_encoder.encode_for_pixart(
+                prompts, negative,
+                max_length=self.input_config.max_sequence_length,
+            )
+            cal_cfg = dataclasses.replace(pcfg, fast_attn_window=fa.window_size)
+            logger.info("DiTFastAttn: calibrating %d steps x %d layers",
+                        pcfg.num_steps, mcfg.depth)
+            plan = calibrate_pixart(
+                self.pipeline.params, cal_cfg, txt, mask,
+                jax.random.PRNGKey(self.input_config.seed),
+                threshold=fa.threshold,
+            )
+            if fa.use_cache:
+                save_plan(plan, cache_path)
+        self.pipeline_config = dataclasses.replace(
+            pcfg,
+            fast_attn_plan=tuple(tuple(int(m) for m in row) for row in plan),
+            fast_attn_window=fa.window_size,
+        )
+        self.pipeline = PixArtPipeline(
+            self.pipeline.params,
+            self.pipeline.vae_params,
+            self.pipeline_config,
+            self.pipeline.mesh,
+        )
 
     def _build_prompt_encoder(self, checkpoint: Optional[str]):
         from compactfusion_tpu.models.prompt import PromptEncoder

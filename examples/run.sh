@@ -45,6 +45,10 @@ run examples/pixartalpha_example.py $SMALL --model "$PIXART" --ulysses_degree 2 
 run examples/pixartalpha_example.py $SMALL --model "$PIXART" --ring_degree 4 --compact --compact_type binary --prompt "a cactus"
 run examples/pixartalpha_example.py $SMALL --model "$PIXART" --use_cfg_parallel --ring_degree 2 --prompt "a cactus"
 run examples/per_layer_schedule_example.py $SMALL --model "$PIXART" --ring_degree 4 --prompt "a cactus"
+# DiTFastAttn: calibrate -> per-(step,layer) plan -> run compressed
+run examples/pixartalpha_example.py $SMALL --model "$PIXART" --use_fast_attn --threshold 0.35 --window_size 4 --prompt "a cactus"
+# AWL: attention-aware low-rank on the compressed ring
+run examples/pixartalpha_example.py $SMALL --model "$PIXART" --ring_degree 4 --compact --compact_type low-rank-awl --compact_rank 2 --prompt "a cactus"
 
 # FLUX: USP / compressed ring
 run examples/flux_example.py $SMALL --model "$FLUX" --ulysses_degree 2 --prompt "a fox"

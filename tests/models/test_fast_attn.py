@@ -230,6 +230,39 @@ def test_pixart_with_fast_attn_plan():
     assert plan.shape == (mcfg.depth,)
 
 
+def test_fast_attn_calibration_workflow(tmp_path, monkeypatch):
+    """The one-call API path (reference ``fast_attention_compression``):
+    --use_fast_attn calibrates, builds a per-(step, layer) plan with step 0
+    pinned FULL, persists it with --use_cache, and the rebuilt pipeline
+    reuses the cached plan."""
+    from compactfusion_tpu.args import FlexibleArgumentParser, xFuserArgs
+    from compactfusion_tpu.parallel_api import xDiTParallel
+
+    monkeypatch.chdir(tmp_path)  # plan cache file lands here
+    parser = FlexibleArgumentParser()
+    xFuserArgs.add_cli_args(parser)
+    args = parser.parse_args([
+        "--model", "pixart-tiny", "--height", "64", "--width", "64",
+        "--num_inference_steps", "5", "--max_sequence_length", "8",
+        "--prompt", "a calibration cat", "--use_fast_attn",
+        "--threshold", "0.35", "--window_size", "4", "--use_cache",
+    ])
+    engine, inp = xFuserArgs.from_cli_args(args).create_config()
+    runner = xDiTParallel(engine, inp)
+    plan = np.asarray(runner.pipeline_config.fast_attn_plan)
+    assert plan.shape == (5, 2)
+    assert (plan[0] == FastAttnMethod.FULL_ATTN).all()
+    out = np.asarray(runner())
+    assert np.isfinite(out).all()
+    caches = list(tmp_path.glob(".cftpu_fastattn_*.json"))
+    assert len(caches) == 1
+    # rebuild: plan comes from the cache, not a new calibration
+    runner2 = xDiTParallel(engine, inp)
+    np.testing.assert_array_equal(
+        np.asarray(runner2.pipeline_config.fast_attn_plan), plan
+    )
+
+
 def test_fast_attn_pipeline():
     """DiTFastAttn plan in the PixArt pipeline: all-FULL plan == baseline;
     aggressive plan stays finite and close."""
