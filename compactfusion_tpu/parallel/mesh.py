@@ -120,7 +120,17 @@ def init_distributed_environment(
     JAX multi-controller: one process per HOST; every process then sees the
     global device list and runs the same SPMD program.  No-op on a single
     process.  Returns the number of global devices.
+
+    Falls back to the env registry (COORDINATOR_ADDRESS / NUM_PROCESSES /
+    PROCESS_ID, ``compactfusion_tpu/envs.py`` — the reference's
+    MASTER_ADDR/MASTER_PORT analog) when args are not given.
     """
+    if coordinator_address is None:
+        from compactfusion_tpu import envs
+
+        coordinator_address = envs.COORDINATOR_ADDRESS
+        num_processes = num_processes or envs.NUM_PROCESSES
+        process_id = process_id if process_id is not None else envs.PROCESS_ID
     if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
