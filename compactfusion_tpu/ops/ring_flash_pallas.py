@@ -642,6 +642,14 @@ def compact_binary_ring_flash(
 
     block_q = min(block_q, _round_up(sq, 8))
     block_k = min(block_k, _round_up(sk, 8))
+    # the kernel's static block loops cover exactly n_blocks * block; a
+    # non-divisible size would silently DROP the tail, so fall back to one
+    # whole-array block (sq includes prepended joint rows and is rarely a
+    # block multiple then; VMEM still fits the target shard sizes)
+    if sq % block_q:
+        block_q = sq
+    if sk % block_k:
+        block_k = sk
     d8 = d // 8
 
     kernel = functools.partial(
