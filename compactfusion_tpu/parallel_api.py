@@ -506,6 +506,11 @@ class xDiTParallel:
     ):
         self.engine_config = engine_config
         self.input_config = input_config
+        # multi-host bootstrap (no-op unless COORDINATOR_ADDRESS et al. are
+        # set — envs.py registry; reference init_distributed_environment)
+        from compactfusion_tpu.parallel.mesh import init_distributed_environment
+
+        init_distributed_environment()
         fam = resolve_family(engine_config.model_config.model)
         logger.info("building %s pipeline on %d devices",
                     fam.name, engine_config.parallel_config.world_size)
@@ -561,9 +566,11 @@ class xDiTParallel:
 
                 with open(fa.coco_path) as f:
                     anno = _json.load(f)
-                prompts = [
-                    d["caption"] for d in anno["annotations"][: max(fa.n_calib, 1)]
-                ]
+                n = max(fa.n_calib, 1)
+                if isinstance(anno, list):  # plain caption list
+                    prompts = [str(c) for c in anno[:n]]
+                else:  # MS-COCO annotation format (reference select_methods)
+                    prompts = [d["caption"] for d in anno["annotations"][:n]]
             negative = [""] * len(prompts)
             txt, mask = self.prompt_encoder.encode_for_pixart(
                 prompts, negative,

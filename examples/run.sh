@@ -66,6 +66,8 @@ run examples/cogvideox_example.py $VSMALL --model "$COG" --ulysses_degree 2 --pr
 run examples/hunyuanvideo_example.py $VSMALL --model "$HV" --ring_degree 2 --prompt "a wave"
 run examples/consisid_example.py $VSMALL --model "$CONSISID" --ulysses_degree 2 --prompt "a face"
 run examples/stepvideo_example.py $VSMALL --model "$STEPVIDEO" --prompt "a dance"
+# functional USP plugged into an external (non-bundled) model
+run examples/external_usp_example.py
 # latte shards FRAMES over SP: frame count must divide the sp degree
 run examples/latte_example.py --height 64 --width 64 --num_frames 4 --num_inference_steps 2 --max_sequence_length 8 --model "$LATTE" --ulysses_degree 2 --prompt "a river"
 
