@@ -29,7 +29,9 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # the axon plugin force-appends itself; pin CPU only when CPU was asked
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
