@@ -652,6 +652,21 @@ def compact_binary_ring_flash(
         block_k = sk
     d8 = d // 8
 
+    # VMEM budget: EF base blocks (2 x R x Sk x D fp32) dominate; fail loud
+    # with the actionable knobs instead of a Mosaic scoped-vmem error
+    vmem = (
+        2 * 4 * R * sk * d  # k/v base blocks
+        + 2 * (sq + 2 * sk) * d  # q/k/v inputs (bf16-ish)
+        + 2 * 2 * sk * d8 + 4 * 2 * sk * kk + 4 * 2 * kk * d  # payload bufs
+        + 4 * sq * (d + 256)  # acc/m/l
+        + 4 * block_q * block_k  # scores
+    )
+    assert vmem < 14 * 1024 * 1024, (
+        f"fused compressed ring needs ~{vmem/1e6:.0f} MB VMEM "
+        f"(R={R}, Sk={sk}, D={d}); shrink the shard (more ring/ulysses "
+        "degree) or use the unfused ppermute path"
+    )
+
     kernel = functools.partial(
         _cring_kernel,
         scale=scale,
