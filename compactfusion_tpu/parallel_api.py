@@ -541,9 +541,13 @@ class xDiTParallel:
             logger.warning("use_fast_attn: only the PixArt family is wired; ignoring")
             return
         pcfg = self.pipeline_config
-        if pcfg.parallel.sp_degree > 1 or pcfg.compact.enabled:
+        if (
+            pcfg.parallel.sp_degree > 1
+            or pcfg.parallel.pp_degree > 1
+            or pcfg.compact.enabled
+        ):
             logger.warning(
-                "use_fast_attn needs sp_degree == 1 and compression off; ignoring"
+                "use_fast_attn needs sp/pp degree 1 and compression off; ignoring"
             )
             return
 
