@@ -116,8 +116,6 @@ def northstar(out_path: str):
     rank crosses 100x; the per-layer mix shows the practical schedule
     (1-bit early layers for fidelity + rank-2 low-rank for the rest).
     """
-    import datetime
-
     rows = []
     configs = [
         ("binary", dict(compact_type="binary")),

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from compactfusion_tpu.ops.attention import attn_with_lse, sdpa
+from compactfusion_tpu.ops.attention import sdpa
 
 
 class FastAttnMethod(enum.IntEnum):

@@ -79,8 +79,6 @@ def dynamic_cfg_table(guidance_scale: float, timesteps, num_steps: int):
     in float64 exactly like the reference (``math.cos`` of ``t.item()``) —
     the phase is up to ~1e7 rad, far beyond fp32 cosine precision — and
     indexed per step inside the scan."""
-    import math
-
     import numpy as np
 
     ts = np.asarray(timesteps, np.float64)

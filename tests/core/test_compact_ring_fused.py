@@ -2,8 +2,6 @@
 EF base update + flash) vs the ppermute compact ring, on the interpret-mode
 multi-device emulator (SURVEY §7 stage 5)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
