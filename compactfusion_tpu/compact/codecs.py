@@ -42,6 +42,20 @@ SCALE_DTYPE = jnp.bfloat16
 _EPS = 1e-6
 
 
+def _wire(x: jax.Array) -> jax.Array:
+    """Round to the wire dtype AND force the rounding to happen.
+
+    Within a single XLA program (ring_size==1 rings, ``simulate`` mode, every
+    single-program test) the algebraic simplifier elides f32→bf16→f32
+    convert pairs, silently handing decoders fp32-precision scales that a
+    real inter-chip payload would never carry.  The optimization barrier
+    pins payload fields to true wire precision so local and multi-chip runs
+    quantize identically (measured: the elision shifts EF bases by ~2e-3
+    rel on v5e — the bf16 ulp of the scale product).
+    """
+    return jax.lax.optimization_barrier(x.astype(SCALE_DTYPE))
+
+
 class BinaryPayload(NamedTuple):
     """1-bit signs packed along C + rank-k scale factors U (N,k), V (k,C)."""
 
@@ -142,7 +156,7 @@ def encode_binary(x: jax.Array, rank: int = -1) -> BinaryPayload:
     x32 = x.astype(jnp.float32)
     u, v = _scale_uv(x32, rank)
     packed = pack_bits((x32 >= 0).astype(jnp.uint8))
-    return BinaryPayload(packed, u.astype(SCALE_DTYPE), v.astype(SCALE_DTYPE))
+    return BinaryPayload(packed, _wire(u), _wire(v))
 
 
 def decode_binary(p: BinaryPayload, dtype=jnp.float32) -> jax.Array:
@@ -152,10 +166,13 @@ def decode_binary(p: BinaryPayload, dtype=jnp.float32) -> jax.Array:
 
 
 def sim_binary(x: jax.Array, rank: int = -1) -> jax.Array:
-    """Compress→decompress without packing (reference ``sim_binary``)."""
+    """Compress→decompress without packing (reference ``sim_binary``).
+
+    Scales round through the wire dtype so simulate-mode error matches what
+    a receiver of the real payload reconstructs."""
     x32 = x.astype(jnp.float32)
     u, v = _scale_uv(x32, rank)
-    scale = u.astype(jnp.float32) @ v.astype(jnp.float32)
+    scale = _wire(u).astype(jnp.float32) @ _wire(v).astype(jnp.float32)
     sign = jnp.where(x32 >= 0, 1.0, -1.0)
     return (sign * scale).astype(x.dtype)
 
@@ -185,7 +202,7 @@ def encode_int2(x: jax.Array) -> Int2Payload:
     u, v = _mean_scale_uv(x32)
     s = (u * v).astype(jnp.float32)
     packed = pack_2bit(_int2_codes(x32, s))
-    return Int2Payload(packed, u.astype(SCALE_DTYPE), v.astype(SCALE_DTYPE))
+    return Int2Payload(packed, _wire(u), _wire(v))
 
 
 def decode_int2(p: Int2Payload, dtype=jnp.float32) -> jax.Array:
@@ -196,8 +213,9 @@ def decode_int2(p: Int2Payload, dtype=jnp.float32) -> jax.Array:
 def sim_int2(x: jax.Array) -> jax.Array:
     x32 = x.astype(jnp.float32)
     u, v = _mean_scale_uv(x32)
-    s = u * v
-    return _int2_values(_int2_codes(x32, s), s).astype(x.dtype)
+    s = u * v  # codes threshold on the fp32 scale, like encode_int2
+    s_wire = _wire(u).astype(jnp.float32) * _wire(v).astype(jnp.float32)
+    return _int2_values(_int2_codes(x32, s), s_wire).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -220,9 +238,7 @@ def _affine_encode(x32, qmax: int, axis: int):
 
 def encode_int2_minmax(x: jax.Array) -> MinMaxPayload:
     codes, scale, mn = _affine_encode(x.astype(jnp.float32), 3, axis=0)
-    return MinMaxPayload(
-        pack_2bit(codes), scale.astype(SCALE_DTYPE), mn.astype(SCALE_DTYPE)
-    )
+    return MinMaxPayload(pack_2bit(codes), _wire(scale), _wire(mn))
 
 
 def decode_int2_minmax(p: MinMaxPayload, dtype=jnp.float32) -> jax.Array:
@@ -233,14 +249,14 @@ def decode_int2_minmax(p: MinMaxPayload, dtype=jnp.float32) -> jax.Array:
 
 def sim_int2_minmax(x: jax.Array) -> jax.Array:
     codes, scale, mn = _affine_encode(x.astype(jnp.float32), 3, axis=0)
+    scale = _wire(scale).astype(jnp.float32)
+    mn = _wire(mn).astype(jnp.float32)
     return (codes.astype(jnp.float32) * scale + mn).astype(x.dtype)
 
 
 def encode_int4(x: jax.Array, axis: int = 0) -> MinMaxPayload:
     codes, scale, mn = _affine_encode(x.astype(jnp.float32), 15, axis=axis)
-    return MinMaxPayload(
-        pack_4bit(codes), scale.astype(SCALE_DTYPE), mn.astype(SCALE_DTYPE)
-    )
+    return MinMaxPayload(pack_4bit(codes), _wire(scale), _wire(mn))
 
 
 def decode_int4(p: MinMaxPayload, dtype=jnp.float32) -> jax.Array:
@@ -251,6 +267,8 @@ def decode_int4(p: MinMaxPayload, dtype=jnp.float32) -> jax.Array:
 
 def sim_int4(x: jax.Array, axis: int = 0) -> jax.Array:
     codes, scale, mn = _affine_encode(x.astype(jnp.float32), 15, axis=axis)
+    scale = _wire(scale).astype(jnp.float32)
+    mn = _wire(mn).astype(jnp.float32)
     return (codes.astype(jnp.float32) * scale + mn).astype(x.dtype)
 
 
@@ -266,7 +284,7 @@ def encode_int8(x: jax.Array) -> Int8Payload:
     scale = (mx - mn) / (255.0 + _EPS)
     zp = jnp.clip(jnp.round(-128.0 - mn / scale), -128, 127)
     q = jnp.clip(jnp.round(x32 / scale + zp), -128, 127).astype(jnp.int8)
-    return Int8Payload(q, scale.astype(SCALE_DTYPE), zp.astype(jnp.int16))
+    return Int8Payload(q, _wire(scale), zp.astype(jnp.int16))
 
 
 def decode_int8(p: Int8Payload, dtype=jnp.float32) -> jax.Array:
@@ -283,7 +301,7 @@ def decode_int8(p: Int8Payload, dtype=jnp.float32) -> jax.Array:
 
 def encode_low_rank(x: jax.Array, rank: int) -> LowRankPayload:
     u, v, _ = subspace_iter(x.astype(jnp.float32), rank, num_iters=2)
-    return LowRankPayload(u.astype(SCALE_DTYPE), v.astype(SCALE_DTYPE))
+    return LowRankPayload(_wire(u), _wire(v))
 
 
 def decode_low_rank(p: LowRankPayload, dtype=jnp.float32) -> jax.Array:
@@ -292,6 +310,8 @@ def decode_low_rank(p: LowRankPayload, dtype=jnp.float32) -> jax.Array:
 
 def sim_low_rank(x: jax.Array, rank: int) -> jax.Array:
     u, v, _ = subspace_iter(x.astype(jnp.float32), rank, num_iters=2)
+    u = _wire(u).astype(jnp.float32)
+    v = _wire(v).astype(jnp.float32)
     return (u @ v).astype(x.dtype)
 
 
@@ -319,7 +339,7 @@ def encode_low_rank_awl(
         return encode_low_rank(x, rank)
     s = row_scale.astype(jnp.float32)[:, None]
     u, v, _ = subspace_iter(x.astype(jnp.float32) * s, rank, num_iters=2)
-    return LowRankPayload((u / s).astype(SCALE_DTYPE), v.astype(SCALE_DTYPE))
+    return LowRankPayload(_wire(u / s), _wire(v))
 
 
 def sim_low_rank_awl(
@@ -329,7 +349,9 @@ def sim_low_rank_awl(
         return sim_low_rank(x, rank)
     s = row_scale.astype(jnp.float32)[:, None]
     u, v, _ = subspace_iter(x.astype(jnp.float32) * s, rank, num_iters=2)
-    return ((u / s) @ v).astype(x.dtype)
+    uw = _wire(u / s).astype(jnp.float32)
+    vw = _wire(v).astype(jnp.float32)
+    return (uw @ vw).astype(x.dtype)
 
 
 def encode_low_rank_q(x: jax.Array, rank: int) -> LowRankQPayload:
@@ -361,7 +383,7 @@ def encode_sparse(x: jax.Array, m: int) -> SparsePayload:
     x32 = x.astype(jnp.float32).reshape(n, c // m, m)
     idx = jnp.argmax(jnp.abs(x32), axis=-1)
     vals = jnp.take_along_axis(x32, idx[..., None], axis=-1)[..., 0]
-    return SparsePayload(vals.astype(SCALE_DTYPE), idx.astype(jnp.uint8))
+    return SparsePayload(_wire(vals), idx.astype(jnp.uint8))
 
 
 def decode_sparse(p: SparsePayload, m: int, dtype=jnp.float32) -> jax.Array:

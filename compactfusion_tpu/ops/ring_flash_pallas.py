@@ -318,7 +318,9 @@ def ring_flash_attn_with_lse(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            collective_id=collective_id,
+            # ring_size=1 traces out every barrier (degenerate single-chip
+            # ring); tpu_custom_call rejects a collective_id without one
+            collective_id=collective_id if ring_size > 1 else None,
             has_side_effects=True,
         ),
         interpret=interpret,
@@ -372,9 +374,9 @@ def _cring_kernel(
     vbase_out,
     pk_buf,  # VMEM (2, Sk, D8) uint8 payload double buffers
     pv_buf,
-    uk_buf,  # VMEM (2, Sk, K) fp32
+    uk_buf,  # VMEM (2, Sk, K) bf16 — wire dtype; bf16xbf16->fp32 is exact
     uv_buf,
-    vk_buf,  # VMEM (2, K, D) fp32
+    vk_buf,  # VMEM (2, K, D) bf16
     vv_buf,
     m_scr,
     l_scr,
@@ -398,13 +400,16 @@ def _cring_kernel(
     m_scr[:] = jnp.full_like(m_scr, NEG_INF)
     l_scr[:] = jnp.zeros_like(l_scr)
     acc_scr[:] = jnp.zeros_like(acc_scr)
-    # own payload -> comm slot 0
+    # own payload -> comm slot 0 (scales stay in the bf16 wire dtype: the
+    # scale matmul is then exact on the MXU — bf16 products accumulate in
+    # fp32 — so Mosaic and the XLA codecs agree bit-tightly; an fp32 buffer
+    # invites a lossy re-truncation at DEFAULT matmul precision)
     pk_buf[0] = pk_ref[0, 0]
     pv_buf[0] = pv_ref[0, 0]
-    uk_buf[0] = uk_ref[0].astype(jnp.float32)
-    uv_buf[0] = uv_ref[0].astype(jnp.float32)
-    vk_buf[0] = vk_ref[0].astype(jnp.float32)
-    vv_buf[0] = vv_ref[0].astype(jnp.float32)
+    uk_buf[0] = uk_ref[0]
+    uv_buf[0] = uv_ref[0]
+    vk_buf[0] = vk_ref[0]
+    vv_buf[0] = vv_ref[0]
 
     def dequant_update(slot, src, packed_buf, u_buf, v_buf, base_ref, base_out):
         """bits + scales + base[src] -> reconstructed block; EF-update base."""
@@ -412,6 +417,8 @@ def _cring_kernel(
         parts = [(packed >> i) & 1 for i in range(8)]
         bits = jnp.concatenate(parts, axis=1)  # (Sk, D), grouped layout
         sign = bits.astype(jnp.float32) * 2.0 - 1.0
+        # bf16 x bf16 -> fp32: every product is exact, so this matches the
+        # unfused codecs' decode (which casts the bf16 wire scales to fp32)
         s = jax.lax.dot_general(
             u_buf[slot], v_buf[slot],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -424,7 +431,10 @@ def _cring_kernel(
 
     def flash_block(q0, k_blk, v_blk):
         # q0, k0 are STATIC (python-unrolled loops): the kv blocks are
-        # in-register values, not refs, so slicing must be static
+        # in-register values, not refs, so slicing must be static.
+        # Dots run in the INPUT dtype with fp32 accumulation, the same op
+        # sequence as ops/flash_pallas.py — bf16 inputs hit the MXU at full
+        # rate and the two kernels agree bit-tightly
         q = q_ref[0, 0, q0 : q0 + block_q, :]
         for ki in range(n_kb):
             k0 = ki * block_k
@@ -432,7 +442,7 @@ def _cring_kernel(
             v = v_blk[k0 : k0 + block_k, :]
             s = (
                 lax.dot_general(
-                    q.astype(jnp.float32), k.astype(jnp.float32),
+                    q, k,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -445,7 +455,7 @@ def _cring_kernel(
             p = jnp.exp(s - m_new)
             l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
             pv_ = lax.dot_general(
-                p, v.astype(jnp.float32),
+                p.astype(v.dtype), v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -482,12 +492,14 @@ def _cring_kernel(
 
         if s == 0:
             # step 0 attends the local EXACT shard (compact/ring.py:178-180)
-            flash_block_kv = (
-                k_ref[0, 0].astype(jnp.float32),
-                v_ref[0, 0].astype(jnp.float32),
-            )
+            flash_block_kv = (k_ref[0, 0], v_ref[0, 0])
         else:
-            flash_block_kv = (k_rec, v_rec)
+            # reconstructions are rounded to the activation dtype before the
+            # flash partial, exactly like the unfused path's
+            # ``x_k.reshape(kv_shape).astype(k.dtype)`` (compact/ring.py:251)
+            flash_block_kv = (
+                k_rec.astype(k_ref.dtype), v_rec.astype(v_ref.dtype)
+            )
 
         for qi in range(n_qb):
             flash_block(qi * block_q, flash_block_kv[0], flash_block_kv[1])
@@ -595,12 +607,14 @@ def compact_binary_ring_flash(
     dv = v_nc - base_v_my
     uk, vk = codecs._scale_uv(dk, comp_rank)
     uv_, vv_ = codecs._scale_uv(dv, comp_rank)
-    # scales travel bf16 on the wire (codecs.SCALE_DTYPE) — round-trip here
-    # so the fused path's EF bases stay bit-identical to the unfused codecs
-    uk = uk.astype(codecs.SCALE_DTYPE).astype(jnp.float32)
-    vk = vk.astype(codecs.SCALE_DTYPE).astype(jnp.float32)
-    uv_ = uv_.astype(codecs.SCALE_DTYPE).astype(jnp.float32)
-    vv_ = vv_.astype(codecs.SCALE_DTYPE).astype(jnp.float32)
+    # scales travel bf16 on the wire (codecs.SCALE_DTYPE) and ENTER THE
+    # KERNEL in that dtype: an fp32 round-trip here lets XLA/Mosaic re-round
+    # differently on each side, while true-bf16 payloads make the in-kernel
+    # scale matmul exact (bf16 products accumulate losslessly in fp32)
+    uk = uk.astype(codecs.SCALE_DTYPE)
+    vk = vk.astype(codecs.SCALE_DTYPE)
+    uv_ = uv_.astype(codecs.SCALE_DTYPE)
+    vv_ = vv_.astype(codecs.SCALE_DTYPE)
     kk = max(1, uk.shape[1])
 
     def to_bhsd(x_nc):
@@ -657,7 +671,7 @@ def compact_binary_ring_flash(
     vmem = (
         2 * 4 * R * sk * d  # k/v base blocks
         + 2 * (sq + 2 * sk) * d  # q/k/v inputs (bf16-ish)
-        + 2 * 2 * sk * d8 + 4 * 2 * sk * kk + 4 * 2 * kk * d  # payload bufs
+        + 2 * 2 * sk * d8 + 2 * 2 * sk * kk + 2 * 2 * kk * d  # payload bufs
         + 4 * sq * (d + 256)  # acc/m/l
         + 4 * block_q * block_k  # scores
     )
@@ -705,10 +719,10 @@ def compact_binary_ring_flash(
             scratch_shapes=[
                 pltpu.VMEM((2, sk, d8), jnp.uint8),
                 pltpu.VMEM((2, sk, d8), jnp.uint8),
-                pltpu.VMEM((2, sk, kk), jnp.float32),
-                pltpu.VMEM((2, sk, kk), jnp.float32),
-                pltpu.VMEM((2, kk, d), jnp.float32),
-                pltpu.VMEM((2, kk, d), jnp.float32),
+                pltpu.VMEM((2, sk, kk), codecs.SCALE_DTYPE),
+                pltpu.VMEM((2, sk, kk), codecs.SCALE_DTYPE),
+                pltpu.VMEM((2, kk, d), codecs.SCALE_DTYPE),
+                pltpu.VMEM((2, kk, d), codecs.SCALE_DTYPE),
                 pltpu.VMEM((sq, 128), jnp.float32),
                 pltpu.VMEM((sq, 128), jnp.float32),
                 pltpu.VMEM((sq, d), jnp.float32),
@@ -727,16 +741,12 @@ def compact_binary_ring_flash(
         # interpreter milestone verifies semantics, not memory placement)
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            collective_id=collective_id,
+            # see ring_flash_attn_with_lse: no barrier traced at ring_size=1
+            collective_id=collective_id if ring_size > 1 else None,
             has_side_effects=True,
         ),
         interpret=interpret,
-    )(
-        ids, qt, kt, vt, pk, pv,
-        uk_r.astype(jnp.float32), uv_r.astype(jnp.float32),
-        vk_r.astype(jnp.float32), vv_r.astype(jnp.float32),
-        kb, vb,
-    )
+    )(ids, qt, kt, vt, pk, pv, uk_r, uv_r, vk_r, vv_r, kb, vb)
 
     out = jnp.transpose(out, (0, 2, 1, 3))
     lse = lse8[:, :, :, 0]

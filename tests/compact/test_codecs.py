@@ -49,14 +49,18 @@ def test_int2_packed_matches_sim(shape):
 
 def test_int2_levels():
     # every output element must be one of the 4 levels +-0.5*s, +-2*s where
-    # s = chan_mean * normalized tok_mean (reference sim_int2 semantics)
+    # s = chan_mean * normalized tok_mean (reference sim_int2 semantics),
+    # with the scale factors rounded to the bf16 wire dtype like the codec
+    import ml_dtypes
+
     x = _rand((128, 256), seed=4)
     x32 = np.asarray(x, np.float64)
     a = np.abs(x32)
     chan = a.mean(0, keepdims=True)
     tok = a.mean(1, keepdims=True)
     tok = tok / (tok.mean() + 1e-6)
-    s = chan * tok
+    wire = lambda t: t.astype(np.float32).astype(ml_dtypes.bfloat16).astype(np.float64)
+    s = wire(chan) * wire(tok)
     out = np.asarray(codecs.sim_int2(x), np.float64)
     ratio = out / s
     levels = np.array([-2.0, -0.5, 0.5, 2.0])
