@@ -42,7 +42,12 @@ def main():
     mesh = Mesh(np.array([dev]), ("ring",))
 
     results = []
-    for (b, s, h, d, rank) in [(1, 1024, 16, 128, -1), (2, 512, 8, 128, 2)]:
+    cases = [
+        (1, 1024, 16, 128, -1, "binary"),
+        (2, 512, 8, 128, 2, "binary"),
+        (1, 1024, 16, 128, -1, "int2"),
+    ]
+    for (b, s, h, d, rank, codec) in cases:
         n, c = b * s, h * d
         rng = np.random.default_rng(0)
         # production activation dtype: bf16 inputs make every MXU product
@@ -56,21 +61,24 @@ def main():
             rng.standard_normal((1, n, c)) * 0.5, jnp.float32
         )  # non-zero base: the delta path is exercised
 
+        method = (
+            CompressType.BINARY if codec == "binary" else CompressType.INT2
+        )
         cfg = CompactConfig(
-            enabled=True, compress_type=CompressType.BINARY, comp_rank=rank,
+            enabled=True, compress_type=method, comp_rank=rank,
             residual=1, error_feedback=True, warmup_steps=0, fastpath=False,
         )
 
         def fused(q, k, v, kb, vb):
             out, lse, kb2, vb2 = compact_binary_ring_flash(
                 q, k, v, kb, vb, axis_name="ring", ring_size=1,
-                mesh_axes=(("ring", 1),), comp_rank=rank,
+                mesh_axes=(("ring", 1),), comp_rank=rank, codec=codec,
             )
             return out, kb2, vb2
 
         def ref(q, k, v, st):
             out, st2 = compact_ring_attention(
-                q, k, v, st, cfg=cfg, method=CompressType.BINARY,
+                q, k, v, st, cfg=cfg, method=method,
                 axis_name="ring", ring_size=1,
             )
             return out, st2
@@ -108,7 +116,7 @@ def main():
         # schedules (different m/l update orders round the final bf16 cast
         # differently on ~13% of elements; measured max|diff| = 2^-9).
         row = {
-            "shape": [b, s, h, d], "comp_rank": rank,
+            "shape": [b, s, h, d], "comp_rank": rank, "codec": codec,
             "out_rel_err_vs_unfused": err_out,
             "ef_base_rel_err_vs_unfused": err_kb,
             "first_call_s": round(t_fused, 1),

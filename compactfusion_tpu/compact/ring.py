@@ -85,7 +85,7 @@ def _as_nc(x: jax.Array) -> jax.Array:
 
 def _fused_compact_ring(
     q, k, v, state, cfg, axis_name, ring_size, scale,
-    joint_k, joint_v, joint_strategy, interpret,
+    joint_k, joint_v, joint_strategy, interpret, codec="binary",
 ):
     """Route through the single-kernel compressed ring
     (``ops/ring_flash_pallas.compact_binary_ring_flash``): packed payloads
@@ -116,6 +116,7 @@ def _fused_compact_ring(
         mesh_axes=tuple(axes),
         comp_rank=cfg.comp_rank,
         scale=scale,
+        codec=codec,
         interpret=(
             pltpu.InterpretParams(dma_execution_mode="eager")
             if interpret
@@ -152,8 +153,8 @@ def compact_ring_attention(
 
     Per-device views inside shard_map; q/k/v (B, S_local, H, D).  ``method``
     is the static codec for this denoise step (WARMUP -> raw payload).
-    ``fused``: opt-in single-kernel compressed ring for the 1-bit +
-    residual-1 + EF configuration (TPU, or ``"interpret"`` in tests);
+    ``fused``: opt-in single-kernel compressed ring for the 1-bit / int2 +
+    residual-1 + EF configurations (TPU, or ``"interpret"`` in tests);
     everything else takes the ppermute path.
 
     Returns (out, new_state); out in q.dtype, state updated in every slot
@@ -166,7 +167,7 @@ def compact_ring_attention(
     if (
         fused
         and ring_size > 1
-        and method == CompressType.BINARY
+        and method in (CompressType.BINARY, CompressType.INT2)
         and cfg.residual == 1
         and cfg.error_feedback
         and not cfg.simulate
@@ -179,6 +180,7 @@ def compact_ring_attention(
             out, state = _fused_compact_ring(
                 q, k, v, state, cfg, axis_name, ring_size, scale,
                 joint_k, joint_v, joint_strategy, interp,
+                codec="binary" if method == CompressType.BINARY else "int2",
             )
             if cfg.check_consistency:
                 _consistency_assert(state, axis_name)

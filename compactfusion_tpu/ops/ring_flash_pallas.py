@@ -336,20 +336,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# Fused COMPRESSED ring: rotate packed 1-bit payloads, dequant + EF base
-# update + flash accumulate in ONE kernel (SURVEY §7 stage 5's end state;
-# reference semantics = compact/ring.py ppermute path + fastpath.py kernels,
-# fused so compressed bytes never round-trip HBM between hops).
+# Fused COMPRESSED ring: rotate packed 1-bit/2-bit payloads, dequant + EF
+# base update + flash accumulate in ONE kernel (SURVEY §7 stage 5's end
+# state; reference semantics = compact/ring.py ppermute path + fastpath.py
+# kernels — the reference fuses BOTH a binary and an int2 Triton pair,
+# fastpath.py:12-120 and :485-811 — fused here so compressed bytes never
+# round-trip HBM between hops).
 # ---------------------------------------------------------------------------
 #
 # Payload layout (fused-path-specific, per (batch, head) grid cell):
-#   packed: (S, D/8) uint8 — grouped bits WITHIN the head slice (bit i of
-#           byte j = channel i*(D/8)+j), vs the unfused wire format which
-#           groups over the full C = H*D; both ends of the fused ring use
-#           this kernel, so the formats interoperate end-to-end.
+#   packed: (S, D/8) uint8 for 1-bit — grouped bits WITHIN the head slice
+#           (bit i of byte j = channel i*(D/8)+j); (S, D/4) uint8 for int2
+#           (crumb i of byte j = channel i*(D/4)+j), vs the unfused wire
+#           format which groups over the full C = H*D; both ends of the
+#           fused ring use this kernel, so the formats interoperate
+#           end-to-end.
 #   u: (S, K) bf16 per-token scale rows; v: (K, D) per-head scale columns
 #      (the rank-K scale model of the 1-bit codec, computed OUTSIDE from
-#      |delta| like the reference fastpath wrapper, fastpath.py:123-228).
+#      |delta| like the reference fastpath wrapper, fastpath.py:123-228;
+#      int2 uses the mean scale, K=1, like the reference sim_int2).
 # EF base caches: (B, H, R, S, D) fp32, input/output-aliased — slot
 # src = (my - s) % R is updated in-kernel from the payload each hop, so the
 # sender (s=0, src=my) and every receiver derive bit-identical bases.
@@ -388,11 +393,11 @@ def _cring_kernel(
     ring_size: int,
     block_q: int,
     block_k: int,
+    codec: str,
 ):
     sq = q_ref.shape[2]
     sk = k_ref.shape[2]
     d = q_ref.shape[3]
-    d8 = d // 8
     n_qb = sq // block_q
     n_kb = sk // block_k
     my = ids_ref[3]  # this device's ring coordinate (host-computed)
@@ -412,11 +417,18 @@ def _cring_kernel(
     vv_buf[0] = vv_ref[0]
 
     def dequant_update(slot, src, packed_buf, u_buf, v_buf, base_ref, base_out):
-        """bits + scales + base[src] -> reconstructed block; EF-update base."""
-        packed = packed_buf[slot].astype(jnp.int32)  # (Sk, D8)
-        parts = [(packed >> i) & 1 for i in range(8)]
-        bits = jnp.concatenate(parts, axis=1)  # (Sk, D), grouped layout
-        sign = bits.astype(jnp.float32) * 2.0 - 1.0
+        """codes + scales + base[src] -> reconstructed block; EF-update base."""
+        packed = packed_buf[slot].astype(jnp.int32)  # (Sk, D/8 or D/4)
+        if codec == "binary":
+            parts = [(packed >> i) & 1 for i in range(8)]
+            bits = jnp.concatenate(parts, axis=1)  # (Sk, D), grouped layout
+            val = bits.astype(jnp.float32) * 2.0 - 1.0  # sign
+        else:  # int2: sign+magnitude 4-level (codecs._int2_values)
+            parts = [(packed >> (2 * i)) & 3 for i in range(4)]
+            codes = jnp.concatenate(parts, axis=1)  # (Sk, D)
+            sign = jnp.where(codes >= 2, 1.0, -1.0)
+            mag = jnp.where((codes & 1) == 1, 2.0, 0.5)
+            val = sign * mag
         # bf16 x bf16 -> fp32: every product is exact, so this matches the
         # unfused codecs' decode (which casts the bf16 wire scales to fp32)
         s = jax.lax.dot_general(
@@ -425,7 +437,7 @@ def _cring_kernel(
             preferred_element_type=jnp.float32,
         )  # (Sk, D)
         base = base_ref[0, 0, src]
-        blk = base + sign * s
+        blk = base + val * s
         base_out[0, 0, src] = blk
         return blk
 
@@ -552,11 +564,23 @@ def pack_bits_per_head(bits: jax.Array) -> jax.Array:
     return out.astype(jnp.uint8)
 
 
+def pack_2bit_per_head(codes: jax.Array) -> jax.Array:
+    """(B, H, S, D) codes in [0,3] -> (B, H, S, D/4) uint8, grouped within
+    the head: crumb i of byte j = channel i*(D/4)+j."""
+    b, h, s, d = codes.shape
+    g = d // 4
+    r = codes.astype(jnp.int32).reshape(b, h, s, 4, g)
+    out = r[..., 0, :]
+    for i in range(1, 4):
+        out = out | (r[..., i, :] << (2 * i))
+    return out.astype(jnp.uint8)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "axis_name", "ring_size", "mesh_axes", "comp_rank", "scale",
-        "block_q", "block_k", "interpret", "collective_id",
+        "block_q", "block_k", "interpret", "collective_id", "codec",
     ),
 )
 def compact_binary_ring_flash(
@@ -575,16 +599,20 @@ def compact_binary_ring_flash(
     block_k: int = 512,
     interpret=False,
     collective_id: int = 8,
+    codec: str = "binary",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Fused compressed (1-bit, residual-1, EF) ring flash attention.
+    """Fused compressed (residual-1, EF) ring flash attention.
 
     Inside shard_map.  q: (B, Sq, H, D); k, v: (B, Sk, H, D) local shard;
     k_base, v_base: (R, B*Sk, H*D) fp32 EF base stacks (the unfused
     ``CompactRingState`` layout — reshaped internally to the per-head kernel
-    layout).  Returns (out, lse, new_k_base, new_v_base).
+    layout).  ``codec``: "binary" (1-bit sign, rank-K scale) or "int2"
+    (sign+magnitude 4-level, mean scale — the reference fuses the same pair,
+    fastpath.py:12-120 binary and :485-811 int2).  Returns
+    (out, lse, new_k_base, new_v_base).
 
     The sender-side scale model (mean or rank-K subspace over |delta|) runs
-    outside the kernel like the reference fastpath wrapper; packed bits +
+    outside the kernel like the reference fastpath wrapper; packed codes +
     scale factors are the ONLY inter-chip traffic, rotated by in-kernel RDMA
     with dequant + EF base update fused before each flash partial.
     """
@@ -593,6 +621,7 @@ def compact_binary_ring_flash(
     b, sq, h, d = q.shape
     sk = k.shape[1]
     assert d % 8 == 0 and sq % 8 == 0
+    assert codec in ("binary", "int2"), codec
     if scale is None:
         scale = d**-0.5
     R = ring_size
@@ -605,23 +634,36 @@ def compact_binary_ring_flash(
     base_v_my = jnp.take(v_base, my, axis=0).astype(jnp.float32)
     dk = k_nc - base_k_my
     dv = v_nc - base_v_my
-    uk, vk = codecs._scale_uv(dk, comp_rank)
-    uv_, vv_ = codecs._scale_uv(dv, comp_rank)
+    if codec == "int2":
+        # int2 always uses the mean rank-1 scale (codecs.encode_int2)
+        uk, vk = codecs._mean_scale_uv(dk)
+        uv_, vv_ = codecs._mean_scale_uv(dv)
+    else:
+        uk, vk = codecs._scale_uv(dk, comp_rank)
+        uv_, vv_ = codecs._scale_uv(dv, comp_rank)
     # scales travel bf16 on the wire (codecs.SCALE_DTYPE) and ENTER THE
     # KERNEL in that dtype: an fp32 round-trip here lets XLA/Mosaic re-round
     # differently on each side, while true-bf16 payloads make the in-kernel
     # scale matmul exact (bf16 products accumulate losslessly in fp32)
-    uk = uk.astype(codecs.SCALE_DTYPE)
-    vk = vk.astype(codecs.SCALE_DTYPE)
-    uv_ = uv_.astype(codecs.SCALE_DTYPE)
-    vv_ = vv_.astype(codecs.SCALE_DTYPE)
-    kk = max(1, uk.shape[1])
+    uk_w = uk.astype(codecs.SCALE_DTYPE)
+    vk_w = vk.astype(codecs.SCALE_DTYPE)
+    uv_w = uv_.astype(codecs.SCALE_DTYPE)
+    vv_w = vv_.astype(codecs.SCALE_DTYPE)
+    kk = max(1, uk_w.shape[1])
 
     def to_bhsd(x_nc):
         return x_nc.reshape(b, sk, h, d).transpose(0, 2, 1, 3)
 
-    pk = pack_bits_per_head((to_bhsd(dk) >= 0).astype(jnp.uint8))
-    pv = pack_bits_per_head((to_bhsd(dv) >= 0).astype(jnp.uint8))
+    if codec == "int2":
+        # codes threshold on the FP32 scale (codecs.encode_int2 semantics);
+        # the kernel reconstructs with the bf16 wire scales, matching
+        # decode_int2 on the receiver bit-for-bit
+        pk = pack_2bit_per_head(to_bhsd(codecs._int2_codes(dk, uk * vk)))
+        pv = pack_2bit_per_head(to_bhsd(codecs._int2_codes(dv, uv_ * vv_)))
+    else:
+        pk = pack_bits_per_head((to_bhsd(dk) >= 0).astype(jnp.uint8))
+        pv = pack_bits_per_head((to_bhsd(dv) >= 0).astype(jnp.uint8))
+    uk, vk, uv_, vv_ = uk_w, vk_w, uv_w, vv_w
     # u rows are shared across heads: (B, Sk, K); v cols per head: (H, K, D)
     uk_r = uk.reshape(b, sk, kk)
     uv_r = uv_.reshape(b, sk, kk)
@@ -664,14 +706,14 @@ def compact_binary_ring_flash(
         block_q = sq
     if sk % block_k:
         block_k = sk
-    d8 = d // 8
+    pw = d // 8 if codec == "binary" else d // 4  # packed payload width
 
     # VMEM budget: EF base blocks (2 x R x Sk x D fp32) dominate; fail loud
     # with the actionable knobs instead of a Mosaic scoped-vmem error
     vmem = (
         2 * 4 * R * sk * d  # k/v base blocks
         + 2 * (sq + 2 * sk) * d  # q/k/v inputs (bf16-ish)
-        + 2 * 2 * sk * d8 + 2 * 2 * sk * kk + 2 * 2 * kk * d  # payload bufs
+        + 2 * 2 * sk * pw + 2 * 2 * sk * kk + 2 * 2 * kk * d  # payload bufs
         + 4 * sq * (d + 256)  # acc/m/l
         + 4 * block_q * block_k  # scores
     )
@@ -687,6 +729,7 @@ def compact_binary_ring_flash(
         ring_size=R,
         block_q=block_q,
         block_k=block_k,
+        codec=codec,
     )
 
     cell = lambda bi, hi, ids: (bi, hi, 0, 0)
@@ -701,8 +744,8 @@ def compact_binary_ring_flash(
                 pl.BlockSpec((1, 1, sq, d), cell),
                 pl.BlockSpec((1, 1, sk, d), cell),
                 pl.BlockSpec((1, 1, sk, d), cell),
-                pl.BlockSpec((1, 1, sk, d8), cell),
-                pl.BlockSpec((1, 1, sk, d8), cell),
+                pl.BlockSpec((1, 1, sk, pw), cell),
+                pl.BlockSpec((1, 1, sk, pw), cell),
                 pl.BlockSpec((1, sk, kk), cell3),
                 pl.BlockSpec((1, sk, kk), cell3),
                 pl.BlockSpec((1, kk, d), lambda bi, hi, ids: (hi, 0, 0)),
@@ -717,8 +760,8 @@ def compact_binary_ring_flash(
                 pl.BlockSpec((1, 1, R, sk, d), cell5),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, sk, d8), jnp.uint8),
-                pltpu.VMEM((2, sk, d8), jnp.uint8),
+                pltpu.VMEM((2, sk, pw), jnp.uint8),
+                pltpu.VMEM((2, sk, pw), jnp.uint8),
                 pltpu.VMEM((2, sk, kk), codecs.SCALE_DTYPE),
                 pltpu.VMEM((2, sk, kk), codecs.SCALE_DTYPE),
                 pltpu.VMEM((2, kk, d), codecs.SCALE_DTYPE),

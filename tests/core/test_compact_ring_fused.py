@@ -38,18 +38,24 @@ def _drift(n_steps, b, s, h, d, seed=0, drift=0.05):
 
 
 @pytest.mark.parametrize("ring", [2, 4])
-@pytest.mark.parametrize("comp_rank", [-1, 2])
-def test_fused_compact_ring_matches_ppermute_path(ring, comp_rank):
+@pytest.mark.parametrize(
+    "codec,comp_rank",
+    [("binary", -1), ("binary", 2), ("int2", -1)],
+)
+def test_fused_compact_ring_matches_ppermute_path(ring, codec, comp_rank):
     """Multi-step: outputs AND EF base stacks of the fused kernel must track
-    the unfused compact ring (binary, residual=1, EF, bf16 scales)."""
+    the unfused compact ring (binary/int2, residual=1, EF, bf16 scales)."""
     b, h, d = 1, 2, 16
     s_local = 32
     s = s_local * ring
     n, c = b * s_local, h * d
     mesh = _mesh(ring)
+    method = (
+        CompressType.BINARY if codec == "binary" else CompressType.INT2
+    )
 
     cfg = CompactConfig(
-        enabled=True, compress_type=CompressType.BINARY,
+        enabled=True, compress_type=method,
         comp_rank=comp_rank, residual=1, error_feedback=True,
         warmup_steps=0, fastpath=False,
     )
@@ -60,7 +66,7 @@ def test_fused_compact_ring_matches_ppermute_path(ring, comp_rank):
     def ref_body(q, k, v, state):
         state = jax.tree_util.tree_map(lambda a: a[0], state)
         out, new_state = compact_ring_attention(
-            q, k, v, state, cfg=cfg, method=CompressType.BINARY,
+            q, k, v, state, cfg=cfg, method=method,
             axis_name="ring", ring_size=ring,
         )
         return out, jax.tree_util.tree_map(lambda a: a[None], new_state)
@@ -74,7 +80,7 @@ def test_fused_compact_ring_matches_ppermute_path(ring, comp_rank):
         out, lse, kb2, vb2 = compact_binary_ring_flash(
             q, k, v, kb[0], vb[0],
             axis_name="ring", ring_size=ring, mesh_axes=(("ring", ring),),
-            comp_rank=comp_rank, block_q=32, block_k=32,
+            comp_rank=comp_rank, block_q=32, block_k=32, codec=codec,
             interpret=pltpu.InterpretParams(dma_execution_mode="eager"),
         )
         return out, kb2[None], vb2[None]
@@ -110,7 +116,10 @@ def test_fused_compact_ring_matches_ppermute_path(ring, comp_rank):
             )
 
 
-def test_fused_flag_through_compact_usp_with_joint():
+@pytest.mark.parametrize(
+    "method", [CompressType.BINARY, CompressType.INT2]
+)
+def test_fused_flag_through_compact_usp_with_joint(method):
     """The opt-in routing (CompactUSPAttn.fused_ring -> compact_ring_attention
     fused=...) must match the ppermute path including the replicated joint
     (text) block, which the fused path merges after the kernel."""
@@ -122,7 +131,7 @@ def test_fused_flag_through_compact_usp_with_joint():
     n, c = b * s_local, h * d
     mesh = _mesh(ring)
     cfg = CompactConfig(
-        enabled=True, compress_type=CompressType.BINARY, comp_rank=-1,
+        enabled=True, compress_type=method, comp_rank=-1,
         residual=1, error_feedback=True, warmup_steps=0, fastpath=False,
     )
     spec = P(None, "ring", None, None)
@@ -132,7 +141,7 @@ def test_fused_flag_through_compact_usp_with_joint():
         def body(q, k, v, jk, jv, state):
             state = jax.tree_util.tree_map(lambda a: a[0], state)
             out, new_state = compact_usp_attention(
-                q, k, v, state, cfg=cfg, method=CompressType.BINARY,
+                q, k, v, state, cfg=cfg, method=method,
                 ulysses_size=1, ring_size=ring, ring_axis="ring",
                 joint_k=jk, joint_v=jv, joint_strategy="rear",
                 fused=fused,
