@@ -46,6 +46,7 @@ def main():
         (1, 1024, 16, 128, -1, "binary"),
         (2, 512, 8, 128, 2, "binary"),
         (1, 1024, 16, 128, -1, "int2"),
+        (1, 1024, 16, 128, 2, "lowrank"),  # the north-star >=100x codec
     ]
     for (b, s, h, d, rank, codec) in cases:
         n, c = b * s, h * d
@@ -61,9 +62,11 @@ def main():
             rng.standard_normal((1, n, c)) * 0.5, jnp.float32
         )  # non-zero base: the delta path is exercised
 
-        method = (
-            CompressType.BINARY if codec == "binary" else CompressType.INT2
-        )
+        method = {
+            "binary": CompressType.BINARY,
+            "int2": CompressType.INT2,
+            "lowrank": CompressType.LOW_RANK,
+        }[codec]
         cfg = CompactConfig(
             enabled=True, compress_type=method, comp_rank=rank,
             residual=1, error_feedback=True, warmup_steps=0, fastpath=False,

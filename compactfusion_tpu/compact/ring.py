@@ -85,7 +85,7 @@ def _as_nc(x: jax.Array) -> jax.Array:
 
 def _fused_compact_ring(
     q, k, v, state, cfg, axis_name, ring_size, scale,
-    joint_k, joint_v, joint_strategy, interpret, codec="binary",
+    joint_k, joint_v, joint_strategy, interpret, codec="binary", awl=False,
 ):
     """Route through the single-kernel compressed ring
     (``ops/ring_flash_pallas.compact_binary_ring_flash``): packed payloads
@@ -109,6 +109,13 @@ def _fused_compact_ring(
     if not any(n == axis_name for n, _ in axes):
         axes.append((axis_name, ring_size))
 
+    awl_k = None
+    if awl:
+        # AWL: V-norm key-importance weights for the K fit, from the LOCAL
+        # uncompressed V (reference compact_update_awl_scale, ring.py:86-103)
+        from compactfusion_tpu.compact import codecs
+
+        awl_k = codecs.awl_row_scale(_as_nc(v))
     out, lse, kb, vb = compact_binary_ring_flash(
         q, k, v, state.k.base, state.v.base,
         axis_name=axis_name,
@@ -117,6 +124,7 @@ def _fused_compact_ring(
         comp_rank=cfg.comp_rank,
         scale=scale,
         codec=codec,
+        awl_k=awl_k,
         interpret=(
             pltpu.InterpretParams(dma_execution_mode="eager")
             if interpret
@@ -164,10 +172,18 @@ def compact_ring_attention(
     b, s, h, d = k.shape
     kv_shape = (b, s, h, d)
 
+    _FUSED_CODECS = {
+        CompressType.BINARY: "binary",
+        CompressType.INT2: "int2",
+        CompressType.LOW_RANK: "lowrank",
+        CompressType.LOW_RANK_AWL: "lowrank",
+    }
     if (
         fused
         and ring_size > 1
-        and method in (CompressType.BINARY, CompressType.INT2)
+        and method in _FUSED_CODECS
+        and (cfg.comp_rank >= 1 or method in
+             (CompressType.BINARY, CompressType.INT2))
         and cfg.residual == 1
         and cfg.error_feedback
         and not cfg.simulate
@@ -180,7 +196,8 @@ def compact_ring_attention(
             out, state = _fused_compact_ring(
                 q, k, v, state, cfg, axis_name, ring_size, scale,
                 joint_k, joint_v, joint_strategy, interp,
-                codec="binary" if method == CompressType.BINARY else "int2",
+                codec=_FUSED_CODECS[method],
+                awl=method == CompressType.LOW_RANK_AWL,
             )
             if cfg.check_consistency:
                 _consistency_assert(state, axis_name)

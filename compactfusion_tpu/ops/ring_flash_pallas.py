@@ -361,40 +361,39 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _cring_kernel(
-    ids_ref,  # scalar prefetch: [send_to, prev, nxt]
-    q_ref,  # (1, 1, Sq, D)
-    k_ref,  # (1, 1, Sk, D) local EXACT shard (step-0 attention)
-    v_ref,
-    pk_ref,  # (1, 1, Sk, D8) own packed K payload
-    pv_ref,
-    uk_ref,  # (1, Sk, K) own K scale rows (shared across heads)
-    uv_ref,
-    vk_ref,  # (1, K, D) own K scale cols (this head)
-    vv_ref,
-    kbase_ref,  # (1, 1, R, Sk, D) fp32 EF bases (aliased in/out)
-    vbase_ref,
-    o_ref,  # (1, 1, Sq, D)
-    lse_ref,  # (1, 1, Sq, 8)
-    kbase_out,  # aliased with kbase_ref
-    vbase_out,
-    pk_buf,  # VMEM (2, Sk, D8) uint8 payload double buffers
-    pv_buf,
-    uk_buf,  # VMEM (2, Sk, K) bf16 — wire dtype; bf16xbf16->fp32 is exact
-    uv_buf,
-    vk_buf,  # VMEM (2, K, D) bf16
-    vv_buf,
-    m_scr,
-    l_scr,
-    acc_scr,
-    send_sems,  # DMA (6, 2)
-    recv_sems,
-    *,
+    ids_ref,  # scalar prefetch: [send_to, prev, nxt, my]
+    *refs,
     scale: float,
     ring_size: int,
     block_q: int,
     block_k: int,
     codec: str,
 ):
+    # Ref layout depends on the codec: binary/int2 carry packed code planes
+    # (pk/pv) alongside the scale factors; lowrank's payload IS the (u, v)
+    # factor pair, so the packed planes (and their DMA channels) vanish.
+    #   inputs:  q, k, v, [pk, pv,] uk, uv, vk, vv, kbase, vbase
+    #   outputs: o, lse, kbase_out, vbase_out
+    #   scratch: [pk_buf, pv_buf,] uk_buf, uv_buf, vk_buf, vv_buf,
+    #            m_scr, l_scr, acc_scr, send_sems, recv_sems
+    if codec == "lowrank":
+        (
+            q_ref, k_ref, v_ref,
+            uk_ref, uv_ref, vk_ref, vv_ref, kbase_ref, vbase_ref,
+            o_ref, lse_ref, kbase_out, vbase_out,
+            uk_buf, uv_buf, vk_buf, vv_buf,
+            m_scr, l_scr, acc_scr, send_sems, recv_sems,
+        ) = refs
+        pk_ref = pv_ref = pk_buf = pv_buf = None
+    else:
+        (
+            q_ref, k_ref, v_ref, pk_ref, pv_ref,
+            uk_ref, uv_ref, vk_ref, vv_ref, kbase_ref, vbase_ref,
+            o_ref, lse_ref, kbase_out, vbase_out,
+            pk_buf, pv_buf, uk_buf, uv_buf, vk_buf, vv_buf,
+            m_scr, l_scr, acc_scr, send_sems, recv_sems,
+        ) = refs
+
     sq = q_ref.shape[2]
     sk = k_ref.shape[2]
     d = q_ref.shape[3]
@@ -409,8 +408,9 @@ def _cring_kernel(
     # scale matmul is then exact on the MXU — bf16 products accumulate in
     # fp32 — so Mosaic and the XLA codecs agree bit-tightly; an fp32 buffer
     # invites a lossy re-truncation at DEFAULT matmul precision)
-    pk_buf[0] = pk_ref[0, 0]
-    pv_buf[0] = pv_ref[0, 0]
+    if codec != "lowrank":
+        pk_buf[0] = pk_ref[0, 0]
+        pv_buf[0] = pv_ref[0, 0]
     uk_buf[0] = uk_ref[0]
     uv_buf[0] = uv_ref[0]
     vk_buf[0] = vk_ref[0]
@@ -418,17 +418,20 @@ def _cring_kernel(
 
     def dequant_update(slot, src, packed_buf, u_buf, v_buf, base_ref, base_out):
         """codes + scales + base[src] -> reconstructed block; EF-update base."""
-        packed = packed_buf[slot].astype(jnp.int32)  # (Sk, D/8 or D/4)
         if codec == "binary":
+            packed = packed_buf[slot].astype(jnp.int32)  # (Sk, D/8)
             parts = [(packed >> i) & 1 for i in range(8)]
             bits = jnp.concatenate(parts, axis=1)  # (Sk, D), grouped layout
             val = bits.astype(jnp.float32) * 2.0 - 1.0  # sign
-        else:  # int2: sign+magnitude 4-level (codecs._int2_values)
+        elif codec == "int2":  # sign+magnitude 4-level (codecs._int2_values)
+            packed = packed_buf[slot].astype(jnp.int32)  # (Sk, D/4)
             parts = [(packed >> (2 * i)) & 3 for i in range(4)]
             codes = jnp.concatenate(parts, axis=1)  # (Sk, D)
             sign = jnp.where(codes >= 2, 1.0, -1.0)
             mag = jnp.where((codes & 1) == 1, 2.0, 0.5)
             val = sign * mag
+        else:  # lowrank: u @ v IS the reconstruction (codecs.decode_low_rank)
+            val = None
         # bf16 x bf16 -> fp32: every product is exact, so this matches the
         # unfused codecs' decode (which casts the bf16 wire scales to fp32)
         s = jax.lax.dot_general(
@@ -437,7 +440,7 @@ def _cring_kernel(
             preferred_element_type=jnp.float32,
         )  # (Sk, D)
         base = base_ref[0, 0, src]
-        blk = base + val * s
+        blk = base + (s if val is None else val * s)
         base_out[0, 0, src] = blk
         return blk
 
@@ -487,7 +490,10 @@ def _cring_kernel(
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
 
-    bufs = (pk_buf, pv_buf, uk_buf, uv_buf, vk_buf, vv_buf)
+    if codec == "lowrank":
+        bufs = (uk_buf, uv_buf, vk_buf, vv_buf)
+    else:
+        bufs = (pk_buf, pv_buf, uk_buf, uv_buf, vk_buf, vv_buf)
 
     for s in range(ring_size):
         slot = s % 2
@@ -600,15 +606,21 @@ def compact_binary_ring_flash(
     interpret=False,
     collective_id: int = 8,
     codec: str = "binary",
+    awl_k: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused compressed (residual-1, EF) ring flash attention.
 
     Inside shard_map.  q: (B, Sq, H, D); k, v: (B, Sk, H, D) local shard;
     k_base, v_base: (R, B*Sk, H*D) fp32 EF base stacks (the unfused
     ``CompactRingState`` layout — reshaped internally to the per-head kernel
-    layout).  ``codec``: "binary" (1-bit sign, rank-K scale) or "int2"
+    layout).  ``codec``: "binary" (1-bit sign, rank-K scale), "int2"
     (sign+magnitude 4-level, mean scale — the reference fuses the same pair,
-    fastpath.py:12-120 binary and :485-811 int2).  Returns
+    fastpath.py:12-120 binary and :485-811 int2), or "lowrank" (the payload
+    IS the signed rank-``comp_rank`` (u, v) factor pair — the north-star
+    >=100x configuration; no packed plane travels, in-kernel reconstruction
+    is one small matmul).  ``awl_k``: optional (B*Sk,) row-importance
+    weights for the K fit (AWL, codecs.encode_low_rank_awl — wire-identical
+    payload, sender-only change).  Returns
     (out, lse, new_k_base, new_v_base).
 
     The sender-side scale model (mean or rank-K subspace over |delta|) runs
@@ -621,7 +633,9 @@ def compact_binary_ring_flash(
     b, sq, h, d = q.shape
     sk = k.shape[1]
     assert d % 8 == 0 and sq % 8 == 0
-    assert codec in ("binary", "int2"), codec
+    assert codec in ("binary", "int2", "lowrank"), codec
+    if codec == "lowrank":
+        assert comp_rank >= 1, "lowrank codec needs an explicit comp_rank"
     if scale is None:
         scale = d**-0.5
     R = ring_size
@@ -638,6 +652,16 @@ def compact_binary_ring_flash(
         # int2 always uses the mean rank-1 scale (codecs.encode_int2)
         uk, vk = codecs._mean_scale_uv(dk)
         uv_, vv_ = codecs._mean_scale_uv(dv)
+    elif codec == "lowrank":
+        # SIGNED factors of the delta itself (codecs.encode_low_rank /
+        # encode_low_rank_awl) — not the |delta| scale model
+        if awl_k is not None:
+            s_row = awl_k.astype(jnp.float32)[:, None]
+            u_w, vk, _ = codecs.subspace_iter(dk * s_row, comp_rank, num_iters=2)
+            uk = u_w / s_row
+        else:
+            uk, vk, _ = codecs.subspace_iter(dk, comp_rank, num_iters=2)
+        uv_, vv_, _ = codecs.subspace_iter(dv, comp_rank, num_iters=2)
     else:
         uk, vk = codecs._scale_uv(dk, comp_rank)
         uv_, vv_ = codecs._scale_uv(dv, comp_rank)
@@ -660,6 +684,8 @@ def compact_binary_ring_flash(
         # decode_int2 on the receiver bit-for-bit
         pk = pack_2bit_per_head(to_bhsd(codecs._int2_codes(dk, uk * vk)))
         pv = pack_2bit_per_head(to_bhsd(codecs._int2_codes(dv, uv_ * vv_)))
+    elif codec == "lowrank":
+        pk = pv = None
     else:
         pk = pack_bits_per_head((to_bhsd(dk) >= 0).astype(jnp.uint8))
         pv = pack_bits_per_head((to_bhsd(dv) >= 0).astype(jnp.uint8))
@@ -706,7 +732,8 @@ def compact_binary_ring_flash(
         block_q = sq
     if sk % block_k:
         block_k = sk
-    pw = d // 8 if codec == "binary" else d // 4  # packed payload width
+    # packed payload width (codes plane absent entirely for lowrank)
+    pw = {"binary": d // 8, "int2": d // 4, "lowrank": 0}[codec]
 
     # VMEM budget: EF base blocks (2 x R x Sk x D fp32) dominate; fail loud
     # with the actionable knobs instead of a Mosaic scoped-vmem error
@@ -735,6 +762,16 @@ def compact_binary_ring_flash(
     cell = lambda bi, hi, ids: (bi, hi, 0, 0)
     cell3 = lambda bi, hi, ids: (bi, 0, 0)
     cell5 = lambda bi, hi, ids: (bi, hi, 0, 0, 0)
+    n_bufs = 4 if codec == "lowrank" else 6  # rotated payload components
+    packed_in_specs = [
+        pl.BlockSpec((1, 1, sk, pw), cell),
+        pl.BlockSpec((1, 1, sk, pw), cell),
+    ] if pw else []
+    packed_scratch = [
+        pltpu.VMEM((2, sk, pw), jnp.uint8),
+        pltpu.VMEM((2, sk, pw), jnp.uint8),
+    ] if pw else []
+    packed_inputs = [pk, pv] if pw else []
     out, lse8, kb_new, vb_new = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -744,8 +781,7 @@ def compact_binary_ring_flash(
                 pl.BlockSpec((1, 1, sq, d), cell),
                 pl.BlockSpec((1, 1, sk, d), cell),
                 pl.BlockSpec((1, 1, sk, d), cell),
-                pl.BlockSpec((1, 1, sk, pw), cell),
-                pl.BlockSpec((1, 1, sk, pw), cell),
+                *packed_in_specs,
                 pl.BlockSpec((1, sk, kk), cell3),
                 pl.BlockSpec((1, sk, kk), cell3),
                 pl.BlockSpec((1, kk, d), lambda bi, hi, ids: (hi, 0, 0)),
@@ -760,8 +796,7 @@ def compact_binary_ring_flash(
                 pl.BlockSpec((1, 1, R, sk, d), cell5),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, sk, pw), jnp.uint8),
-                pltpu.VMEM((2, sk, pw), jnp.uint8),
+                *packed_scratch,
                 pltpu.VMEM((2, sk, kk), codecs.SCALE_DTYPE),
                 pltpu.VMEM((2, sk, kk), codecs.SCALE_DTYPE),
                 pltpu.VMEM((2, kk, d), codecs.SCALE_DTYPE),
@@ -769,8 +804,8 @@ def compact_binary_ring_flash(
                 pltpu.VMEM((sq, 128), jnp.float32),
                 pltpu.VMEM((sq, 128), jnp.float32),
                 pltpu.VMEM((sq, d), jnp.float32),
-                pltpu.SemaphoreType.DMA((6, 2)),
-                pltpu.SemaphoreType.DMA((6, 2)),
+                pltpu.SemaphoreType.DMA((n_bufs, 2)),
+                pltpu.SemaphoreType.DMA((n_bufs, 2)),
             ],
         ),
         out_shape=[
@@ -789,7 +824,7 @@ def compact_binary_ring_flash(
             has_side_effects=True,
         ),
         interpret=interpret,
-    )(ids, qt, kt, vt, pk, pv, uk_r, uv_r, vk_r, vv_r, kb, vb)
+    )(ids, qt, kt, vt, *packed_inputs, uk_r, uv_r, vk_r, vv_r, kb, vb)
 
     out = jnp.transpose(out, (0, 2, 1, 3))
     lse = lse8[:, :, :, 0]

@@ -40,19 +40,22 @@ def _drift(n_steps, b, s, h, d, seed=0, drift=0.05):
 @pytest.mark.parametrize("ring", [2, 4])
 @pytest.mark.parametrize(
     "codec,comp_rank",
-    [("binary", -1), ("binary", 2), ("int2", -1)],
+    [("binary", -1), ("binary", 2), ("int2", -1), ("lowrank", 2)],
 )
 def test_fused_compact_ring_matches_ppermute_path(ring, codec, comp_rank):
     """Multi-step: outputs AND EF base stacks of the fused kernel must track
-    the unfused compact ring (binary/int2, residual=1, EF, bf16 scales)."""
+    the unfused compact ring (binary/int2/lowrank, residual=1, EF, bf16
+    scales)."""
     b, h, d = 1, 2, 16
     s_local = 32
     s = s_local * ring
     n, c = b * s_local, h * d
     mesh = _mesh(ring)
-    method = (
-        CompressType.BINARY if codec == "binary" else CompressType.INT2
-    )
+    method = {
+        "binary": CompressType.BINARY,
+        "int2": CompressType.INT2,
+        "lowrank": CompressType.LOW_RANK,
+    }[codec]
 
     cfg = CompactConfig(
         enabled=True, compress_type=method,
@@ -117,7 +120,13 @@ def test_fused_compact_ring_matches_ppermute_path(ring, codec, comp_rank):
 
 
 @pytest.mark.parametrize(
-    "method", [CompressType.BINARY, CompressType.INT2]
+    "method",
+    [
+        CompressType.BINARY,
+        CompressType.INT2,
+        CompressType.LOW_RANK,
+        CompressType.LOW_RANK_AWL,
+    ],
 )
 def test_fused_flag_through_compact_usp_with_joint(method):
     """The opt-in routing (CompactUSPAttn.fused_ring -> compact_ring_attention
@@ -130,8 +139,9 @@ def test_fused_flag_through_compact_usp_with_joint(method):
     s = s_local * ring
     n, c = b * s_local, h * d
     mesh = _mesh(ring)
+    comp_rank = -1 if method in (CompressType.BINARY, CompressType.INT2) else 2
     cfg = CompactConfig(
-        enabled=True, compress_type=method, comp_rank=-1,
+        enabled=True, compress_type=method, comp_rank=comp_rank,
         residual=1, error_feedback=True, warmup_steps=0, fastpath=False,
     )
     spec = P(None, "ring", None, None)
