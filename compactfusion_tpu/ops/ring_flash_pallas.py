@@ -814,9 +814,16 @@ def compact_binary_ring_flash(
             jax.ShapeDtypeStruct((b, h, R, sk, d), jnp.float32),
             jax.ShapeDtypeStruct((b, h, R, sk, d), jnp.float32),
         ],
-        # NOTE: the base stacks could be input/output-aliased to halve their
-        # HBM footprint; left unaliased until on-silicon validation (the
-        # interpreter milestone verifies semantics, not memory placement)
+        # EF base stacks are donated in-place: at production scale they
+        # dominate HBM (R x Sk x C fp32 per K and V per layer), and the
+        # kernel writes every slot it reads, so aliasing halves both the
+        # footprint and the stack's HBM traffic.  Operand indices count the
+        # scalar-prefetch ids + q/k/v (+ packed planes when present) + the
+        # four scale factors; kb/vb are the last two inputs.
+        input_output_aliases={
+            (4 + len(packed_inputs) + 4): 2,
+            (4 + len(packed_inputs) + 5): 3,
+        },
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # see ring_flash_attn_with_lse: no barrier traced at ring_size=1
