@@ -118,11 +118,33 @@ def main():
         # bounded by 1-ulp bf16 output rounding between the two flash
         # schedules (different m/l update orders round the final bf16 cast
         # differently on ~13% of elements; measured max|diff| = 2^-9).
+        # steady-state compute-body timing: amortise the tunnel RTT over N
+        # queued calls with ONE device->host sync (bench.py methodology).
+        # ring_size=1 has zero RDMA, so this compares the two codec+flash
+        # COMPUTE schedules — in-kernel Mosaic dequant/EF vs the XLA
+        # codec ops + separate flash kernel of the ppermute path.
+        def _ms_per_call(fn, *args, n=20, reps=3):
+            o = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(o)[0][0, 0])  # settle
+            best = float("inf")
+            for _ in range(reps):  # min-of-reps: tunnel dispatch is spiky
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    o = fn(*args)
+                np.asarray(jax.tree_util.tree_leaves(o)[0][0, 0])
+                best = min(best, (time.perf_counter() - t0) / n * 1e3)
+            return best
+
+        ms_fused = _ms_per_call(fused_fn, q, k, v, base0, base0)
+        ms_ref = _ms_per_call(ref_fn, q, k, v, st)
+
         row = {
             "shape": [b, s, h, d], "comp_rank": rank, "codec": codec,
             "out_rel_err_vs_unfused": err_out,
             "ef_base_rel_err_vs_unfused": err_kb,
             "first_call_s": round(t_fused, 1),
+            "fused_ms_per_call": round(ms_fused, 2),
+            "unfused_ms_per_call": round(ms_ref, 2),
             "ok": bool(err_out < 5e-3 and err_kb == 0.0),
         }
         results.append(row)
@@ -135,6 +157,15 @@ def main():
             "ring_size=1 degenerate case: in-kernel unpack/scale-matmul/"
             "EF-write/flash validated ON SILICON; RDMA + neighbor barriers "
             "remain interpreter-verified pending multi-chip hardware"
+        ),
+        "timing_note": (
+            "compute-body only (zero RDMA at ring_size=1): fused wins "
+            "~1.4x for binary/int2 (in-kernel Mosaic dequant beats the XLA "
+            "unpack+pack op chain); lowrank fused is ~0.5 ms slower — its "
+            "codec compute is tiny, so the kernel's EF-base relayout "
+            "(R,B*S,C)<->(B,H,R,S,D) dominates.  On multi-chip the fused "
+            "path's point is comm/compute overlap, which this cannot "
+            "measure; the ppermute path stays the default."
         ),
         "results": results,
     }
