@@ -63,6 +63,19 @@ class xFuserArgs:
     use_teacache: bool = False
     use_fbcache: bool = False
     use_cuda_graph: bool = False  # accepted for parity; XLA jits everything
+    enable_tiling: bool = False  # VAE tiled decode (memory knob)
+    enable_slicing: bool = False  # VAE per-sample decode (memory knob)
+    # accepted for CLI parity, no TPU analog (reference args.py:179-320):
+    # Ray placement dissolves into SPMD; onediff/fp8-T5/cpu-offload are
+    # CUDA-stack concepts (XLA jits everything, T5 runs bf16, HBM is managed
+    # by the runtime)
+    use_ray: bool = False
+    ray_world_size: int = 1
+    dit_parallel_size: int = 0
+    use_onediff: bool = False
+    use_fp8_t5_encoder: bool = False
+    enable_model_cpu_offload: bool = False
+    enable_sequential_cpu_offload: bool = False
     # parallel
     data_parallel_degree: int = 1
     use_cfg_parallel: bool = False
@@ -87,6 +100,7 @@ class xFuserArgs:
     seed: int = 42
     output_type: str = "pil"
     no_use_resolution_binning: bool = False
+    img_file_path: Optional[str] = None
     # fast attn
     use_fast_attn: bool = False
     n_calib: int = 8
@@ -118,8 +132,17 @@ class xFuserArgs:
             "use_teacache",
             "use_fbcache",
             "use_cuda_graph",
+            "enable_tiling",
+            "enable_slicing",
+            "use_ray",
+            "use_onediff",
+            "use_fp8_t5_encoder",
+            "enable_model_cpu_offload",
+            "enable_sequential_cpu_offload",
         ):
             run.add_argument(f"--{flag}", action="store_true")
+        run.add_argument("--ray_world_size", type=int, default=1)
+        run.add_argument("--dit_parallel_size", type=int, default=0)
 
         par = parser.add_argument_group("Parallel Processing Options")
         par.add_argument("--data_parallel_degree", type=int, default=1)
@@ -148,6 +171,7 @@ class xFuserArgs:
         inp.add_argument("--guidance_scale", type=float, default=4.5)
         inp.add_argument("--seed", type=int, default=42)
         inp.add_argument("--output_type", type=str, default="pil")
+        inp.add_argument("--img_file_path", type=str, default=None)
 
         fa = parser.add_argument_group("DiTFastAttn Options")
         fa.add_argument("--use_fast_attn", action="store_true")
@@ -225,6 +249,8 @@ class xFuserArgs:
                 use_teacache=self.use_teacache,
                 use_fbcache=self.use_fbcache,
                 use_fast_attn=self.use_fast_attn,
+                enable_tiling=self.enable_tiling,
+                enable_slicing=self.enable_slicing,
             ),
             parallel_config=parallel,
             fast_attn_config=FastAttnConfig(
@@ -248,5 +274,6 @@ class xFuserArgs:
             max_sequence_length=self.max_sequence_length,
             prompt=tuple(self.prompt),
             negative_prompt=tuple(self.negative_prompt),
+            img_file_path=self.img_file_path,
         )
         return engine, inp

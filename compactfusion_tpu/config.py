@@ -202,6 +202,9 @@ class RuntimeConfig:
     use_teacache: bool = False
     use_fbcache: bool = False
     use_fast_attn: bool = False
+    #: VAE decode memory knobs (reference --enable_tiling/--enable_slicing)
+    enable_tiling: bool = False
+    enable_slicing: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -231,6 +234,9 @@ class InputConfig:
     max_sequence_length: int = 120
     prompt: Tuple[str, ...] = ("",)
     negative_prompt: Tuple[str, ...] = ("",)
+    #: input image for identity-preserving families (reference
+    #: --img_file_path, ConsisID; args.py:260)
+    img_file_path: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,6 +31,19 @@ class VAEConfig:
     scaling_factor: float = 0.18215
     shift_factor: float = 0.0  # FLUX VAE uses 0.1159
     dtype: Any = jnp.bfloat16
+    #: decode memory knobs (reference --enable_tiling / --enable_slicing,
+    #: args.py:306-315 -> diffusers AutoencoderKL.enable_tiling/slicing):
+    #: slicing decodes one batch element at a time (exact); tiling decodes
+    #: overlapping spatial tiles blended with linear ramps (approximate at
+    #: seams, caps peak activation memory for 2k+ px decodes)
+    use_slicing: bool = False
+    use_tiling: bool = False
+    tile_latent_size: int = 64  # diffusers tile_latent_min_size (latent px)
+    tile_overlap_factor: float = 0.25
+
+    @property
+    def upscale_factor(self) -> int:
+        return 2 ** (len(self.block_out_channels) - 1)
 
 
 def sd_vae() -> VAEConfig:
@@ -179,8 +192,8 @@ def _upsample(p, x):
     return _conv(p, x)
 
 
-def vae_decode(params, latents: jax.Array, cfg: VAEConfig) -> jax.Array:
-    """(B, h, w, latent_channels) scaled latents -> (B, H, W, 3) in [-1, 1]."""
+def _vae_decode_dense(params, latents: jax.Array, cfg: VAEConfig) -> jax.Array:
+    """The plain full-frame decoder (no tiling/slicing dispatch)."""
     g = cfg.norm_num_groups
     # compute in the config dtype (bf16): fp32 latents would otherwise drag
     # the whole conv stack to fp32 (2x HBM traffic + half MXU rate)
@@ -197,3 +210,89 @@ def vae_decode(params, latents: jax.Array, cfg: VAEConfig) -> jax.Array:
             x = _upsample(up["upsample_conv"], x)
     x = cm.silu(_groupnorm(params["norm_out"], x, g))
     return _conv(params["conv_out"], x)
+
+
+def _blend_v(above: jax.Array, cur: jax.Array, extent: int) -> jax.Array:
+    """Linearly blend ``cur``'s top rows into ``above``'s bottom rows
+    (diffusers ``AutoencoderKL.blend_v``)."""
+    n = min(above.shape[1], cur.shape[1], extent)
+    w = (jnp.arange(n, dtype=jnp.float32) / n).astype(cur.dtype)
+    mixed = above[:, -n:] * (1.0 - w)[None, :, None, None] + cur[:, :n] * w[
+        None, :, None, None
+    ]
+    return jnp.concatenate([mixed, cur[:, n:]], axis=1)
+
+
+def _blend_h(left: jax.Array, cur: jax.Array, extent: int) -> jax.Array:
+    """Linearly blend ``cur``'s left columns into ``left``'s right columns
+    (diffusers ``AutoencoderKL.blend_h``)."""
+    n = min(left.shape[2], cur.shape[2], extent)
+    w = (jnp.arange(n, dtype=jnp.float32) / n).astype(cur.dtype)
+    mixed = left[:, :, -n:] * (1.0 - w)[None, None, :, None] + cur[
+        :, :, :n
+    ] * w[None, None, :, None]
+    return jnp.concatenate([mixed, cur[:, :, n:]], axis=2)
+
+
+def vae_decode_tiled(params, latents: jax.Array, cfg: VAEConfig) -> jax.Array:
+    """Decode in overlapping spatial tiles, blending seams with linear ramps.
+
+    Diffusers ``AutoencoderKL.tiled_decode`` semantics (the reference's
+    ``--enable_tiling``): tiles of ``cfg.tile_latent_size`` latent px are
+    taken at stride ``tile * (1 - overlap)``; each decoded tile is blended
+    into its top/left neighbours over ``tile_sample * overlap`` output px,
+    then cropped to the stride so the stitched frame has no duplication.
+    Peak activation memory drops from O(H*W) to O(tile^2) — the knob that
+    makes 2k+ px decodes fit.  Tile positions are static, so XLA compiles
+    one decode per distinct (edge) tile shape and reuses it.
+    """
+    b, h, w, _ = latents.shape
+    tl = cfg.tile_latent_size
+    if h <= tl and w <= tl:
+        return _vae_decode_dense(params, latents, cfg)
+    f = cfg.upscale_factor
+    stride = max(1, int(tl * (1.0 - cfg.tile_overlap_factor)))
+    blend = int(tl * f * cfg.tile_overlap_factor)
+    row_limit = tl * f - blend
+
+    rows = []
+    for i in range(0, h, stride):
+        row = []
+        for j in range(0, w, stride):
+            tile = latents[:, i : i + tl, j : j + tl, :]
+            row.append(_vae_decode_dense(params, tile, cfg))
+        rows.append(row)
+
+    # blend sources are always the ORIGINAL decoded neighbours (diffusers
+    # reads rows[i-1][j] / row[j-1], never the already-blended tiles)
+    out_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend)
+            out_row.append(tile[:, :row_limit, :row_limit])
+        out_rows.append(jnp.concatenate(out_row, axis=2))
+    return jnp.concatenate(out_rows, axis=1)[:, : h * f, : w * f]
+
+
+def vae_decode(params, latents: jax.Array, cfg: VAEConfig) -> jax.Array:
+    """(B, h, w, latent_channels) scaled latents -> (B, H, W, 3) in [-1, 1].
+
+    Dispatches on the config's decode memory knobs: ``use_slicing`` decodes
+    batch elements one at a time (exact), ``use_tiling`` decodes overlapping
+    spatial tiles (approximate at seams) — reference ``--enable_slicing`` /
+    ``--enable_tiling``.
+    """
+    inner = vae_decode_tiled if cfg.use_tiling else _vae_decode_dense
+    if cfg.use_slicing and latents.shape[0] > 1:
+        return jnp.concatenate(
+            [
+                inner(params, latents[i : i + 1], cfg)
+                for i in range(latents.shape[0])
+            ],
+            axis=0,
+        )
+    return inner(params, latents, cfg)

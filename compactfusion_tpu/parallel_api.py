@@ -79,6 +79,19 @@ def resolve_family(model_name: str) -> _Family:
 # ---------------------------------------------------------------------------
 
 
+def _vae_opts(vcfg, engine: EngineConfig):
+    """Apply the runtime VAE decode memory knobs (reference --enable_tiling /
+    --enable_slicing) to a 2D ``VAEConfig``.  Video (3D causal) VAEs decode
+    frame-chunked already and ignore these flags, like the reference's
+    non-diffusers video VAE wrappers."""
+    rc = engine.runtime_config
+    if rc.enable_tiling or rc.enable_slicing:
+        vcfg = dataclasses.replace(
+            vcfg, use_tiling=rc.enable_tiling, use_slicing=rc.enable_slicing
+        )
+    return vcfg
+
+
 @register_family("pixart", r"pixart")
 def _build_pixart(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
     from compactfusion_tpu.io import hf
@@ -114,7 +127,7 @@ def _build_pixart(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[s
         vae_params = cm.jit_init(init_vae_decoder, jax.random.PRNGKey(1), vcfg)
     pcfg = PixArtPipelineConfig(
         model=mcfg,
-        vae=vcfg,
+        vae=_vae_opts(vcfg, engine),
         parallel=engine.parallel_config,
         compact=engine.compact_config,
         cache=_cache_cfg(engine),
@@ -152,7 +165,7 @@ def _build_flux(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str
         params = cm.jit_init(init_flux, jax.random.PRNGKey(0), mcfg)
     pcfg = FluxPipelineConfig(
         model=mcfg,
-        vae=flux_vae(),
+        vae=_vae_opts(flux_vae(), engine),
         parallel=engine.parallel_config,
         compact=engine.compact_config,
         cache=_cache_cfg(engine, family="flux"),
@@ -184,7 +197,7 @@ def _build_sd3(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str]
         params = cm.jit_init(init_sd3, jax.random.PRNGKey(0), mcfg)
     pcfg = SD3PipelineConfig(
         model=mcfg,
-        vae=flux_vae(),
+        vae=_vae_opts(flux_vae(), engine),
         parallel=engine.parallel_config,
         compact=engine.compact_config,
         num_steps=inp.num_inference_steps,
