@@ -185,3 +185,78 @@ def lfe_forward(
             lat = _lfe_ffn(layer["ffn"], lat) + lat
     lat = lat[:, : cfg.num_queries]
     return lat @ params["proj_out"]
+
+
+# ---------------------------------------------------------------------------
+# Offline image -> face-feature stand-in (reference --img_file_path path)
+# ---------------------------------------------------------------------------
+# The reference derives ``id_cond`` from an ArcFace embedding and
+# ``id_vit_hidden`` from intermediate CLIP-ViT hidden states of the face crop
+# (``consisid/face_utils.process_face_embeddings``, which needs downloaded
+# insightface + CLIP weights).  Neither model is available in this
+# zero-egress environment, so these helpers produce DETERMINISTIC,
+# image-dependent features of the right shapes from patch statistics +
+# seeded random projections: distinct faces give distinct identity tokens
+# and the full --img_file_path -> id_states -> gated-cross-attention path is
+# exercisable end-to-end.  Swap in real ArcFace/CLIP features by calling
+# ``lfe_forward`` directly when those embeddings are available.
+
+
+def _load_image(path: str, size: int = 224) -> "np.ndarray":
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((size, size))
+    return np.asarray(img, np.float32) / 127.5 - 1.0  # (S, S, 3)
+
+
+def _seeded_proj(d_in: int, d_out: int, seed: int) -> "np.ndarray":
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((d_in, d_out)).astype(np.float32) / np.sqrt(d_in)
+
+
+def image_face_features(path: str, cfg: LFEConfig):
+    """Image file -> (id_cond (1, id_dim), [id_vit_hidden x num_scale]).
+
+    Stand-in for ArcFace + CLIP-ViT preprocessing (see module note): patch
+    pyramids at ``num_scale`` resolutions, each patch flattened and passed
+    through a fixed seeded projection to ``vit_dim``; the global projection
+    gives ``id_cond``.
+    """
+    import numpy as np
+
+    img = _load_image(path)
+    s = img.shape[0]
+    id_cond = jnp.asarray(
+        img.reshape(1, -1) @ _seeded_proj(s * s * 3, cfg.id_dim, seed=101)
+    )
+    hidden = []
+    for i in range(cfg.num_scale):
+        grid = 24  # CLIP ViT-L/14@336 token grid (577 incl. CLS; we use 576)
+        p = s // grid
+        patches = (
+            img[: grid * p, : grid * p]
+            .reshape(grid, p, grid, p, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(grid * grid, p * p * 3)
+        )
+        hidden.append(
+            jnp.asarray(
+                patches @ _seeded_proj(p * p * 3, cfg.vit_dim, seed=200 + i)
+            )[None]
+        )
+    return id_cond, hidden
+
+
+def image_to_id_states(path: str, id_tokens: int, id_dim: int) -> jax.Array:
+    """Image file -> (1, id_tokens, id_dim) identity tokens directly, for
+    pipelines built without face-encoder weights (random-init runs)."""
+    import numpy as np
+
+    img = _load_image(path)
+    s = img.shape[0]
+    flat = img.reshape(1, -1)
+    out = flat @ _seeded_proj(s * s * 3, id_tokens * id_dim, seed=303)
+    return jnp.asarray(out.reshape(1, id_tokens, id_dim))

@@ -657,6 +657,33 @@ class xDiTParallel:
             )
         return PromptEncoder.random(key, text_dim=mcfg.text_dim)
 
+    def _encode_identity(self, img_path: str):
+        """--img_file_path -> ConsisID identity tokens (reference
+        consisid examples' ``process_face_embeddings_infer``).  With a
+        checkpointed face encoder the image features run through the real
+        ``local_facial_extractor``; without one (random-init builds) the
+        tokens come from the documented offline stand-in projection
+        (``models/face.py`` module note)."""
+        from compactfusion_tpu.models.face import (
+            image_face_features,
+            image_to_id_states,
+            lfe_consisid,
+        )
+
+        pcfg = self.pipeline_config
+        lfe_params = getattr(self.pipeline, "lfe_params", None)
+        if lfe_params is not None:
+            lcfg = lfe_consisid()
+            id_cond, id_vit = image_face_features(img_path, lcfg)
+            states = self.pipeline.encode_face(lfe_params, id_cond, id_vit, lcfg)
+            states = states[:, : pcfg.id_tokens]
+        else:
+            states = image_to_id_states(
+                img_path, pcfg.id_tokens, pcfg.model.id_dim
+            )
+        b = len(self.input_config.prompt)  # same identity for every prompt
+        return jnp.broadcast_to(states, (b,) + states.shape[1:])
+
     def __call__(self, key: Optional[jax.Array] = None, decode: bool = True):
         inp = self.input_config
         if key is None:
@@ -679,6 +706,12 @@ class xDiTParallel:
         if self.family in ("cogvideox", "hunyuanvideo", "consisid",
                            "stepvideo"):
             txt = enc.encode_for_video(prompts, negative, max_length=seq)
+            if self.family == "consisid" and inp.img_file_path:
+                return self.pipeline(
+                    txt, key,
+                    id_states=self._encode_identity(inp.img_file_path),
+                    decode=decode,
+                )
             return self.pipeline(txt, key, decode=decode)
         # pixart / hunyuandit: (2, B, S, D) + mask
         txt, mask = enc.encode_for_pixart(prompts, negative, max_length=seq)

@@ -184,3 +184,28 @@ def test_registry_tiny_sd3():
 def test_registry_tiny_hunyuanvideo():
     arr = _run_family("hunyuanvideo-tiny", num_frames=5)
     assert arr.ndim == 3
+
+
+def test_consisid_img_file_path(tmp_path):
+    """--img_file_path conditions ConsisID identity tokens end-to-end: the
+    image-derived id_states change the output vs the unconditioned run, and
+    two different images give different outputs (reference consisid
+    examples' process_face_embeddings_infer path; offline stand-in
+    documented in models/face.py)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    p1 = tmp_path / "face1.png"
+    p2 = tmp_path / "face2.png"
+    for p, seed in ((p1, 1), (p2, 2)):
+        arr = np.random.default_rng(seed).integers(
+            0, 255, (32, 32, 3), dtype=np.uint8
+        )
+        Image.fromarray(arr).save(p)
+
+    base = _run_family("consisid-tiny", num_frames=5)
+    a = _run_family("consisid-tiny", num_frames=5, img_file_path=str(p1))
+    b = _run_family("consisid-tiny", num_frames=5, img_file_path=str(p2))
+    assert a.shape == base.shape == b.shape
+    assert np.abs(a - base).max() > 0  # identity tokens reached the model
+    assert np.abs(a - b).max() > 0  # distinct images -> distinct outputs
