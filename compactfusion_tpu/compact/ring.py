@@ -205,6 +205,14 @@ def compact_ring_attention(
 
     my = lax.axis_index(axis_name)
 
+    from compactfusion_tpu.utils import collector
+
+    if collector.enabled():
+        # offline-analysis taps (reference hybrid/attn_layer.py:181-188)
+        collector.collect(q, "q", rank=my)
+        collector.collect(k, "k", rank=my)
+        collector.collect(v, "v", rank=my)
+
     # --- sender: compress own K/V against own base slot (update_cache=True)
     k_own, v_own = _slot(state.k, my), _slot(state.v, my)
     awl = None
@@ -245,6 +253,10 @@ def compact_ring_attention(
             "v", -1,
             stats.compression_metrics(_as_nc(v), v_own.base), ordered=True,
         )
+    if collector.enabled():
+        # post-EF base caches (reference compact/utils.py:140-143 tap)
+        collector.collect(k_own.base, "kbase", rank=my)
+        collector.collect(v_own.base, "vbase", rank=my)
     state = CompactRingState(
         k=_set_slot(state.k, my, k_own), v=_set_slot(state.v, my, v_own)
     )

@@ -198,6 +198,11 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
                 else:
                     v, sd, ss = fwd
                 latents = flow_match_step(sched, i, latents, v)
+                from compactfusion_tpu.utils import collector
+
+                if collector.enabled():
+                    # per-step latents tap (reference pipeline_flux.py:481-483)
+                    collector.collect(latents, "latents")
                 return (latents, sd, ss, cst), None
 
             carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))

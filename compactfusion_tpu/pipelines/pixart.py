@@ -207,6 +207,11 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, plan):
         latents, dpm_state = dpm_step(
             sched, i, cfg.num_steps, latents, eps, dpm_state
         )
+        from compactfusion_tpu.utils import collector
+
+        if collector.enabled():
+            # per-step latents tap (reference pipeline_flux.py:481-483)
+            collector.collect(latents, "latents")
         return (latents, dpm_state, attn_state, cache_state)
 
     return step, pos_full, attn

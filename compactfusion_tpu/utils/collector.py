@@ -5,6 +5,18 @@ collector.py:11-49``) — taps in the attention layer and compact cache dump
 q/k/v/kbase/vbase/latents for offline analysis.  Enable by setting
 ``CFTPU_COLLECT_DIR``; calls are no-ops otherwise.  Works from inside jit via
 ``jax.debug.callback``.
+
+Two addressing modes:
+  * explicit ``(step, layer)`` — when the caller knows them statically;
+  * auto-sequence (``step``/``layer`` omitted) — for taps inside a
+    ``lax.scan`` where step/layer are trace-time-unknown: ordered callbacks
+    arrive in execution order, so a host-side monotonic counter per name
+    reconstructs (step, layer) as ``seq = step * n_layers + layer`` exactly
+    like the ordered stats stream (``compact/stats.log_inside_jit``).
+
+``rank`` may be a traced per-device index (e.g. ``lax.axis_index`` inside
+``shard_map``) so per-device shards don't collide; it defaults to the host
+process index (reference uses the torch dist rank).
 """
 
 from __future__ import annotations
@@ -17,22 +29,46 @@ import numpy as np
 
 _DIR = os.environ.get("CFTPU_COLLECT_DIR", "")
 
+_SEQ: dict = {}
+
 
 def enabled() -> bool:
     return bool(_DIR)
 
 
-def collect(x: jax.Array, name: str, step, layer) -> None:
-    """Dump ``x`` as ``{dir}/{name}_s{step}_l{layer}_r{rank}.npy``."""
+def collect(
+    x: jax.Array,
+    name: str,
+    step: Optional[int] = None,
+    layer: Optional[int] = None,
+    rank=None,
+) -> None:
+    """Dump ``x`` as ``{dir}/{name}_s{step}_l{layer}_r{rank}.npy`` (explicit
+    mode) or ``{dir}/{name}_n{seq:05d}_r{rank}.npy`` (auto-sequence mode)."""
     if not _DIR:
         return
 
-    def cb(arr, step_, layer_):
-        os.makedirs(_DIR, exist_ok=True)
+    if rank is None:
         rank = jax.process_index()
+
+    if step is None and layer is None:
+
+        def cb_seq(arr, rank_):
+            os.makedirs(_DIR, exist_ok=True)
+            key = (name, int(rank_))
+            seq = _SEQ.get(key, 0)
+            _SEQ[key] = seq + 1
+            path = os.path.join(_DIR, f"{name}_n{seq:05d}_r{int(rank_)}.npy")
+            np.save(path, np.asarray(arr))
+
+        jax.debug.callback(cb_seq, x, rank, ordered=True)
+        return
+
+    def cb(arr, step_, layer_, rank_):
+        os.makedirs(_DIR, exist_ok=True)
         path = os.path.join(
-            _DIR, f"{name}_s{int(step_)}_l{int(layer_)}_r{rank}.npy"
+            _DIR, f"{name}_s{int(step_)}_l{int(layer_)}_r{int(rank_)}.npy"
         )
         np.save(path, np.asarray(arr))
 
-    jax.debug.callback(cb, x, step, layer)
+    jax.debug.callback(cb, x, step, layer, rank)

@@ -170,6 +170,66 @@ def test_collector(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.load(files[0]), np.ones((4, 4)))
 
 
+def test_collector_ring_taps(tmp_path, monkeypatch):
+    """The compressed ring taps q/k/v and the post-EF bases when collection
+    is enabled (reference hybrid/attn_layer.py:181-188, compact/utils.py:
+    140-143), using auto-sequenced ordered callbacks from inside shard_map."""
+    import importlib
+
+    monkeypatch.setenv("CFTPU_COLLECT_DIR", str(tmp_path))
+    from compactfusion_tpu.utils import collector
+
+    importlib.reload(collector)
+    from compactfusion_tpu.compact.engine import EFState
+    from compactfusion_tpu.compact.ring import (
+        CompactRingState,
+        compact_ring_attention,
+    )
+    from compactfusion_tpu.config import CompactConfig, CompressType
+    from compactfusion_tpu.config import ParallelConfig
+    from compactfusion_tpu.parallel.mesh import make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    cfg = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY, residual=1,
+        error_feedback=True, fastpath=False,
+    )
+    b, s, h, d = 1, 16, 2, 8
+    rng = np.random.default_rng(3)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        for _ in range(3)
+    )
+    ef = EFState(base=jnp.zeros((1, b * s, h * d), jnp.float32), delta_base=None)
+    st = CompactRingState(k=ef, v=ef)
+    mesh = make_mesh(ParallelConfig(), devices=jax.devices()[:1])
+
+    def body(q, k, v, st):
+        return compact_ring_attention(
+            q, k, v, st, cfg=cfg, method=CompressType.BINARY, ring_size=1,
+        )
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False,
+    ))
+    out, new_st = f(q, k, v, st)
+    out.block_until_ready()
+    jax.effects_barrier()
+    for name in ("q", "k", "v", "kbase", "vbase"):
+        files = list(tmp_path.glob(f"{name}_n*_r0.npy"))
+        assert len(files) == 1, (name, list(tmp_path.iterdir()))
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "q_n00000_r0.npy"), np.asarray(q)
+    )
+    # the dumped base is the post-EF sender cache
+    np.testing.assert_allclose(
+        np.load(tmp_path / "kbase_n00000_r0.npy"),
+        np.asarray(new_st.k.base[0]),
+        rtol=1e-6,
+    )
+
+
 def test_logger_level(monkeypatch):
     logger = init_logger("compactfusion_tpu.test")
     logger.info("hello")  # should not raise
