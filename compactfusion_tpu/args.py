@@ -275,5 +275,6 @@ class xFuserArgs:
             prompt=tuple(self.prompt),
             negative_prompt=tuple(self.negative_prompt),
             img_file_path=self.img_file_path,
+            use_resolution_binning=not self.no_use_resolution_binning,
         )
         return engine, inp

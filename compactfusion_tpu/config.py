@@ -237,6 +237,11 @@ class InputConfig:
     #: input image for identity-preserving families (reference
     #: --img_file_path, ConsisID; args.py:260)
     img_file_path: Optional[str] = None
+    #: snap (height, width) to the nearest aspect-ratio bin at the model's
+    #: native area and resize the output back (reference
+    #: use_resolution_binning, config/args.py:453 -> diffusers
+    #: classify_height_width_bin in pipeline_pixart_sigma.py:168-182)
+    use_resolution_binning: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

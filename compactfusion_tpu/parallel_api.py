@@ -45,6 +45,68 @@ def _cache_cfg(engine: EngineConfig, family: str = "") -> CacheAccelConfig:
     return CacheAccelConfig()
 
 
+def classify_height_width_bin(
+    height: int, width: int, base_px: int, align: Optional[int] = None
+) -> Tuple[int, int]:
+    """Snap a requested (height, width) to the nearest aspect-ratio bin.
+
+    Reference semantics: ``use_resolution_binning`` routes through diffusers'
+    ``classify_height_width_bin`` with the PixArt ``ASPECT_RATIO_*_BIN``
+    tables (``pipeline_pixart_sigma.py:168-182``) — generate at the bin the
+    model was trained on, resize the output back.  The bins here are derived
+    rather than tabulated: area-preserving, ``align``-aligned (h, w) pairs at
+    the model's native area; the pair with the closest aspect ratio wins.
+    Native squares map to themselves, so default requests are unchanged.
+    """
+    if align is None:
+        # 32-aligned at the 512 scale, 64 at 1024+ (matching the granularity
+        # of the published ASPECT_RATIO tables); floor of 16 keeps every bin
+        # divisible by vae_factor * patch
+        align = max(16, base_px // 16)
+    area = base_px * base_px
+    target = height / width
+    cands = set()
+    for a in range(align, 2 * base_px + 1, align):
+        b = int(round(area / a / align)) * align
+        if b >= align:
+            cands.add((a, b))  # height-driven pair
+            cands.add((b, a))  # width-driven pair
+    best, best_d = (base_px, base_px), abs(target - 1.0)
+    for h, w in sorted(cands):
+        d = abs(target - h / w)
+        if d < best_d - 1e-9:
+            best, best_d = (h, w), d
+    return best
+
+
+def resize_and_crop(images: jax.Array, height: int, width: int) -> jax.Array:
+    """Aspect-preserving bilinear resize then center crop to (height, width)
+    — the output leg of resolution binning (reference
+    ``resize_and_crop_tensor``, ``pipeline_pixart_sigma.py:355``)."""
+    b, h, w, c = images.shape
+    if (h, w) == (height, width):
+        return images
+    r = max(height / h, width / w)
+    nh, nw = max(int(round(h * r)), height), max(int(round(w * r)), width)
+    out = jax.image.resize(images, (b, nh, nw, c), method="bilinear")
+    top, left = (nh - height) // 2, (nw - width) // 2
+    return out[:, top : top + height, left : left + width]
+
+
+def _bin_input(inp: InputConfig, base_px: int) -> InputConfig:
+    """Apply resolution binning to the request (PixArt family)."""
+    if not inp.use_resolution_binning:
+        return inp
+    bh, bw = classify_height_width_bin(inp.height, inp.width, base_px)
+    if (bh, bw) != (inp.height, inp.width):
+        logger.info(
+            "resolution binning: %dx%d -> %dx%d (native area %d^2)",
+            inp.height, inp.width, bh, bw, base_px,
+        )
+        inp = dataclasses.replace(inp, height=bh, width=bw)
+    return inp
+
+
 @dataclasses.dataclass
 class _Family:
     name: str
@@ -119,6 +181,9 @@ def _build_pixart(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[s
             else pixart_alpha_512()
         )
         vcfg = sd_vae()
+    # snap to the model's native-area aspect bin (PixArt is the family the
+    # reference bins; the output is resized back in xDiTParallel.__call__)
+    inp = _bin_input(inp, mcfg.sample_size * 8)
     if checkpoint:
         params = hf.convert_pixart(hf.load_safetensors(checkpoint), mcfg)
         vae_params = None
@@ -715,7 +780,18 @@ class xDiTParallel:
             return self.pipeline(txt, key, decode=decode)
         # pixart / hunyuandit: (2, B, S, D) + mask
         txt, mask = enc.encode_for_pixart(prompts, negative, max_length=seq)
-        return self.pipeline(txt, mask, key, decode=decode)
+        out = self.pipeline(txt, mask, key, decode=decode)
+        pcfg = self.pipeline_config
+        if (
+            decode
+            and self.family == "pixart"
+            and getattr(out, "ndim", 0) == 4
+            and out.shape[-1] == 3
+            and (pcfg.height, pcfg.width) != (inp.height, inp.width)
+        ):
+            # binning changed the generation size: resize back to the request
+            out = resize_and_crop(out, inp.height, inp.width)
+        return out
 
     def save(self, directory: str, prefix: str = "cftpu"):
         """Persist outputs per DP rank (reference xDiTParallel.save).

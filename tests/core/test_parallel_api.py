@@ -186,6 +186,68 @@ def test_registry_tiny_hunyuanvideo():
     assert arr.ndim == 3
 
 
+def test_classify_height_width_bin():
+    from compactfusion_tpu.parallel_api import classify_height_width_bin
+
+    # native squares map to themselves (default requests unchanged)
+    assert classify_height_width_bin(512, 512, 512) == (512, 512)
+    assert classify_height_width_bin(1024, 1024, 1024) == (1024, 1024)
+    # non-native request snaps to an aligned, ~area-preserving bin with the
+    # closest aspect ratio
+    bh, bw = classify_height_width_bin(600, 400, 512)
+    assert bh % 32 == 0 and bw % 32 == 0
+    assert abs(bh * bw - 512 * 512) <= 0.15 * 512 * 512
+    assert abs(bh / bw - 1.5) < 0.05
+    # portrait
+    bh, bw = classify_height_width_bin(400, 600, 512)
+    assert abs(bh / bw - 2 / 3) < 0.05
+
+
+def test_resolution_binning_end_to_end():
+    """A request at an untrained size generates at the nearest native-area
+    bin and comes back resized to the requested pixels (reference
+    use_resolution_binning; diffusers classify_height_width_bin +
+    resize_and_crop_tensor)."""
+    import compactfusion_tpu.parallel_api as api
+
+    # the module-scoped tiny_runner fixture may have swapped the pixart
+    # builder; this test needs the real one (it applies the binning)
+    orig_build = api._REGISTRY["pixart"].build
+    api._REGISTRY["pixart"].build = api._build_pixart
+
+    parser = FlexibleArgumentParser()
+    xFuserArgs.add_cli_args(parser)
+    argv = ["--model", "pixart-tiny", "--height", "70", "--width", "50",
+            "--num_inference_steps", "2", "--max_sequence_length", "8",
+            "--prompt", "a cat"]
+    args = xFuserArgs.from_cli_args(parser.parse_args(argv))
+    engine, inp = args.create_config()
+    assert inp.use_resolution_binning
+    try:
+        runner = xDiTParallel(engine, inp)
+        # tiny native area is 64x64 (sample_size 8 x vae 8): 70x50 snaps to
+        # a 16-aligned bin, not the raw request
+        ph, pw = runner.pipeline_config.height, runner.pipeline_config.width
+        assert (ph, pw) != (70, 50) and ph % 16 == 0 and pw % 16 == 0
+        out = np.asarray(runner(decode=True), np.float32)
+        assert out.shape[1:] == (70, 50, 3)  # resized back to the request
+        assert np.isfinite(out).all()
+
+        # opt-out flag keeps the raw size end to end (16-aligned request)
+        argv2 = [a for a in argv] + ["--no_use_resolution_binning"]
+        argv2[argv2.index("70")] = "80"
+        argv2[argv2.index("50")] = "48"
+        args2 = xFuserArgs.from_cli_args(parser.parse_args(argv2))
+        engine2, inp2 = args2.create_config()
+        assert not inp2.use_resolution_binning
+        runner2 = xDiTParallel(engine2, inp2)
+        assert (
+            runner2.pipeline_config.height, runner2.pipeline_config.width
+        ) == (80, 48)
+    finally:
+        api._REGISTRY["pixart"].build = orig_build
+
+
 def test_consisid_img_file_path(tmp_path):
     """--img_file_path conditions ConsisID identity tokens end-to-end: the
     image-derived id_states change the output vs the unconditioned run, and
