@@ -276,5 +276,6 @@ class xFuserArgs:
             negative_prompt=tuple(self.negative_prompt),
             img_file_path=self.img_file_path,
             use_resolution_binning=not self.no_use_resolution_binning,
+            output_type=self.output_type,
         )
         return engine, inp

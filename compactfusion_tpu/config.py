@@ -242,6 +242,9 @@ class InputConfig:
     #: use_resolution_binning, config/args.py:453 -> diffusers
     #: classify_height_width_bin in pipeline_pixart_sigma.py:168-182)
     use_resolution_binning: bool = True
+    #: "pil" decodes to pixels; "latent" returns raw latents (reference
+    #: --output_type, config/args.py)
+    output_type: str = "pil"
 
 
 @dataclasses.dataclass(frozen=True)

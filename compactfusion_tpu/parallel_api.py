@@ -749,8 +749,24 @@ class xDiTParallel:
         b = len(self.input_config.prompt)  # same identity for every prompt
         return jnp.broadcast_to(states, (b,) + states.shape[1:])
 
-    def __call__(self, key: Optional[jax.Array] = None, decode: bool = True):
+    def prepare_run(self, key: Optional[jax.Array] = None):
+        """Warmup call (reference ``xDiTParallel`` -> ``pipe.prepare_run``,
+        ``xfuser/parallel.py:38-44``): run one generation so every program in
+        the real request path is compiled (and lands in the persistent XLA
+        compile cache) before serving traffic."""
+        import time
+
+        t0 = time.perf_counter()
+        out = self(key=key)
+        np.asarray(out)  # force completion through the tunnel
+        logger.info("prepare_run: warmed up in %.1f s", time.perf_counter() - t0)
+        return self
+
+    def __call__(self, key: Optional[jax.Array] = None, decode: Optional[bool] = None):
         inp = self.input_config
+        if decode is None:
+            # reference --output_type: "latent" skips the VAE
+            decode = inp.output_type != "latent"
         if key is None:
             key = jax.random.PRNGKey(inp.seed)
         prompts = list(inp.prompt)

@@ -42,11 +42,9 @@ class Engine:
         self.args = args
         engine_config, input_config = args.create_config()
         self.runner = xDiTParallel(engine_config, input_config)
-        # warmup compile; np.asarray forces actual device execution (a bare
+        # warmup compile (prepare_run forces device execution — a bare
         # dispatch returns immediately under the axon tunnel)
-        t0 = time.time()
-        np.asarray(self.runner())
-        logger.info("warmup done in %.1fs", time.time() - t0)
+        self.runner.prepare_run()
 
     def generate(self, request: dict) -> dict:
         import dataclasses

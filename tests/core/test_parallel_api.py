@@ -97,6 +97,19 @@ def test_prompt_string_reaches_image(tiny_runner):
     assert np.abs(img_a - img_b).max() > 0
 
 
+def test_output_type_latent_and_prepare_run(tiny_runner):
+    """--output_type latent skips the VAE in the default call path, and
+    prepare_run warms the compiled path (reference xDiTParallel.prepare_run,
+    xfuser/parallel.py:38-44)."""
+    engine, inp = _engine_inp(output_type="latent")
+    assert inp.output_type == "latent"
+    runner = xDiTParallel(engine, inp).prepare_run()
+    lat = np.asarray(runner(), np.float32)  # decode defaulted by output_type
+    assert not (lat.ndim == 4 and lat.shape[-1] == 3)  # latents, not pixels
+    img = np.asarray(runner(decode=True), np.float32)
+    assert img.ndim == 4 and img.shape[-1] == 3  # explicit decode overrides
+
+
 def test_save_png(tiny_runner, tmp_path):
     from PIL import Image
 
