@@ -635,15 +635,36 @@ def convert_cogvideox(state: Dict[str, np.ndarray], cfg) -> Any:
                 },
             }
         )
+    if getattr(cfg, "patch_t", 1) > 1:
+        # CogVideoX 1.5: patch_embed.proj is a LINEAR over (p_t, p, p, C)-
+        # packed tokens (diffusers CogVideoXPatchEmbed patch_size_t branch) —
+        # the same packing this model uses, so the weight maps directly.
+        patch_embed = _lin(state, "patch_embed.proj", dt)
+        # proj_out's output features are (C, p_t, p, p)-ordered in the
+        # checkpoint (diffusers unpatchify does reshape(..., -1, p_t, p, p));
+        # ours are (p_t, p, p, C) — permute the rows once at load.
+        c, p_t, p = cfg.out_channels, cfg.patch_t, cfg.patch
+        w = np.asarray(state["proj_out.weight"])  # (C*pt*p*p, D)
+        b = np.asarray(state["proj_out.bias"])
+        w = w.reshape(c, p_t, p, p, -1).transpose(1, 2, 3, 0, 4)
+        proj_out = {
+            "w": jnp.asarray(w.reshape(-1, w.shape[-1]).T, dt),
+            "b": jnp.asarray(
+                b.reshape(c, p_t, p, p).transpose(1, 2, 3, 0).reshape(-1), dt
+            ),
+        }
+    else:
+        patch_embed = _patch_conv_as_linear(state, "patch_embed.proj", dt)
+        proj_out = _lin(state, "proj_out", dt)
     return {
-        "patch_embed": _patch_conv_as_linear(state, "patch_embed.proj", dt),
+        "patch_embed": patch_embed,
         "text_proj": _lin(state, "patch_embed.text_proj", dt),
         "t_embed": _embedder(state, "time_embedding", dt),
         "blocks": _stack(blocks),
         "norm_final": _norm(state, "norm_final", dt),
         "norm_out_mod": _lin(state, "norm_out.linear", dt),
         "norm_out_norm": _norm(state, "norm_out.norm", dt),
-        "proj_out": _lin(state, "proj_out", dt),
+        "proj_out": proj_out,
     }
 
 

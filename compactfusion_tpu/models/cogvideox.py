@@ -39,6 +39,11 @@ class CogVideoXConfig:
     time_embed_dim: int = 512
     ffn_mult: int = 4
     use_rotary: bool = True  # 1.5/5B; 2B uses the learned pos table
+    #: temporal patch size (CogVideoX 1.5 uses 2: latent frames are grouped
+    #: in pairs per token; the reference pads latent frames to a multiple of
+    #: patch_size_t and drops the padding after denoise,
+    #: ``pipeline_cogvideox.py:227-233,262``)
+    patch_t: int = 1
     #: rope head-dim split over (t, h, w)
     axes_dim: Tuple[int, ...] = (16, 24, 24)
     dtype: Any = jnp.bfloat16
@@ -46,6 +51,15 @@ class CogVideoXConfig:
     @property
     def head_dim(self):
         return self.dim // self.heads
+
+    @property
+    def token_in(self) -> int:
+        """Channels per patchified token: (p_t, p, p, C) packed."""
+        return self.patch_t * self.patch * self.patch * self.in_channels
+
+    @property
+    def token_out(self) -> int:
+        return self.patch_t * self.patch * self.patch * self.out_channels
 
 
 def cogvideox_2b() -> CogVideoXConfig:
@@ -58,10 +72,17 @@ def cogvideox_5b() -> CogVideoXConfig:
     return CogVideoXConfig(dim=3072, depth=42, heads=48, axes_dim=(16, 24, 24))
 
 
-def cogvideox_tiny() -> CogVideoXConfig:
+def cogvideox_1_5_5b() -> CogVideoXConfig:
+    """CogVideoX1.5-5B (T2V): the 5B geometry plus temporal patching
+    (``patch_size_t=2`` in the checkpoint config; the reference runs it via
+    the p_t-aware patch geometry, ``pipeline_cogvideox.py:227-233,262``)."""
+    return CogVideoXConfig(dim=3072, depth=42, heads=48, patch_t=2)
+
+
+def cogvideox_tiny(patch_t: int = 1) -> CogVideoXConfig:
     return CogVideoXConfig(
         dim=64, depth=2, heads=4, text_dim=32, time_embed_dim=32,
-        axes_dim=(8, 4, 4),
+        axes_dim=(8, 4, 4), patch_t=patch_t,
     )
 
 
@@ -91,9 +112,7 @@ def init_cogvideox(key, cfg: CogVideoXConfig):
     ks = jax.random.split(key, 8)
     blocks = [_init_block(k, cfg) for k in jax.random.split(ks[0], cfg.depth)]
     return {
-        "patch_embed": cm.init_linear(
-            ks[1], cfg.patch * cfg.patch * cfg.in_channels, d, dtype=dt
-        ),
+        "patch_embed": cm.init_linear(ks[1], cfg.token_in, d, dtype=dt),
         "text_proj": cm.init_linear(ks[2], cfg.text_dim, d, dtype=dt),
         # diffusers: Timesteps(inner_dim) -> TimestepEmbedding(inner_dim,
         # time_embed_dim) — the sinusoid is DIM-wide, not 256
@@ -106,9 +125,7 @@ def init_cogvideox(key, cfg: CogVideoXConfig):
             ks[4], cfg.time_embed_dim, 2 * d, dtype=dt
         ),
         "norm_out_norm": cm.init_layernorm(d, dtype=dt),
-        "proj_out": cm.init_linear(
-            ks[5], d, cfg.patch * cfg.patch * cfg.out_channels, dtype=dt
-        ),
+        "proj_out": cm.init_linear(ks[5], d, cfg.token_out, dtype=dt),
     }
 
 

@@ -289,6 +289,7 @@ def _load_vae3d(checkpoint: Optional[str], vcfg):
 @register_family("cogvideox", r"cogvideo")
 def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
     from compactfusion_tpu.models.cogvideox import (
+        cogvideox_1_5_5b,
         cogvideox_2b,
         cogvideox_5b,
         init_cogvideox,
@@ -300,10 +301,13 @@ def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
     )
 
     name = engine.model_config.model.lower()
+    is_15 = "1.5" in name or "1-5" in name  # THUDM/CogVideoX1.5-5B
     if "tiny" in name:
         from compactfusion_tpu.models.cogvideox import cogvideox_tiny
 
-        mcfg = cogvideox_tiny()
+        mcfg = cogvideox_tiny(patch_t=2 if is_15 else 1)
+    elif is_15:
+        mcfg = cogvideox_1_5_5b()
     else:
         mcfg = cogvideox_5b() if "5b" in name else cogvideox_2b()
     if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):

@@ -61,10 +61,18 @@ class CogVideoXPipelineConfig:
         return (self.num_frames - 1) // 4 + 1
 
     @property
+    def pad_latent_frames(self) -> int:
+        """Padding so latent frames divide patch_t (CogVideoX 1.5); the
+        padding frames are dropped before decode (reference
+        ``pipeline_cogvideox.py:227-233``)."""
+        return (-self.latent_frames) % self.model.patch_t
+
+    @property
     def grid(self) -> Tuple[int, int, int]:
         hp = self.height // 8 // self.model.patch
         wp = self.width // 8 // self.model.patch
-        return self.latent_frames, hp, wp
+        ft = (self.latent_frames + self.pad_latent_frames) // self.model.patch_t
+        return ft, hp, wp
 
     @property
     def tokens(self) -> int:
@@ -242,13 +250,17 @@ class CogVideoXPipeline:
             mcfg = cfg.model
 
             def decode(vae_params, latent_tokens):
-                # (B, f*hp*wp, p*p*C) -> (B, f, h, w, C) -> pixels
+                # (B, ft*hp*wp, pt*p*p*C) -> (B, T, h, w, C) -> pixels;
+                # token channels are (p_t, p, p, C)-packed
                 b = latent_tokens.shape[0]
-                lat = latent_tokens.reshape(b * f, hp * wp, -1)
-                lat = cm.unpatchify(
-                    lat, mcfg.patch, hp, wp, mcfg.in_channels
-                ).reshape(b, f, hp * mcfg.patch, wp * mcfg.patch,
-                          mcfg.in_channels)
+                pt, p, c = mcfg.patch_t, mcfg.patch, mcfg.in_channels
+                lat = latent_tokens.reshape(b, f, hp, wp, pt, p, p, c)
+                lat = lat.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+                    b, f * pt, hp * p, wp * p, c
+                )
+                # drop the divisibility padding frames (reference
+                # pipeline_cogvideox.py:227-233 "additional_frames")
+                lat = lat[:, cfg.pad_latent_frames:]
                 return vae3d_decode(vae_params, lat, vae_cfg)
 
             self._decode = jax.jit(decode)
@@ -259,7 +271,7 @@ class CogVideoXPipeline:
             key,
             txt.shape[1],
             cfg.tokens,
-            cfg.model.patch**2 * cfg.model.in_channels,
+            cfg.model.token_in,
             jnp.float32,
         )
         latents = self._sample(self.params, txt, latents)

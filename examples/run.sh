@@ -23,6 +23,7 @@ if [ "${FULL:-0}" = "1" ]; then
   SD3="stabilityai/stable-diffusion-3-medium"
   HYDIT="Tencent-Hunyuan/HunyuanDiT-v1.2"
   COG="THUDM/CogVideoX-2b"
+  COG15="THUDM/CogVideoX1.5-5B"
   LATTE="maxin-cn/Latte-1"
   HV="tencent/HunyuanVideo"
   CONSISID="BestWishYsh/ConsisID-preview"
@@ -63,6 +64,8 @@ run examples/hunyuandit_example.py $SMALL --model "$HYDIT" --ring_degree 2 --pro
 # Video families (latent out; tiny frame counts)
 VSMALL="--height 64 --width 64 --num_frames 5 --num_inference_steps 2 --max_sequence_length 8"
 run examples/cogvideox_example.py $VSMALL --model "$COG" --ulysses_degree 2 --prompt "a river"
+# CogVideoX 1.5: temporal patching (patch_size_t=2) with frame padding
+run examples/cogvideox_example.py --height 64 --width 64 --num_frames 9 --num_inference_steps 2 --max_sequence_length 8 --model "${COG15:-cogvideox1.5-tiny}" --ulysses_degree 2 --prompt "a river"
 run examples/hunyuanvideo_example.py $VSMALL --model "$HV" --ring_degree 2 --prompt "a wave"
 run examples/consisid_example.py $VSMALL --model "$CONSISID" --ulysses_degree 2 --prompt "a face"
 run examples/stepvideo_example.py $VSMALL --model "$STEPVIDEO" --prompt "a dance"

@@ -194,6 +194,12 @@ def test_registry_tiny_sd3():
     assert _run_family("sd3-tiny").ndim == 3
 
 
+def test_registry_tiny_cogvideox_1_5():
+    # routes to the patch_t=2 config (THUDM/CogVideoX1.5-5B naming)
+    arr = _run_family("cogvideox1.5-tiny", num_frames=9)
+    assert arr.ndim == 3
+
+
 def test_registry_tiny_hunyuanvideo():
     arr = _run_family("hunyuanvideo-tiny", num_frames=5)
     assert arr.ndim == 3

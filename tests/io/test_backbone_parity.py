@@ -364,6 +364,55 @@ def test_cogvideox_matches_torch():
     assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
 
 
+def test_cogvideox_1_5_matches_torch():
+    """CogVideoX 1.5 (patch_size_t=2): Linear patch embed over
+    (p_t, p, p, C)-packed tokens; the checkpoint's proj_out features are
+    (C, p_t, p, p)-ordered (diffusers unpatchify) and the converter permutes
+    them to this model's (p_t, p, p, C)."""
+    import dataclasses
+
+    from compactfusion_tpu.models.cogvideox import (
+        cogvideox_tiny,
+        cogvideox_forward,
+        video_positions,
+    )
+
+    torch.manual_seed(21)
+    ref = torch_ref.CogVideoXRef(
+        dim=64, depth=2, heads=4, patch=2, in_channels=16, text_dim=32,
+        time_embed_dim=32, axes_dim=(8, 4, 4), patch_t=2,
+    ).eval()
+    cfg = dataclasses.replace(cogvideox_tiny(patch_t=2), dtype=jnp.float32)
+    params = hf.convert_cogvideox(_state(ref), cfg)
+
+    rng = np.random.default_rng(22)
+    ft, hp, wp = 2, 4, 4  # 2 temporal patch groups (4 latent frames)
+    vid = rng.standard_normal((2, ft * hp * wp, 2 * 4 * 16)).astype(np.float32)
+    txt = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    t = np.array([44.0, 912.0], np.float32)
+    pos = video_positions(ft, hp, wp)
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(vid), torch.tensor(txt), torch.tensor(t),
+            torch.tensor(np.asarray(pos)),
+        ).numpy()
+    # torch-ref features are checkpoint-ordered (C, p_t, p, p): permute to
+    # this model's (p_t, p, p, C) before comparing
+    b, s, _ = out_ref.shape
+    out_ref = (
+        out_ref.reshape(b, s, 16, 2, 2, 2)
+        .transpose(0, 1, 3, 4, 5, 2)
+        .reshape(b, s, -1)
+    )
+
+    out, _ = cogvideox_forward(
+        params, jnp.asarray(vid), jnp.asarray(txt), jnp.asarray(t), cfg,
+        video_rope=cm.rope_frequencies(pos, cfg.axes_dim),
+    )
+    assert rel_err(out, out_ref) < 2e-4, rel_err(out, out_ref)
+
+
 def test_stepvideo_matches_torch():
     """Full Step-Video forward vs the torch reference built from the
     reference's own vendored block/normalization code (per-head packed

@@ -192,6 +192,46 @@ def test_cogvideox_pixel_decode():
     assert lat.ndim == 3
 
 
+def test_cogvideox_1_5_patch_t_pixel_decode():
+    """CogVideoX 1.5 temporal patching (patch_size_t=2): an odd latent frame
+    count is padded to patch_t divisibility for the transformer and the
+    padding frames are dropped before decode (reference
+    pipeline_cogvideox.py:227-233,262)."""
+    import dataclasses
+
+    from compactfusion_tpu.models.cogvideox import cogvideox_tiny, init_cogvideox
+    from compactfusion_tpu.pipelines.cogvideox import (
+        CogVideoXPipeline,
+        CogVideoXPipelineConfig,
+    )
+
+    mcfg = cogvideox_tiny(patch_t=2)
+    params = init_cogvideox(jax.random.PRNGKey(0), mcfg)
+    vcfg = dataclasses.replace(tiny_vae3d(), latent_channels=mcfg.in_channels)
+    vae_params = init_vae3d_decoder(jax.random.PRNGKey(1), vcfg)
+    cfg = CogVideoXPipelineConfig(
+        model=mcfg, parallel=ParallelConfig(), num_steps=2,
+        height=64, width=64, num_frames=9,
+    )
+    # 9 pixel frames -> 3 latent frames -> pad 1 -> 2 temporal patch groups
+    assert cfg.latent_frames == 3 and cfg.pad_latent_frames == 1
+    f, hp, wp = cfg.grid
+    assert f == 2
+    mesh = make_mesh(cfg.parallel, devices=jax.devices()[:1])
+    pipe = CogVideoXPipeline(
+        params, cfg, mesh, vae_params=vae_params, vae_cfg=vcfg
+    )
+    video = pipe(_text(mcfg.text_dim), jax.random.PRNGKey(2))
+    lf = cfg.latent_frames  # decoded latent frames after the pad drop
+    t_out = (
+        (lf - 1) * vcfg.temporal_ratio + 1 if lf % 2 else lf * vcfg.temporal_ratio
+    )
+    scale = 2 ** (len(vcfg.block_out_channels) - 1)
+    assert video.shape == (1, t_out, hp * mcfg.patch * scale,
+                           wp * mcfg.patch * scale, 3)
+    assert np.isfinite(np.asarray(video, np.float32)).all()
+
+
 # ---------------------------------------------------------------------------
 # Step-Video
 # ---------------------------------------------------------------------------

@@ -1201,21 +1201,37 @@ class _CogBlock(nn.Module):
 
 
 class CogVideoXRef(nn.Module):
-    """CogVideoXTransformer3DModel equivalent (rotary path, token-space)."""
+    """CogVideoXTransformer3DModel equivalent (rotary path, token-space).
+
+    ``patch_t > 1`` (CogVideoX 1.5) switches to the checkpoint's Linear
+    patch embed over (p_t, p, p, C)-packed tokens and a ``proj_out`` whose
+    output features are (C, p_t, p, p)-ordered (diffusers unpatchify
+    ``reshape(..., -1, p_t, p, p)``)."""
 
     def __init__(self, dim=64, depth=2, heads=4, patch=2, in_channels=16,
-                 text_dim=32, time_embed_dim=32, axes_dim=(8, 4, 4)):
+                 text_dim=32, time_embed_dim=32, axes_dim=(8, 4, 4),
+                 patch_t=1):
         super().__init__()
         self.axes_dim = axes_dim
         self.patch = patch
+        self.patch_t = patch_t
 
         class PatchEmbedCog(nn.Module):
             def __init__(self):
                 super().__init__()
-                self.proj = nn.Conv2d(in_channels, dim, patch, stride=patch)
+                if patch_t > 1:
+                    self.proj = nn.Linear(
+                        patch_t * patch * patch * in_channels, dim
+                    )
+                else:
+                    self.proj = nn.Conv2d(
+                        in_channels, dim, patch, stride=patch
+                    )
                 self.text_proj = nn.Linear(text_dim, dim)
 
             def forward(self, tokens, text):
+                if patch_t > 1:
+                    return self.proj(tokens), self.text_proj(text)
                 # tokens (B, S, p*p*C) raster (ph, pw, c): run the conv on
                 # each packed patch
                 b, s, pc = tokens.shape
@@ -1252,7 +1268,9 @@ class CogVideoXRef(nn.Module):
         )
         self.norm_final = nn.LayerNorm(dim, eps=1e-5)
         self.norm_out = AdaNormOut()
-        self.proj_out = nn.Linear(dim, patch * patch * in_channels)
+        self.proj_out = nn.Linear(
+            dim, patch_t * patch * patch * in_channels
+        )
 
     def forward(self, video_tokens, text, t, vid_ids):
         vid, txt = self.patch_embed(video_tokens, text)
