@@ -175,11 +175,14 @@ def _build_pixart(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[s
 
         mcfg, vcfg = pixart_tiny(), tiny_vae()
     else:
-        mcfg = (
-            pixart_sigma_1024()
-            if ("sigma" in name or inp.height > 512)
-            else pixart_alpha_512()
-        )
+        if "2k" in name or inp.height > 1024:
+            from compactfusion_tpu.models.pixart import pixart_sigma_2k
+
+            mcfg = pixart_sigma_2k()
+        elif "sigma" in name or inp.height > 512:
+            mcfg = pixart_sigma_1024()
+        else:
+            mcfg = pixart_alpha_512()
         vcfg = sd_vae()
     # snap to the model's native-area aspect bin (PixArt is the family the
     # reference bins; the output is resized back in xDiTParallel.__call__)
