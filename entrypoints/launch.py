@@ -50,13 +50,21 @@ class Engine:
         import dataclasses
 
         inp = self.runner.input_config
-        overrides = {
-            k: v
-            for k, v in request.items()
+        # only fields that take effect at request time on the compiled
+        # pipeline; size/steps/frames are baked into the jitted program at
+        # startup (change them by relaunching) — unlike the reference's
+        # eager pipelines, silently accepting them would do nothing
+        runtime_fields = {"prompt", "negative_prompt", "seed"}
+        overrides = {k: v for k, v in request.items() if k in runtime_fields}
+        ignored = sorted(
+            k
+            for k in request
             if k in {f.name for f in dataclasses.fields(inp)}
-        }
-        if "prompt" in overrides and isinstance(overrides["prompt"], str):
-            overrides["prompt"] = (overrides["prompt"],)
+            and k not in runtime_fields
+        )
+        for k in ("prompt", "negative_prompt"):
+            if isinstance(overrides.get(k), str):
+                overrides[k] = (overrides[k],)
         self.runner.input_config = dataclasses.replace(inp, **overrides)
         t0 = time.time()
         out = np.asarray(self.runner(), np.float32)
@@ -72,20 +80,26 @@ class Engine:
                 buf = io.BytesIO()
                 Image.fromarray(img8[i]).save(buf, format="PNG")
                 images.append(base64.b64encode(buf.getvalue()).decode())
-            return {
+            resp = {
                 "images": images,
                 "media_type": "image/png",
                 "shape": list(out.shape),
                 "latency_s": round(latency, 3),
             }
+            if ignored:
+                resp["ignored_fields"] = ignored
+            return resp
         buf = io.BytesIO()
         np.save(buf, out)
-        return {
+        resp = {
             "output": base64.b64encode(buf.getvalue()).decode(),
             "media_type": "application/x-npy",
             "shape": list(out.shape),
             "latency_s": round(latency, 3),
         }
+        if ignored:
+            resp["ignored_fields"] = ignored
+        return resp
 
 
 def make_handler(engine: Engine):

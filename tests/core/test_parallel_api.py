@@ -159,6 +159,19 @@ def test_http_service(tiny_runner):
 
         img = Image.open(io.BytesIO(base64.b64decode(payload["images"][0])))
         assert img.format == "PNG" and img.size == (16, 16)
+        # compile-time-static fields are reported as ignored, not silently
+        # accepted (the jitted program is baked at startup)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(
+                {"prompt": "a dog", "seed": 7, "num_inference_steps": 9,
+                 "height": 128}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            payload = json.load(r)
+        assert payload["ignored_fields"] == ["height", "num_inference_steps"]
     finally:
         server.shutdown()
 
