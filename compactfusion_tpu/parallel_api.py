@@ -825,11 +825,12 @@ class xDiTParallel:
         os.makedirs(directory, exist_ok=True)
         out = np.asarray(self(), np.float32)
         rank = jax.process_index()
-        if out.ndim == 4 and out.shape[-1] == 3:  # (B, H, W, 3) in [-1, 1]
+        if out.ndim == 4 and out.shape[-1] == 3:  # (B, H, W, 3) in [0, 1]
             from PIL import Image
 
             paths = []
-            img8 = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            # image pipelines return clip(img*0.5+0.5) in [0, 1]
+            img8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
             for i in range(img8.shape[0]):
                 path = os.path.join(
                     directory, f"{prefix}_rank{rank}_{i}.png"

@@ -74,7 +74,8 @@ class Engine:
             # contract: entrypoints/launch.py:165-214 returns png bytes)
             from PIL import Image
 
-            img8 = np.clip((out + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            # image pipelines return clip(img*0.5+0.5) in [0, 1]
+            img8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
             images = []
             for i in range(img8.shape[0]):
                 buf = io.BytesIO()
