@@ -816,14 +816,15 @@ class xDiTParallel:
             out = resize_and_crop(out, inp.height, inp.width)
         return out
 
-    def save(self, directory: str, prefix: str = "cftpu"):
+    def save(self, directory: str, prefix: str = "cftpu", out=None):
         """Persist outputs per DP rank (reference xDiTParallel.save).
 
         Image pipelines write PNG (one per batch element); video/latent
-        outputs fall back to .npy.
+        outputs fall back to .npy.  Pass ``out`` to persist an
+        already-generated result instead of running again.
         """
         os.makedirs(directory, exist_ok=True)
-        out = np.asarray(self(), np.float32)
+        out = np.asarray(self() if out is None else out, np.float32)
         rank = jax.process_index()
         if out.ndim == 4 and out.shape[-1] == 3:  # (B, H, W, 3) in [0, 1]
             from PIL import Image

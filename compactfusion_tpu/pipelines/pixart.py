@@ -346,9 +346,29 @@ class PixArtPipeline:
             self._sample = build_patch_pp_sample_fn(cfg, mesh, params)
         else:
             self._sample = build_sample_fn(cfg, mesh, params)
-        self._decode = jax.jit(
-            functools.partial(decode_latents, cfg=cfg)
-        )
+        if cfg.parallel.vae_parallel_size > 0:
+            # separate VAE ranks (reference parallel_state.py:297-308 +
+            # base_pipeline.py:654-669): decode on the device tail outside
+            # the DiT mesh with the halo-exchange banded decoder
+            from compactfusion_tpu.parallel.mesh import make_vae_mesh
+            from compactfusion_tpu.parallel.vae import decode_on_vae_mesh
+
+            vae_mesh = make_vae_mesh(cfg.parallel)
+            hp, wp = cfg.grid
+
+            def _decode_tail(vae_params, latent_tokens):
+                lat = cm.unpatchify(
+                    latent_tokens, cfg.model.patch, hp, wp,
+                    cfg.model.in_channels,
+                )
+                img = decode_on_vae_mesh(vae_params, lat, cfg.vae, vae_mesh)
+                return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+            self._decode = _decode_tail
+        else:
+            self._decode = jax.jit(
+                functools.partial(decode_latents, cfg=cfg)
+            )
 
     def __call__(self, text, text_mask, key, decode: bool = True):
         cfg = self.cfg

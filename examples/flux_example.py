@@ -36,6 +36,8 @@ def main():
             out = runner(decode=False)
     arr = np.asarray(out, np.float32)
     print(f"latents: shape={arr.shape} finite={np.isfinite(arr).all()}")
+    # persist the result like the reference examples (./results)
+    print(f"saved: {runner.save('results', prefix='flux', out=arr)}")
     print(Profiler.summary())
 
 

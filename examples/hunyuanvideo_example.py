@@ -37,6 +37,8 @@ def main():
             out = runner()
     arr = np.asarray(out, np.float32)
     print(f"output: shape={arr.shape} finite={np.isfinite(arr).all()}")
+    # persist the result like the reference examples (./results)
+    print(f"saved: {runner.save('results', prefix='hunyuanvideo', out=arr)}")
     print(Profiler.summary())
 
 

@@ -288,6 +288,32 @@ def test_resolution_binning_end_to_end():
         api._REGISTRY["pixart"].build = orig_build
 
 
+def test_vae_parallel_size_through_api():
+    """--vae_parallel_size routes decode onto the trailing VAE devices
+    (reference separate-VAE-ranks mode); the banded halo-exchange decoder is
+    bit-compatible with the replicated decode."""
+    parser = FlexibleArgumentParser()
+    xFuserArgs.add_cli_args(parser)
+    base_argv = ["--model", "pixart-tiny", "--height", "64", "--width", "64",
+                 "--num_inference_steps", "2", "--max_sequence_length", "8",
+                 "--ulysses_degree", "2", "--prompt", "a cat"]
+
+    def run(extra):
+        args = xFuserArgs.from_cli_args(parser.parse_args(base_argv + extra))
+        engine, inp = args.create_config()
+        runner = xDiTParallel(engine, inp)
+        return np.asarray(runner(decode=True), np.float32)
+
+    ref = run([])
+    tail = run(["--vae_parallel_size", "2"])
+    assert tail.shape == ref.shape
+    # bf16 decode: the banded decoder's psum'd GroupNorm stats differ from
+    # the replicated reduction order by ~1 ulp (fp32 exactness is pinned in
+    # tests/core/test_parallel_vae.py)
+    np.testing.assert_allclose(tail, ref, atol=2e-2)
+    assert np.abs(tail - ref).mean() < 2e-3
+
+
 def test_consisid_img_file_path(tmp_path):
     """--img_file_path conditions ConsisID identity tokens end-to-end: the
     image-derived id_states change the output vs the unconditioned run, and
