@@ -54,6 +54,14 @@ def flux_vae() -> VAEConfig:
     return VAEConfig(latent_channels=16, scaling_factor=0.3611, shift_factor=0.1159)
 
 
+def sd3_vae() -> VAEConfig:
+    """SD3's 16-channel AutoencoderKL (scaling/shift from the checkpoint
+    config)."""
+    return VAEConfig(
+        latent_channels=16, scaling_factor=1.5305, shift_factor=0.0609
+    )
+
+
 def tiny_vae() -> VAEConfig:
     return VAEConfig(block_out_channels=(8, 16), norm_num_groups=4, layers_per_block=1)
 

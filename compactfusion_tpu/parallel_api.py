@@ -188,8 +188,12 @@ def _build_pixart(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[s
     # reference bins; the output is resized back in xDiTParallel.__call__)
     inp = _bin_input(inp, mcfg.sample_size * 8)
     if checkpoint:
-        params = hf.convert_pixart(hf.load_safetensors(checkpoint), mcfg)
-        vae_params = None
+        tdir = os.path.join(checkpoint, "transformer")
+        params = hf.convert_pixart(
+            hf.load_safetensors(tdir if os.path.isdir(tdir) else checkpoint),
+            mcfg,
+        )
+        vae_params = _load_vae2d(checkpoint, vcfg)
     else:
         params = cm.jit_init(init_pixart, jax.random.PRNGKey(0), mcfg)
         vae_params = cm.jit_init(init_vae_decoder, jax.random.PRNGKey(1), vcfg)
@@ -227,13 +231,26 @@ def _build_flux(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str
         mcfg = flux_tiny()
     else:
         mcfg = flux_schnell() if "schnell" in name else flux_dev()
+    if "tiny" in name:
+        from compactfusion_tpu.models.vae import tiny_vae
+
+        # flux packs 2x2 latent patches: vae latents = in_channels // 4
+        vcfg = dataclasses.replace(
+            tiny_vae(), latent_channels=mcfg.in_channels // 4
+        )
+    else:
+        vcfg = flux_vae()
     if checkpoint:
-        params = hf.convert_flux(hf.load_safetensors(checkpoint), mcfg)
+        tdir = os.path.join(checkpoint, "transformer")
+        params = hf.convert_flux(
+            hf.load_safetensors(tdir if os.path.isdir(tdir) else checkpoint),
+            mcfg,
+        )
     else:
         params = cm.jit_init(init_flux, jax.random.PRNGKey(0), mcfg)
     pcfg = FluxPipelineConfig(
         model=mcfg,
-        vae=_vae_opts(flux_vae(), engine),
+        vae=_vae_opts(vcfg, engine),
         parallel=engine.parallel_config,
         compact=engine.compact_config,
         cache=_cache_cfg(engine, family="flux"),
@@ -243,29 +260,38 @@ def _build_flux(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str
         width=inp.width,
     )
     mesh = make_mesh(engine.parallel_config)
-    return FluxPipeline(params, None, pcfg, mesh), pcfg
+    return FluxPipeline(params, _load_vae2d(checkpoint, vcfg), pcfg, mesh), pcfg
 
 
 @register_family("sd3", r"stable-diffusion-3|sd3")
 def _build_sd3(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str] = None):
     from compactfusion_tpu.io import hf
     from compactfusion_tpu.models.sd3 import init_sd3, sd3_medium
-    from compactfusion_tpu.models.vae import flux_vae
+    from compactfusion_tpu.models.vae import sd3_vae
     from compactfusion_tpu.pipelines.sd3 import SD3Pipeline, SD3PipelineConfig
 
     if "tiny" in engine.model_config.model.lower():
         from compactfusion_tpu.models.sd3 import sd3_tiny
+        from compactfusion_tpu.models.vae import tiny_vae
 
         mcfg = sd3_tiny()
+        vcfg = dataclasses.replace(
+            tiny_vae(), latent_channels=mcfg.in_channels
+        )
     else:
         mcfg = sd3_medium()
+        vcfg = sd3_vae()
     if checkpoint:
-        params = hf.convert_sd3(hf.load_safetensors(checkpoint), mcfg)
+        tdir = os.path.join(checkpoint, "transformer")
+        params = hf.convert_sd3(
+            hf.load_safetensors(tdir if os.path.isdir(tdir) else checkpoint),
+            mcfg,
+        )
     else:
         params = cm.jit_init(init_sd3, jax.random.PRNGKey(0), mcfg)
     pcfg = SD3PipelineConfig(
         model=mcfg,
-        vae=_vae_opts(flux_vae(), engine),
+        vae=_vae_opts(vcfg, engine),
         parallel=engine.parallel_config,
         compact=engine.compact_config,
         num_steps=inp.num_inference_steps,
@@ -274,7 +300,29 @@ def _build_sd3(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[str]
         width=inp.width,
     )
     mesh = make_mesh(engine.parallel_config)
-    return SD3Pipeline(params, None, pcfg, mesh), pcfg
+    return SD3Pipeline(params, _load_vae2d(checkpoint, vcfg), pcfg, mesh), pcfg
+
+
+def _load_vae2d(checkpoint: Optional[str], vcfg, seed: int = 11):
+    """2D image-VAE decoder params: HF ``vae/`` subdir or random init.
+
+    FLUX/SD3-era AutoencoderKL checkpoints drop ``post_quant_conv``
+    (``use_post_quant_conv=False``); synthesize an identity 1x1 conv so the
+    shared decoder math applies unchanged."""
+    from compactfusion_tpu.io import hf
+    from compactfusion_tpu.models.vae import init_vae_decoder
+
+    if checkpoint:
+        vae_dir = os.path.join(checkpoint, "vae")
+        if os.path.isdir(vae_dir):
+            state = hf.load_safetensors(vae_dir)
+            if "post_quant_conv.weight" not in state:
+                c = vcfg.latent_channels
+                eye = np.eye(c, dtype=np.float32).reshape(c, c, 1, 1)
+                state["post_quant_conv.weight"] = eye
+                state["post_quant_conv.bias"] = np.zeros(c, np.float32)
+            return hf.convert_vae_decoder(state, vcfg)
+    return cm.jit_init(init_vae_decoder, jax.random.PRNGKey(seed), vcfg)
 
 
 def _load_vae3d(checkpoint: Optional[str], vcfg):
@@ -354,10 +402,15 @@ def _build_latte(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[st
 
     if "tiny" in engine.model_config.model.lower():
         from compactfusion_tpu.models.latte import latte_tiny
+        from compactfusion_tpu.models.vae import tiny_vae
 
         mcfg = latte_tiny()
+        vcfg = tiny_vae()
     else:
+        from compactfusion_tpu.models.vae import sd_vae
+
         mcfg = latte_1()
+        vcfg = sd_vae()
     if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
         from compactfusion_tpu.io import hf
 
@@ -377,7 +430,12 @@ def _build_latte(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[st
         num_frames=inp.num_frames,
     )
     mesh = make_mesh(engine.parallel_config)
-    return LattePipeline(params, pcfg, mesh), pcfg
+    vcfg = _vae_opts(vcfg, engine)
+    return LattePipeline(
+        params, pcfg, mesh,
+        vae_params=_load_vae2d(checkpoint, vcfg),
+        vae_cfg=vcfg,
+    ), pcfg
 
 
 @register_family("hunyuanvideo", r"hunyuanvideo")
@@ -548,10 +606,16 @@ def _build_hunyuan(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[
 
     if "tiny" in engine.model_config.model.lower():
         from compactfusion_tpu.models.hunyuandit import hunyuandit_tiny
+        from compactfusion_tpu.models.vae import tiny_vae
 
         mcfg = hunyuandit_tiny()
+        vcfg = tiny_vae()
     else:
+        from compactfusion_tpu.models.vae import sd_vae
+
         mcfg = hunyuandit_v12()
+        # HunyuanDiT ships the SDXL 4-channel VAE (scaling 0.13025)
+        vcfg = dataclasses.replace(sd_vae(), scaling_factor=0.13025)
     if checkpoint and os.path.isdir(os.path.join(checkpoint, "transformer")):
         from compactfusion_tpu.io import hf
 
@@ -562,6 +626,7 @@ def _build_hunyuan(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[
         params = init_hunyuandit(jax.random.PRNGKey(0), mcfg)
     pcfg = HunyuanDiTPipelineConfig(
         model=mcfg,
+        vae=_vae_opts(vcfg, engine),
         parallel=engine.parallel_config,
         compact=engine.compact_config,
         num_steps=inp.num_inference_steps,
@@ -570,7 +635,9 @@ def _build_hunyuan(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[
         width=inp.width,
     )
     mesh = make_mesh(engine.parallel_config)
-    return HunyuanDiTPipeline(params, None, pcfg, mesh), pcfg
+    return HunyuanDiTPipeline(
+        params, _load_vae2d(checkpoint, vcfg), pcfg, mesh
+    ), pcfg
 
 
 class xDiTParallel:
@@ -790,7 +857,7 @@ class xDiTParallel:
             return self.pipeline(txt, pooled, key, decode=decode)
         if self.family == "latte":
             txt, mask = enc.encode_for_pixart(prompts, negative, max_length=seq)
-            return self.pipeline(txt, mask, key)
+            return self.pipeline(txt, mask, key, decode=decode)
         if self.family in ("cogvideox", "hunyuanvideo", "consisid",
                            "stepvideo"):
             txt = enc.encode_for_video(prompts, negative, max_length=seq)

@@ -261,7 +261,10 @@ class CogVideoXPipeline:
                 # drop the divisibility padding frames (reference
                 # pipeline_cogvideox.py:227-233 "additional_frames")
                 lat = lat[:, cfg.pad_latent_frames:]
-                return vae3d_decode(vae_params, lat, vae_cfg)
+                vid = vae3d_decode(vae_params, lat, vae_cfg)
+                # diffusers video postprocess: (x/2+0.5).clamp(0,1) — same
+                # [0, 1] contract as the image pipelines
+                return jnp.clip(vid * 0.5 + 0.5, 0.0, 1.0)
 
             self._decode = jax.jit(decode)
 

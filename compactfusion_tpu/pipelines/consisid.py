@@ -193,7 +193,9 @@ class ConsisIDPipeline:
                     lat, mcfg.patch, hp, wp, mcfg.in_channels
                 ).reshape(b, f, hp * mcfg.patch, wp * mcfg.patch,
                           mcfg.in_channels)
-                return vae3d_decode(vp, lat, vae_cfg)
+                vid = vae3d_decode(vp, lat, vae_cfg)
+                # diffusers video postprocess: [0, 1] like the image pipelines
+                return jnp.clip(vid * 0.5 + 0.5, 0.0, 1.0)
 
             self._decode = jax.jit(decode)
 

@@ -271,6 +271,6 @@ class FluxPipeline:
             key, txt.shape[0], cfg.tokens, cfg.model.in_channels, jnp.float32
         )
         latents = self._sample(self.params, txt, pooled, latents)
-        if not decode:
+        if not decode or self.vae_params is None:
             return latents
         return self._decode(self.vae_params, latents)

@@ -218,7 +218,9 @@ class HunyuanVideoPipeline:
                 lat = cm.unpatchify(lat, 2, hl, wl, latent_c).reshape(
                     b, f, hl * 2, wl * 2, latent_c
                 )
-                return hv_vae3d_decode(vp, lat, vae_cfg)
+                vid = hv_vae3d_decode(vp, lat, vae_cfg)
+                # diffusers video postprocess: [0, 1] like the image pipelines
+                return jnp.clip(vid * 0.5 + 0.5, 0.0, 1.0)
 
             self._decode = jax.jit(decode)
 

@@ -123,15 +123,41 @@ def build_sample_fn(cfg: LattePipelineConfig, mesh: Mesh):
 
 
 class LattePipeline:
-    """User-facing pipeline (the reference's ``xFuserLattePipeline``)."""
+    """User-facing pipeline (the reference's ``xFuserLattePipeline``).
 
-    def __init__(self, params, cfg: LattePipelineConfig, mesh: Mesh):
+    With ``vae_params``/``vae_cfg`` set, ``__call__`` decodes each frame
+    through the 2D image VAE to pixel video (B, T, H, W, 3) in [0, 1], like
+    the reference's per-frame ``vae.decode`` tail (``pipeline_latte.py``);
+    otherwise it returns latent tokens."""
+
+    def __init__(self, params, cfg: LattePipelineConfig, mesh: Mesh,
+                 vae_params=None, vae_cfg=None):
         self.params = params
         self.cfg = cfg
         self.mesh = mesh
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg
         self._sample = build_sample_fn(cfg, mesh)
+        self._decode = None
+        if vae_params is not None:
+            from compactfusion_tpu.models.vae import vae_decode
 
-    def __call__(self, text, text_mask, key):
+            hp, wp = cfg.grid
+            t = cfg.num_frames
+
+            def decode(vp, latent_tokens):
+                b = latent_tokens.shape[0]
+                lat = latent_tokens.reshape(b * t, cfg.spatial_tokens, -1)
+                lat = cm.unpatchify(
+                    lat, cfg.model.patch, hp, wp, cfg.model.in_channels
+                )
+                img = vae_decode(vp, lat, vae_cfg)
+                img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+                return img.reshape(b, t, *img.shape[1:])
+
+            self._decode = jax.jit(decode)
+
+    def __call__(self, text, text_mask, key, decode: Optional[bool] = None):
         cfg = self.cfg
         if text_mask is None:
             text_mask = jnp.ones(text.shape[:3], bool)
@@ -142,4 +168,9 @@ class LattePipeline:
             cfg.model.patch**2 * cfg.model.in_channels,
             jnp.float32,
         )
-        return self._sample(self.params, text, text_mask, latents)
+        latents = self._sample(self.params, text, text_mask, latents)
+        if decode is None:
+            decode = self._decode is not None
+        if not decode or self._decode is None:
+            return latents
+        return self._decode(self.vae_params, latents)

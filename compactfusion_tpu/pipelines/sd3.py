@@ -216,6 +216,6 @@ class SD3Pipeline:
             jnp.float32,
         )
         latents = self._sample(self.params, txt, pooled, latents)
-        if not decode:
+        if not decode or self.vae_params is None:
             return latents
         return self._decode(self.vae_params, latents)

@@ -215,6 +215,32 @@ def test_registry_tiny_sd3():
     assert _run_family("sd3-tiny").ndim == 3
 
 
+def test_image_families_decode_to_pixels():
+    """Every image family decodes to (B, H, W, 3) in [0, 1] through the
+    one-call API (FLUX/SD3/HunyuanDiT previously had no VAE wired and
+    crashed or fell back on default decode); Latte decodes per-frame video."""
+    parser = FlexibleArgumentParser()
+    xFuserArgs.add_cli_args(parser)
+
+    def run(model, **extra):
+        argv = ["--model", model, "--height", "64", "--width", "64",
+                "--num_inference_steps", "2", "--max_sequence_length", "8",
+                "--prompt", "a cat"]
+        for k, v in extra.items():
+            argv += [f"--{k}", str(v)]
+        args = xFuserArgs.from_cli_args(parser.parse_args(argv))
+        engine, inp = args.create_config()
+        return np.asarray(xDiTParallel(engine, inp)(decode=True), np.float32)
+
+    for model in ("flux-tiny", "sd3-tiny", "hunyuandit-tiny"):
+        img = run(model)
+        assert img.ndim == 4 and img.shape[-1] == 3, (model, img.shape)
+        assert 0.0 <= img.min() and img.max() <= 1.0, model
+    vid = run("latte-tiny", num_frames=2)
+    assert vid.ndim == 5 and vid.shape[1] == 2 and vid.shape[-1] == 3
+    assert 0.0 <= vid.min() and vid.max() <= 1.0
+
+
 def test_registry_tiny_cogvideox_1_5():
     # routes to the patch_t=2 config (THUDM/CogVideoX1.5-5B naming)
     arr = _run_family("cogvideox1.5-tiny", num_frames=9)
