@@ -27,13 +27,19 @@ from typing import Optional
 import jax
 import numpy as np
 
-_DIR = os.environ.get("CFTPU_COLLECT_DIR", "")
-
 _SEQ: dict = {}
 
 
+def _dir() -> str:
+    # read dynamically (not cached at import): enabling collection must be
+    # reversible within one process — an import-time constant would leave
+    # ordered-callback taps baked into every later trace (and ordered
+    # effects refuse to run on >1 device), long after the caller unset it
+    return os.environ.get("CFTPU_COLLECT_DIR", "")
+
+
 def enabled() -> bool:
-    return bool(_DIR)
+    return bool(_dir())
 
 
 def collect(
@@ -45,7 +51,8 @@ def collect(
 ) -> None:
     """Dump ``x`` as ``{dir}/{name}_s{step}_l{layer}_r{rank}.npy`` (explicit
     mode) or ``{dir}/{name}_n{seq:05d}_r{rank}.npy`` (auto-sequence mode)."""
-    if not _DIR:
+    out_dir = _dir()
+    if not out_dir:
         return
 
     if rank is None:
@@ -54,20 +61,20 @@ def collect(
     if step is None and layer is None:
 
         def cb_seq(arr, rank_):
-            os.makedirs(_DIR, exist_ok=True)
+            os.makedirs(out_dir, exist_ok=True)
             key = (name, int(rank_))
             seq = _SEQ.get(key, 0)
             _SEQ[key] = seq + 1
-            path = os.path.join(_DIR, f"{name}_n{seq:05d}_r{int(rank_)}.npy")
+            path = os.path.join(out_dir, f"{name}_n{seq:05d}_r{int(rank_)}.npy")
             np.save(path, np.asarray(arr))
 
         jax.debug.callback(cb_seq, x, rank, ordered=True)
         return
 
     def cb(arr, step_, layer_, rank_):
-        os.makedirs(_DIR, exist_ok=True)
+        os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(
-            _DIR, f"{name}_s{int(step_)}_l{int(layer_)}_r{int(rank_)}.npy"
+            out_dir, f"{name}_s{int(step_)}_l{int(layer_)}_r{int(rank_)}.npy"
         )
         np.save(path, np.asarray(arr))
 
