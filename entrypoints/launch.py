@@ -70,7 +70,7 @@ class Engine:
         out = np.asarray(self.runner(), np.float32)
         latency = time.time() - t0
         if out.ndim == 4 and out.shape[-1] == 3:
-            # (B, H, W, 3) in [-1, 1] -> base64 PNG per image (reference
+            # (B, H, W, 3) in [0, 1] -> base64 PNG per image (reference
             # contract: entrypoints/launch.py:165-214 returns png bytes)
             from PIL import Image
 
