@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import base64
 import io
 import json
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -42,11 +43,20 @@ class Engine:
         self.args = args
         engine_config, input_config = args.create_config()
         self.runner = xDiTParallel(engine_config, input_config)
+        # ThreadingHTTPServer handles each request on its own thread, but
+        # generate() mutates runner.input_config and the chip is single-
+        # tenant anyway — serialize requests or concurrent POSTs could swap
+        # prompts mid-flight
+        self._lock = threading.Lock()
         # warmup compile (prepare_run forces device execution — a bare
         # dispatch returns immediately under the axon tunnel)
         self.runner.prepare_run()
 
     def generate(self, request: dict) -> dict:
+        with self._lock:
+            return self._generate(request)
+
+    def _generate(self, request: dict) -> dict:
         import dataclasses
 
         inp = self.runner.input_config
@@ -76,6 +86,27 @@ class Engine:
 
             # image pipelines return clip(img*0.5+0.5) in [0, 1]
             img8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
+            save_dir = request.get("save_disk_path")
+            if save_dir:
+                # reference contract (entrypoints/launch.py:114-126): write
+                # PNGs under the requested directory, return the paths
+                os.makedirs(save_dir, exist_ok=True)
+                stamp = time.strftime("%Y%m%d-%H%M%S")
+                paths = []
+                for i in range(img8.shape[0]):
+                    p = os.path.join(save_dir, f"generated_image_{stamp}_{i}.png")
+                    Image.fromarray(img8[i]).save(p)
+                    paths.append(p)
+                resp = {
+                    "message": "Image generated successfully",
+                    "output": paths if len(paths) > 1 else paths[0],
+                    "save_to_disk": True,
+                    "shape": list(out.shape),
+                    "latency_s": round(latency, 3),
+                }
+                if ignored:
+                    resp["ignored_fields"] = ignored
+                return resp
             images = []
             for i in range(img8.shape[0]):
                 buf = io.BytesIO()

@@ -180,6 +180,21 @@ def test_http_service(tiny_runner):
         with urllib.request.urlopen(req) as r:
             payload = json.load(r)
         assert payload["ignored_fields"] == ["height", "num_inference_steps"]
+        # save_disk_path: write the PNG server-side, return its path
+        # (reference contract: entrypoints/launch.py:114-126)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"prompt": "a dog", "save_disk_path": d}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                payload = json.load(r)
+            assert payload["save_to_disk"] is True
+            img = Image.open(payload["output"])
+            assert img.format == "PNG" and img.size == (16, 16)
     finally:
         server.shutdown()
 
