@@ -156,6 +156,9 @@ variants = [
     ("cross_xla", {"cross_impl": "xla"}),
     ("self_bq512", {"self_kw": {"block_q": 512}}),
     ("self_bf16exp", {"self_kw": {"exp_bf16": True}}),
+    ("self_fuseoff", {"self_kw": {"fuse_sum": False}}),
+    ("self_fuseon", {"self_kw": {"fuse_sum": True}}),
+    ("self_fuse_bf16exp", {"self_kw": {"fuse_sum": True, "exp_bf16": True}}),
     ("self_bq512_bf16exp", {"self_kw": {"block_q": 512, "exp_bf16": True}}),
     ("self_transpose", {"self_kw": "transpose_probe"}),
     ("self_hp2", {"self_kw": {"heads_per": 2}}),

@@ -60,6 +60,7 @@ def _flash_kernel(
     block_k: int,
     use_lens: bool,
     exp_bf16: bool,
+    fuse_sum: bool = False,
     window: Optional[int] = None,
     band_nb: int = 0,
 ):
@@ -111,8 +112,8 @@ def _flash_kernel(
             s = jnp.where(col < valid_k, s, NEG_INF)
         last_block = kv_blocks - 1
 
+    d = v.shape[1]
     m_prev = m_scr[:, :1]  # (Bq, 1)
-    l_prev = l_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
     if exp_bf16:
@@ -120,29 +121,48 @@ def _flash_kernel(
         # bf16 exp halves it (s - m <= 0 so exp is in [0, 1], bf16 rel err
         # ~0.4% - below the bf16 matmul noise the model already carries)
         p = jnp.exp((s - m_new).astype(jnp.bfloat16))
-        l_new = alpha * l_prev + jnp.sum(
-            p, axis=-1, keepdims=True, dtype=jnp.float32
-        )
     else:
         p = jnp.exp(s - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype),
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scr[:] = acc_scr[:] * alpha + pv
+    if fuse_sum:
+        # ride the AV matmul's free lane padding (d rounds up to 128 on the
+        # MXU anyway): append 8 ones-columns to v so column d of the product
+        # IS rowsum(p), computed on the MXU — removing the S^2-sized VPU
+        # sum-reduce pass and the separate l scratch.  Masked columns have
+        # p == 0 and contribute nothing, exactly like the unfused path.
+        ones = jnp.ones((v.shape[0], 8), v.dtype)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            jnp.concatenate([v, ones], axis=1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        l_new = acc_scr[:, d : d + 1]
+    else:
+        l_prev = l_scr[:, :1]
+        if exp_bf16:
+            l_new = alpha * l_prev + jnp.sum(
+                p, axis=-1, keepdims=True, dtype=jnp.float32
+            )
+        else:
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        l_scr[:, :1] = l_new
     m_scr[:, :1] = m_new
-    l_scr[:, :1] = l_new
 
     @pl.when(ki == last_block)
     def _():
         # fully-masked rows (q padding beyond the band) have l == 0; guard
         # the division - those rows are sliced off by the wrapper
         l_safe = jnp.where(l_new == 0.0, 1.0, l_new)
-        o_ref[0, 0, :, :] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        o_ref[0, 0, :, :] = (acc_scr[:, :d] / l_safe).astype(o_ref.dtype)
         lse_ref[0, 0, :, :] = jnp.broadcast_to(
             m_new + jnp.log(l_safe), lse_ref.shape[2:]
         )
@@ -248,7 +268,7 @@ def _flash_kernel_heads(
     jax.jit,
     static_argnames=(
         "scale", "block_q", "block_k", "interpret", "exp_bf16", "heads_per",
-        "window",
+        "window", "fuse_sum",
     ),
 )
 def flash_attn_with_lse(
@@ -263,6 +283,7 @@ def flash_attn_with_lse(
     exp_bf16: bool = False,
     heads_per: int = 1,
     window: Optional[int] = None,
+    fuse_sum: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Flash attention.  Same contract as ``attn_with_lse`` (non-causal).
 
@@ -279,6 +300,15 @@ def flash_attn_with_lse(
     number of KV blocks its band overlaps, so FLOPs scale with S*window
     instead of S^2.  Requires Sq == Sk and excludes kv_lens.
 
+    fuse_sum (opt-in, default off): compute rowsum(p) on the MXU by appending
+    8 ones-columns to the v block — the columns ride the AV matmul's lane
+    padding (any d with d % 128 <= 120, e.g. the 72 of PixArt heads, pads to
+    the same 128-lane multiple), so the S^2-sized VPU sum-reduce pass
+    disappears for free.  Honoured only when the padding is free and
+    heads_per == 1; held opt-in pending the in-model silicon A/B.  l then
+    sums the SAME bf16-rounded p the AV matmul consumes — self-consistent
+    normalisation, within bf16 noise of the unfused path.
+
     block_q=None picks a measured-on-v5e default: kv blocks of 1024 (the
     fp32 score block stays ~1-4 MB in VMEM); block_q 1024 for short
     sequences and 512 for long ones.  Isolated micro-benches prefer
@@ -293,6 +323,19 @@ def flash_attn_with_lse(
         scale = d**-0.5
     if block_q is None:
         block_q = 1024 if sq <= 2048 else 512
+    if fuse_sum is None:
+        # opt-in until the in-model silicon A/B lands (micro-bench winners
+        # have lost in-model before - see docs/PERF.md "measured dead ends");
+        # auto-on candidate: _round_up(d + 8, 128) == _round_up(d, 128)
+        fuse_sum = False
+    # the fusion is only free when d + 8 ones-columns round up to the same
+    # 128-lane multiple as d (d=72 -> 80 -> 128: free; d=128 -> 136 -> 256:
+    # would double AV cost), and the head-batched kernel has no fused path
+    fuse_sum = (
+        fuse_sum
+        and heads_per <= 1
+        and _round_up(d + 8, 128) == _round_up(d, 128)
+    )
 
     block_q = min(block_q, _round_up(sq, 8))
     block_k = min(block_k, _round_up(sk, 128))
@@ -300,8 +343,10 @@ def flash_attn_with_lse(
     # clamp to the ~16 MB VMEM scoped limit: fp32 score block + fp32 out
     # accumulator + bf16 q/k/v blocks, with ~2x headroom for Mosaic's
     # double-buffered pipelining (measured: a 10 MB estimate allocates ~18 MB)
+    d_acc = d + 8 if fuse_sum else d
+
     def _vmem_bytes(bq, bk):
-        return 4 * bq * bk + 4 * bq * d + 2 * (bq + 2 * bk) * d
+        return 4 * bq * bk + 4 * bq * d_acc + 2 * (bq + 2 * bk) * d
 
     while _vmem_bytes(block_q, block_k) > 6 * 1024 * 1024:
         if block_q >= block_k and block_q > 8:
@@ -355,6 +400,7 @@ def flash_attn_with_lse(
             block_k=block_k,
             use_lens=False,
             exp_bf16=exp_bf16,
+            fuse_sum=fuse_sum,
             window=window,
             band_nb=band_nb,
         )
@@ -370,8 +416,8 @@ def flash_attn_with_lse(
         ]
         scratch = [
             pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((8, 128) if fuse_sum else (block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d_acc), jnp.float32),
         ]
         out, lse8 = pl.pallas_call(
             kernel,
@@ -434,6 +480,7 @@ def flash_attn_with_lse(
             block_k=block_k,
             use_lens=use_lens,
             exp_bf16=exp_bf16,
+            fuse_sum=fuse_sum,
         )
         grid = (b, h, sq_p // block_q, kv_blocks)
         in_specs = [
@@ -447,8 +494,8 @@ def flash_attn_with_lse(
         ]
         scratch = [
             pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((8, 128) if fuse_sum else (block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d_acc), jnp.float32),
         ]
 
     out, lse8 = pl.pallas_call(

@@ -103,3 +103,25 @@ def test_flash_head_batched():
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref_o), atol=2e-4)
         np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_l), atol=2e-4)
+
+
+@pytest.mark.parametrize("window", [None, 96])
+def test_flash_fuse_sum_on_off(window):
+    """MXU-fused rowsum (ones-columns in v) == separate VPU sum-reduce.
+
+    d=72 is the PixArt head dim whose lane padding makes the fusion free;
+    the ragged Sk tail exercises masked columns (p == 0 must not perturb
+    the fused l), and the window case the banded kernel's fused path.
+    """
+    sk = 256 if window is not None else 320  # window requires Sq == Sk
+    q, k, v = _qkv(1, 256, sk, h=2, d=72, seed=7)
+    kw = dict(block_q=128, block_k=128, interpret=True, window=window)
+    out_f, lse_f = flash_attn_with_lse(q, k, v, fuse_sum=True, **kw)
+    out_u, lse_u = flash_attn_with_lse(q, k, v, fuse_sum=False, **kw)
+    # identical math modulo the bf16 cast of p feeding l in the fused path
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lse_f), np.asarray(lse_u), atol=2e-4)
+    if window is None:
+        ref_o, ref_l = attn_with_lse(q, k, v, impl="xla")
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_o), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(lse_f), np.asarray(ref_l), atol=2e-4)
