@@ -98,16 +98,9 @@ def _fused_compact_ring(
     from compactfusion_tpu.ops.ring_flash_pallas import (
         compact_binary_ring_flash,
     )
-    from compactfusion_tpu.parallel.mesh import MESH_AXIS_ORDER
+    from compactfusion_tpu.parallel.mesh import ambient_mesh_axes
 
-    axes = []
-    for name in MESH_AXIS_ORDER:
-        try:
-            axes.append((name, lax.axis_size(name)))
-        except NameError:
-            pass
-    if not any(n == axis_name for n, _ in axes):
-        axes.append((axis_name, ring_size))
+    axes = ambient_mesh_axes(axis_name, ring_size)
 
     awl_k = None
     if awl:
@@ -120,7 +113,7 @@ def _fused_compact_ring(
         q, k, v, state.k.base, state.v.base,
         axis_name=axis_name,
         ring_size=ring_size,
-        mesh_axes=tuple(axes),
+        mesh_axes=axes,
         comp_rank=cfg.comp_rank,
         scale=scale,
         codec=codec,
@@ -169,6 +162,8 @@ def compact_ring_attention(
     (own slot at compress time, each source slot at decompress time) exactly
     like the reference cache (``ring.py:184-206``).
     """
+    from compactfusion_tpu.utils import collector
+
     b, s, h, d = k.shape
     kv_shape = (b, s, h, d)
 
@@ -189,6 +184,14 @@ def compact_ring_attention(
         and not cfg.simulate
         and not cfg.quantized_cache
         and not cfg.log_stats
+        # the fused kernel has no collector taps — fall through to the
+        # ppermute path so offline-analysis dumps stay complete
+        and not collector.enabled()
+        # kernel shape preconditions (compact_binary_ring_flash asserts
+        # them): q may carry prepended joint text rows of arbitrary length
+        # (e.g. CogVideoX S_txt=226), which the ppermute path handles fine
+        and q.shape[1] % 8 == 0
+        and d % 8 == 0
         and state.k.delta_base is None
     ):
         interp = fused == "interpret"
@@ -204,8 +207,6 @@ def compact_ring_attention(
             return out, state
 
     my = lax.axis_index(axis_name)
-
-    from compactfusion_tpu.utils import collector
 
     if collector.enabled():
         # offline-analysis taps (reference hybrid/attn_layer.py:181-188)
@@ -234,8 +235,8 @@ def compact_ring_attention(
 
         k_nc = _as_nc(k).astype(jnp.float32)
         delta = k_nc - k_own.base.astype(jnp.float32)
-        stats.log_spectrum_inside_jit("k-activation", k_nc)
-        stats.log_spectrum_inside_jit("k-delta", delta)
+        stats.log_spectrum_inside_jit("k-activation", k_nc, rank=my)
+        stats.log_spectrum_inside_jit("k-delta", delta, rank=my)
 
     payload_k, k_own = ef_compress(_as_nc(k), k_own, cfg, method, awl_scale=awl)
     payload_v, v_own = ef_compress(_as_nc(v), v_own, cfg, method)
@@ -247,11 +248,13 @@ def compact_ring_attention(
 
         stats.log_inside_jit(
             "k", -1,
-            stats.compression_metrics(_as_nc(k), k_own.base), ordered=True,
+            stats.compression_metrics(_as_nc(k), k_own.base),
+            ordered=True, rank=my,
         )
         stats.log_inside_jit(
             "v", -1,
-            stats.compression_metrics(_as_nc(v), v_own.base), ordered=True,
+            stats.compression_metrics(_as_nc(v), v_own.base),
+            ordered=True, rank=my,
         )
     if collector.enabled():
         # post-EF base caches (reference compact/utils.py:140-143 tap)

@@ -145,13 +145,36 @@ class StatsLogger:
         return "\n".join(lines)
 
 
-def log_inside_jit(key: str, step, metrics: Dict[str, jax.Array], ordered=False):
+def log_inside_jit(
+    key: str, step, metrics: Dict[str, jax.Array], ordered=False, rank=None
+):
     """Ship metrics from a compiled region to the host logger (debug mode).
 
     ``ordered=True`` preserves program execution order on the host — required
     when the host reconstructs (layer, denoise-step) indices from arrival
-    order (the analysis harness does).
+    order (the analysis harness does).  JAX refuses ordered callbacks for
+    computations spanning >1 device, so on a multi-device mesh the call
+    downgrades to an unordered callback and tags the key with ``rank`` (pass
+    ``lax.axis_index(...)`` from inside shard_map) — per-rank streams still
+    arrive in per-device program order under current runtimes; the strict
+    guarantee holds on the single-device analysis harness (SimRingAttn).
     """
+    from compactfusion_tpu.utils.collector import ambient_device_count
+
+    if ordered and ambient_device_count() > 1:
+        if rank is None:
+
+            def cb_u(step_, **m):
+                StatsLogger.instance().log(key, step_, m)
+
+            jax.debug.callback(cb_u, step, **metrics)
+        else:
+
+            def cb_r(step_, rank_, **m):
+                StatsLogger.instance().log(f"{key}@r{int(rank_)}", step_, m)
+
+            jax.debug.callback(cb_r, step, rank, **metrics)
+        return
 
     def cb(step_, **m):
         StatsLogger.instance().log(key, step_, m)
@@ -174,8 +197,30 @@ def spectrum(x: jax.Array, top_k: int = 64) -> jax.Array:
     return s[..., :k]
 
 
-def log_spectrum_inside_jit(key: str, x: jax.Array, top_k: int = 64):
-    """Record the singular-value spectrum of ``x`` under ``key`` (ordered)."""
+def log_spectrum_inside_jit(key: str, x: jax.Array, top_k: int = 64, rank=None):
+    """Record the singular-value spectrum of ``x`` under ``key`` (ordered on
+    a single device; unordered + rank-tagged key on a multi-device mesh, see
+    ``log_inside_jit``)."""
+    from compactfusion_tpu.utils.collector import ambient_device_count
+
+    if ambient_device_count() > 1:
+        if rank is None:
+
+            def cb_u(sv):
+                StatsLogger.instance().spectra[key].append(
+                    [float(v) for v in sv.ravel()]
+                )
+
+            jax.debug.callback(cb_u, spectrum(x, top_k))
+        else:
+
+            def cb_r(sv, rank_):
+                StatsLogger.instance().spectra[f"{key}@r{int(rank_)}"].append(
+                    [float(v) for v in sv.ravel()]
+                )
+
+            jax.debug.callback(cb_r, spectrum(x, top_k), rank)
+        return
 
     def cb(sv):
         StatsLogger.instance().spectra[key].append(

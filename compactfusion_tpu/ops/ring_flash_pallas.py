@@ -128,9 +128,17 @@ def _ring_kernel(
         nxt = lax.rem(s + 1, 2)
         is_comm = s < ring_size - 1
 
-        @pl.when(is_comm)
-        def _():
-            _rdma(slot, nxt).start()
+        # ring_size is STATIC: gate the comm ops out of the trace entirely in
+        # the degenerate single-chip ring — the fori_loop body is traced once
+        # with a TRACED ``is_comm`` predicate, so a pl.when alone would still
+        # emit the barrier/RDMA ops and tpu_custom_call rejects any kernel
+        # containing a barrier semaphore without a collective_id (which the
+        # wrapper correctly drops at ring_size=1)
+        if ring_size > 1:
+
+            @pl.when(is_comm)
+            def _():
+                _rdma(slot, nxt).start()
 
         def q_body(qi, _):
             flash_block(qi, slot)
@@ -138,22 +146,24 @@ def _ring_kernel(
 
         lax.fori_loop(0, n_qb, q_body, 0, unroll=True)
 
-        @pl.when(is_comm)
-        def _():
-            # our send finished + the inbound block for step s+1 arrived
-            _rdma(slot, nxt).wait()
-            # slot-reuse safety: neighbors must have finished reading the
-            # slot our NEXT send will overwrite (they did, this step)
-            barrier = pltpu.get_barrier_semaphore()
-            pltpu.semaphore_signal(
-                barrier, inc=1, device_id=ids_ref[1],
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
-            )
-            pltpu.semaphore_signal(
-                barrier, inc=1, device_id=ids_ref[2],
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
-            )
-            pltpu.semaphore_wait(barrier, 2)
+        if ring_size > 1:
+
+            @pl.when(is_comm)
+            def _():
+                # our send finished + the inbound block for step s+1 arrived
+                _rdma(slot, nxt).wait()
+                # slot-reuse safety: neighbors must have finished reading the
+                # slot our NEXT send will overwrite (they did, this step)
+                barrier = pltpu.get_barrier_semaphore()
+                pltpu.semaphore_signal(
+                    barrier, inc=1, device_id=ids_ref[1],
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                pltpu.semaphore_signal(
+                    barrier, inc=1, device_id=ids_ref[2],
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                pltpu.semaphore_wait(barrier, 2)
 
         return 0
 
@@ -318,8 +328,9 @@ def ring_flash_attn_with_lse(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # ring_size=1 traces out every barrier (degenerate single-chip
-            # ring); tpu_custom_call rejects a collective_id without one
+            # at ring_size=1 the kernel statically omits every RDMA/barrier
+            # op (see step_body); tpu_custom_call rejects a collective_id
+            # when no barrier is present
             collective_id=collective_id if ring_size > 1 else None,
             has_side_effects=True,
         ),
@@ -400,6 +411,7 @@ def _cring_kernel(
     n_qb = sq // block_q
     n_kb = sk // block_k
     my = ids_ref[3]  # this device's ring coordinate (host-computed)
+    hi = pl.program_id(1)  # head grid coordinate (h iterates fastest)
 
     m_scr[:] = jnp.full_like(m_scr, NEG_INF)
     l_scr[:] = jnp.zeros_like(l_scr)
@@ -411,13 +423,28 @@ def _cring_kernel(
     if codec != "lowrank":
         pk_buf[0] = pk_ref[0, 0]
         pv_buf[0] = pv_ref[0, 0]
-    uk_buf[0] = uk_ref[0]
-    uv_buf[0] = uv_ref[0]
+
+    @pl.when(hi == 0)
+    def _():
+        # u rows are HEAD-INVARIANT: only the first head cell of each batch
+        # seeds and ring-rotates them — into per-step slots of a persistent
+        # (R, Sk, K) scratch — and the later head cells replay the persisted
+        # slots without any RDMA.  Rotating them in every cell would send
+        # the same rows H times (for the lowrank codec the u factor IS the
+        # dominant payload, so that would inflate wire bytes ~Hx past the
+        # unfused ppermute path's accounting).
+        uk_buf[0] = uk_ref[0]
+        uv_buf[0] = uv_ref[0]
+
     vk_buf[0] = vk_ref[0]
     vv_buf[0] = vv_ref[0]
 
-    def dequant_update(slot, src, packed_buf, u_buf, v_buf, base_ref, base_out):
-        """codes + scales + base[src] -> reconstructed block; EF-update base."""
+    def dequant_update(slot, s, src, packed_buf, u_buf, v_buf, base_ref, base_out):
+        """codes + scales + base[src] -> reconstructed block; EF-update base.
+
+        ``slot``: double-buffer slot of the per-head planes (packed codes,
+        v columns); ``s``: ring step = persistent slot of the u rows.
+        """
         if codec == "binary":
             packed = packed_buf[slot].astype(jnp.int32)  # (Sk, D/8)
             parts = [(packed >> i) & 1 for i in range(8)]
@@ -434,13 +461,13 @@ def _cring_kernel(
             val = None
         # bf16 x bf16 -> fp32: every product is exact, so this matches the
         # unfused codecs' decode (which casts the bf16 wire scales to fp32)
-        s = jax.lax.dot_general(
-            u_buf[slot], v_buf[slot],
+        s_ = jax.lax.dot_general(
+            u_buf[s], v_buf[slot],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Sk, D)
         base = base_ref[0, 0, src]
-        blk = base + (s if val is None else val * s)
+        blk = base + (s_ if val is None else val * s_)
         base_out[0, 0, src] = blk
         return blk
 
@@ -480,33 +507,42 @@ def _cring_kernel(
             m_scr[q0 : q0 + block_q, :1] = m_new
             l_scr[q0 : q0 + block_q, :1] = l_new
 
-    def _rdma(buf, slot, nxt, i):
+    def _rdma(buf, src_i, dst_i, sem_i, sem_src, sem_dst):
         return pltpu.make_async_remote_copy(
-            src_ref=buf.at[slot],
-            dst_ref=buf.at[nxt],
-            send_sem=send_sems.at[i, slot],
-            recv_sem=recv_sems.at[i, nxt],
+            src_ref=buf.at[src_i],
+            dst_ref=buf.at[dst_i],
+            send_sem=send_sems.at[sem_i, sem_src],
+            recv_sem=recv_sems.at[sem_i, sem_dst],
             device_id=ids_ref[0],
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
 
+    # per-head planes rotate in every grid cell (double-buffered);
+    # head-invariant u rows rotate only in the hi==0 cell (per-step slots)
     if codec == "lowrank":
-        bufs = (uk_buf, uv_buf, vk_buf, vv_buf)
+        cell_bufs = (vk_buf, vv_buf)
     else:
-        bufs = (pk_buf, pv_buf, uk_buf, uv_buf, vk_buf, vv_buf)
+        cell_bufs = (pk_buf, pv_buf, vk_buf, vv_buf)
+    u_bufs = (uk_buf, uv_buf)
+    n_cell = len(cell_bufs)
 
     for s in range(ring_size):
         slot = s % 2
         nxt = (s + 1) % 2
         src = lax.rem(my - s + ring_size, ring_size)
         if s < ring_size - 1:
-            for i, buf in enumerate(bufs):
-                _rdma(buf, slot, nxt, i).start()
+            for i, buf in enumerate(cell_bufs):
+                _rdma(buf, slot, nxt, i, slot, nxt).start()
+
+            @pl.when(hi == 0)
+            def _(s=s, slot=slot, nxt=nxt):
+                for j, buf in enumerate(u_bufs):
+                    _rdma(buf, s, s + 1, n_cell + j, slot, nxt).start()
 
         # EF base update for slot `src` from the payload in hand (sender at
         # s=0 where src==my, receivers at s>0 — identical bit path)
-        k_rec = dequant_update(slot, src, pk_buf, uk_buf, vk_buf, kbase_ref, kbase_out)
-        v_rec = dequant_update(slot, src, pv_buf, uv_buf, vv_buf, vbase_ref, vbase_out)
+        k_rec = dequant_update(slot, s, src, pk_buf, uk_buf, vk_buf, kbase_ref, kbase_out)
+        v_rec = dequant_update(slot, s, src, pv_buf, uv_buf, vv_buf, vbase_ref, vbase_out)
 
         if s == 0:
             # step 0 attends the local EXACT shard (compact/ring.py:178-180)
@@ -523,8 +559,14 @@ def _cring_kernel(
             flash_block(qi * block_q, flash_block_kv[0], flash_block_kv[1])
 
         if s < ring_size - 1:
-            for i, buf in enumerate(bufs):
-                _rdma(buf, slot, nxt, i).wait()
+            for i, buf in enumerate(cell_bufs):
+                _rdma(buf, slot, nxt, i, slot, nxt).wait()
+
+            @pl.when(hi == 0)
+            def _(s=s, slot=slot, nxt=nxt):
+                for j, buf in enumerate(u_bufs):
+                    _rdma(buf, s, s + 1, n_cell + j, slot, nxt).wait()
+
             barrier = pltpu.get_barrier_semaphore()
             pltpu.semaphore_signal(
                 barrier, inc=1, device_id=ids_ref[1],
@@ -626,7 +668,11 @@ def compact_binary_ring_flash(
     The sender-side scale model (mean or rank-K subspace over |delta|) runs
     outside the kernel like the reference fastpath wrapper; packed codes +
     scale factors are the ONLY inter-chip traffic, rotated by in-kernel RDMA
-    with dequant + EF base update fused before each flash partial.
+    with dequant + EF base update fused before each flash partial.  The
+    head-invariant u rows rotate ONCE per batch (the first head grid cell
+    rotates them into per-step slots of a persistent scratch; later head
+    cells replay the slots), so fused wire bytes match the unfused payload
+    accounting — per-head planes (packed codes, v columns) rotate per cell.
     """
     from compactfusion_tpu.compact import codecs
 
@@ -735,12 +781,18 @@ def compact_binary_ring_flash(
     # packed payload width (codes plane absent entirely for lowrank)
     pw = {"binary": d // 8, "int2": d // 4, "lowrank": 0}[codec]
 
-    # VMEM budget: EF base blocks (2 x R x Sk x D fp32) dominate; fail loud
-    # with the actionable knobs instead of a Mosaic scoped-vmem error
+    # VMEM budget: EF base blocks (2 x R x Sk x D fp32) dominate — counted
+    # TWICE because the kbase_out/vbase_out output windows coexist with the
+    # input blocks in VMEM (input_output_aliases alias the HBM buffers, not
+    # the VMEM windows); fail loud with the actionable knobs instead of a
+    # Mosaic scoped-vmem error
     vmem = (
-        2 * 4 * R * sk * d  # k/v base blocks
+        2 * 2 * 4 * R * sk * d  # k/v base blocks, input + aliased output
         + 2 * (sq + 2 * sk) * d  # q/k/v inputs (bf16-ish)
-        + 2 * 2 * sk * pw + 2 * 2 * sk * kk + 2 * 2 * kk * d  # payload bufs
+        + 2 * sq * d + 4 * sq * 8  # o/lse output blocks
+        # payload bufs: packed planes + per-head v cols double-buffered,
+        # head-invariant u rows in R per-step bf16 slots
+        + 2 * 2 * sk * pw + 2 * 2 * R * sk * kk + 2 * 2 * 2 * kk * d
         + 4 * sq * (d + 256)  # acc/m/l
         + 4 * block_q * block_k  # scores
     )
@@ -797,8 +849,12 @@ def compact_binary_ring_flash(
             ],
             scratch_shapes=[
                 *packed_scratch,
-                pltpu.VMEM((2, sk, kk), codecs.SCALE_DTYPE),
-                pltpu.VMEM((2, sk, kk), codecs.SCALE_DTYPE),
+                # u rows: PER-STEP slots, persisted across the head grid
+                # cells of a batch (rotated once by the hi==0 cell — they
+                # are head-invariant, so re-rotating per cell would send
+                # them H times over the wire)
+                pltpu.VMEM((R, sk, kk), codecs.SCALE_DTYPE),
+                pltpu.VMEM((R, sk, kk), codecs.SCALE_DTYPE),
                 pltpu.VMEM((2, kk, d), codecs.SCALE_DTYPE),
                 pltpu.VMEM((2, kk, d), codecs.SCALE_DTYPE),
                 pltpu.VMEM((sq, 128), jnp.float32),

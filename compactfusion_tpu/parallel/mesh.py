@@ -41,6 +41,28 @@ AXIS_SEQ = (AXIS_RING, AXIS_ULYSSES)
 MESH_AXIS_ORDER = (AXIS_DP, AXIS_CFG, AXIS_PP, AXIS_RING, AXIS_ULYSSES, AXIS_TP)
 
 
+def ambient_mesh_axes(ring_axis: str, ring_size: int):
+    """(name, size) of every named mesh axis in scope at this trace point.
+
+    The fused ring kernels compute flattened logical neighbor ids from the
+    FULL mesh shape, so they need the complete axis list even when only the
+    ring axis participates.  Appends ``(ring_axis, ring_size)`` when the
+    ring axis is not one of the canonical mesh axes (tests drive the kernels
+    under a bare single-axis shard_map).
+    """
+    import jax.lax as lax
+
+    axes = []
+    for name in MESH_AXIS_ORDER:
+        try:
+            axes.append((name, lax.axis_size(name)))
+        except NameError:
+            pass
+    if not any(n == ring_axis for n, _ in axes):
+        axes.append((ring_axis, ring_size))
+    return tuple(axes)
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshSpec:
     """Shape of the DiT mesh, plus the optional VAE device tail.

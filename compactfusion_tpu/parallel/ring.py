@@ -110,22 +110,13 @@ def _fused_ring(
     from jax.experimental.pallas import tpu as pltpu
 
     from compactfusion_tpu.ops.ring_flash_pallas import ring_flash_attn_with_lse
-    from compactfusion_tpu.parallel.mesh import MESH_AXIS_ORDER
-
-    axes = []
-    for name in MESH_AXIS_ORDER:
-        try:
-            axes.append((name, jax.lax.axis_size(name)))
-        except NameError:
-            pass
-    if not any(n == axis_name for n, _ in axes):
-        axes.append((axis_name, ring_size))
+    from compactfusion_tpu.parallel.mesh import ambient_mesh_axes
 
     out, lse = ring_flash_attn_with_lse(
         q, k, v,
         axis_name=axis_name,
         ring_size=ring_size,
-        mesh_axes=tuple(axes),
+        mesh_axes=ambient_mesh_axes(axis_name, ring_size),
         scale=scale,
         interpret=(
             pltpu.InterpretParams(dma_execution_mode="eager")

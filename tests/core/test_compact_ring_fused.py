@@ -39,14 +39,23 @@ def _drift(n_steps, b, s, h, d, seed=0, drift=0.05):
 
 @pytest.mark.parametrize("ring", [2, 4])
 @pytest.mark.parametrize(
-    "codec,comp_rank",
-    [("binary", -1), ("binary", 2), ("int2", -1), ("lowrank", 2)],
+    "codec,comp_rank,b",
+    [
+        ("binary", -1, 1),
+        ("binary", 2, 1),
+        ("int2", -1, 1),
+        ("lowrank", 2, 1),
+        # b=2 exercises the per-batch re-seed of the persistent u-row
+        # slots (the head-invariant factors rotate only in each batch's
+        # first head grid cell; the next batch must overwrite them)
+        ("lowrank", 2, 2),
+    ],
 )
-def test_fused_compact_ring_matches_ppermute_path(ring, codec, comp_rank):
+def test_fused_compact_ring_matches_ppermute_path(ring, codec, comp_rank, b):
     """Multi-step: outputs AND EF base stacks of the fused kernel must track
     the unfused compact ring (binary/int2/lowrank, residual=1, EF, bf16
     scales)."""
-    b, h, d = 1, 2, 16
+    h, d = 2, 16
     s_local = 32
     s = s_local * ring
     n, c = b * s_local, h * d
