@@ -41,6 +41,12 @@ class FastAttnMethod(enum.IntEnum):
     OUTPUT_SHARE = 2
     FULL_ATTN_CFG_SHARE = 3
     RESIDUAL_WINDOW_ATTN_CFG_SHARE = 4
+    # FULL variants that skip the residual-refresh window pass when no later
+    # step consumes it (the reference's per-(step, layer)
+    # ``need_cache_residual`` flag, ``fast_attention/utils.py:106-116``).
+    # Never emitted by calibration — ``optimize_plan`` derives them.
+    FULL_ATTN_NO_RESIDUAL = 5
+    FULL_ATTN_CFG_SHARE_NO_RESIDUAL = 6
 
 
 def window_mask(s: int, window: int) -> jax.Array:
@@ -140,9 +146,20 @@ class FastAttnAttn:
             ).astype(q.dtype)
             return _tile_cond(out_h), state["residual"]
 
+        def full_nores(_):
+            # no later step reads the residual before the next FULL refresh
+            # (optimize_plan proved it) — skip the window pass entirely
+            return sdpa(q, k, v), state["residual"]
+
+        def full_cfg_nores(_):
+            out_h = sdpa(q[:half], k[:half], v[:half])
+            return _tile_cond(out_h), state["residual"]
+
         branches = [full, window_res, share]
         branches.append(full_cfg if cfg_ok else full)
         branches.append(window_cfg if cfg_ok else window_res)
+        branches.append(full_nores)
+        branches.append(full_cfg_nores if cfg_ok else full_nores)
 
         out, residual = lax.switch(method, branches, None)
         new_state = {
@@ -194,6 +211,9 @@ class CalibrationAttn:
         self, q, k, v, state, *, joint_q=None, joint_k=None, joint_v=None,
         joint_strategy="front",
     ):
+        # silently dropping joint tensors would calibrate every candidate
+        # against the WRONG attention distribution — fail like FastAttnAttn
+        assert joint_q is None, "fast-attn calibration is for self-attention DiTs"
         out = sdpa(q, k, v)
         win = window_attention(q, k, v, self.window_size)
         if self.cfg_batched and q.shape[0] % 2 == 0:
@@ -251,6 +271,42 @@ def select_methods(
             plan[i] = int(FastAttnMethod.RESIDUAL_WINDOW_ATTN)
         elif full_cfg_loss[i] < budget:
             plan[i] = int(FastAttnMethod.FULL_ATTN_CFG_SHARE)
+    return plan
+
+
+def optimize_plan(plan) -> Any:
+    """Mark FULL steps whose cached residual is never consumed.
+
+    The FULL branches refresh the windowed-attention residual for later
+    RESIDUAL_WINDOW steps; when no such step follows before the next FULL
+    refresh, that window pass is pure waste.  The reference precomputes the
+    same per-(step, layer) ``need_cache_residual`` flags
+    (``fast_attention/utils.py:106-116``); here the equivalent is rewriting
+    FULL_ATTN(_CFG_SHARE) -> its ``_NO_RESIDUAL`` variant in the static plan
+    table.  Apply when baking a calibrated/loaded plan into a pipeline —
+    idempotent, and a no-op for plans already carrying NO_RESIDUAL entries.
+    """
+    import numpy as np
+
+    F = FastAttnMethod
+    plan = np.asarray(plan, np.int32).copy()
+    steps, n_layers = plan.shape
+    window = {int(F.RESIDUAL_WINDOW_ATTN), int(F.RESIDUAL_WINDOW_ATTN_CFG_SHARE)}
+    to_nores = {
+        int(F.FULL_ATTN): int(F.FULL_ATTN_NO_RESIDUAL),
+        int(F.FULL_ATTN_CFG_SHARE): int(F.FULL_ATTN_CFG_SHARE_NO_RESIDUAL),
+    }
+    for l in range(n_layers):
+        consumed_later = False  # does a step >= s+1 read the residual before
+        # a FULL overwrites it?  (OUTPUT_SHARE passes it through untouched)
+        for s in range(steps - 1, -1, -1):
+            m = int(plan[s, l])
+            if m in window:
+                consumed_later = True
+            elif m in to_nores:
+                if not consumed_later:
+                    plan[s, l] = to_nores[m]
+                consumed_later = False
     return plan
 
 

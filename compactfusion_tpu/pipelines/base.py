@@ -148,6 +148,15 @@ def compact_layer_segments(compact, num_steps: int, depth: int):
             compact.type_at(0, s) if compact.enabled else None
             for s in range(num_steps)
         ]
+    return _group_by_method(schedule)
+
+
+def _group_by_method(schedule):
+    """[(method-or-plan, [step, ...]), ...]: contiguous equal-method runs.
+
+    One grouping rule for single- and two-family pipelines — a change to
+    segment-equality semantics must not let their step segmentations diverge.
+    """
     segments = []
     for s, m in enumerate(schedule):
         if segments and segments[-1][0] == m:
@@ -181,10 +190,4 @@ def compact_two_family_segments(compact, num_steps: int, n_first: int, n_second:
             compact.type_at(0, s) if compact.enabled else None
             for s in range(num_steps)
         ]
-    segments = []
-    for s, m in enumerate(schedule):
-        if segments and segments[-1][0] == m:
-            segments[-1][1].append(s)
-        else:
-            segments.append((m, [s]))
-    return segments
+    return _group_by_method(schedule)

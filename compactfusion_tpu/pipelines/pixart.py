@@ -166,11 +166,14 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, plan):
         sp_axes=(AXIS_RING, AXIS_ULYSSES) if p.sp_degree > 1 else (),
     )
 
-    plan_table = (
-        jnp.asarray(cfg.fast_attn_plan, jnp.int32)
-        if cfg.fast_attn_plan is not None
-        else None
-    )
+    if cfg.fast_attn_plan is not None:
+        from compactfusion_tpu.cache.fast_attn import optimize_plan
+
+        # rewrite FULL -> FULL_NO_RESIDUAL where no later step consumes the
+        # cached residual (skips the residual-refresh window pass)
+        plan_table = jnp.asarray(optimize_plan(cfg.fast_attn_plan), jnp.int32)
+    else:
+        plan_table = None
 
     def step(params, carry, i, text, text_mask, pos_local):
         latents, dpm_state, attn_state, cache_state = carry

@@ -255,3 +255,127 @@ def test_envs_registry(monkeypatch):
 
     with __import__("pytest").raises(AttributeError):
         envs.NOT_A_VAR
+
+
+def test_collector_ring_taps_multidevice(tmp_path, monkeypatch):
+    """Collection on a REAL multi-rank ring: ordered callbacks cannot lower
+    on >1 device, so the auto-sequence taps must downgrade to unordered
+    per-rank streams (regression: this was a hard ValueError at lowering)."""
+    import importlib
+
+    monkeypatch.setenv("CFTPU_COLLECT_DIR", str(tmp_path))
+    from compactfusion_tpu.utils import collector
+
+    importlib.reload(collector)
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from compactfusion_tpu.compact.engine import EFState
+    from compactfusion_tpu.compact.ring import (
+        CompactRingState,
+        compact_ring_attention,
+    )
+    from compactfusion_tpu.config import CompactConfig, CompressType
+
+    ring = 4
+    cfg = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY, residual=1,
+        error_feedback=True, fastpath=False,
+    )
+    b, s_local, h, d = 1, 16, 2, 8
+    rng = np.random.default_rng(5)
+    q, k, v = (
+        jnp.asarray(
+            rng.standard_normal((b, s_local * ring, h, d)), jnp.float32
+        )
+        for _ in range(3)
+    )
+    ef = EFState(
+        base=jnp.zeros((ring, ring, b * s_local, h * d), jnp.float32),
+        delta_base=None,
+    )
+    st = CompactRingState(k=ef, v=ef)
+    mesh = Mesh(np.array(jax.devices()[:ring]), ("ring",))
+    spec = P(None, "ring", None, None)
+
+    def body(q, k, v, st):
+        st = jax.tree_util.tree_map(lambda a: a[0], st)
+        out, new = compact_ring_attention(
+            q, k, v, st, cfg=cfg, method=CompressType.BINARY,
+            ring_size=ring,
+        )
+        return out, jax.tree_util.tree_map(lambda a: a[None], new)
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec, P("ring")),
+        out_specs=(spec, P("ring")), check_vma=False,
+    ))
+    out, _ = f(q, k, v, st)
+    out.block_until_ready()
+    jax.effects_barrier()
+    # every rank dumped its own q/k/v shard + post-EF bases
+    for name in ("q", "k", "v", "kbase", "vbase"):
+        for r in range(ring):
+            files = list(tmp_path.glob(f"{name}_n*_r{r}.npy"))
+            assert len(files) == 1, (name, r, list(tmp_path.iterdir()))
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "q_n00000_r1.npy"),
+        np.asarray(q[:, s_local : 2 * s_local]),
+    )
+
+
+def test_ring_log_stats_multidevice(tmp_path, monkeypatch):
+    """log_stats on a real multi-rank ring: ordered stats callbacks downgrade
+    to unordered rank-tagged records instead of failing to lower."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from compactfusion_tpu.compact.engine import EFState
+    from compactfusion_tpu.compact.ring import (
+        CompactRingState,
+        compact_ring_attention,
+    )
+    from compactfusion_tpu.compact.stats import StatsLogger
+    from compactfusion_tpu.config import CompactConfig, CompressType
+
+    StatsLogger.reset()
+    ring = 2
+    cfg = CompactConfig(
+        enabled=True, compress_type=CompressType.BINARY, residual=1,
+        error_feedback=True, fastpath=False, log_stats=True,
+    )
+    b, s_local, h, d = 1, 16, 2, 8
+    rng = np.random.default_rng(6)
+    q, k, v = (
+        jnp.asarray(
+            rng.standard_normal((b, s_local * ring, h, d)), jnp.float32
+        )
+        for _ in range(3)
+    )
+    ef = EFState(
+        base=jnp.zeros((ring, ring, b * s_local, h * d), jnp.float32),
+        delta_base=None,
+    )
+    st = CompactRingState(k=ef, v=ef)
+    mesh = Mesh(np.array(jax.devices()[:ring]), ("ring",))
+    spec = P(None, "ring", None, None)
+
+    def body(q, k, v, st):
+        st = jax.tree_util.tree_map(lambda a: a[0], st)
+        out, new = compact_ring_attention(
+            q, k, v, st, cfg=cfg, method=CompressType.BINARY,
+            ring_size=ring,
+        )
+        return out, jax.tree_util.tree_map(lambda a: a[None], new)
+
+    f = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec, P("ring")),
+        out_specs=(spec, P("ring")), check_vma=False,
+    ))
+    out, _ = f(q, k, v, st)
+    out.block_until_ready()
+    jax.effects_barrier()
+    log = StatsLogger.instance()
+    for key in ("k@r0", "k@r1", "v@r0", "v@r1"):
+        assert key in log.records, sorted(log.records)
+        assert log.records[key][0][1]["rel_err"] >= 0
+    for key in ("k-activation@r0", "k-delta@r1"):
+        assert key in log.spectra, sorted(log.spectra)

@@ -316,3 +316,88 @@ def test_fast_attn_pipeline():
         text, mask, key, decode=False
     )
     assert np.isfinite(np.asarray(out_w, np.float32)).all()
+
+
+def test_optimize_plan_marks_dead_residual_refreshes():
+    from compactfusion_tpu.cache.fast_attn import optimize_plan
+
+    F = FastAttnMethod
+    # layer 0: FULL at step 0 feeds windows at 1-2, FULL at 3 feeds nothing,
+    #          FULL at 4 feeds a window at 6 THROUGH an OUTPUT_SHARE at 5
+    # layer 1: FULLs never feed a window -> all become NO_RESIDUAL
+    plan = np.array(
+        [
+            [F.FULL_ATTN, F.FULL_ATTN],
+            [F.RESIDUAL_WINDOW_ATTN, F.OUTPUT_SHARE],
+            [F.RESIDUAL_WINDOW_ATTN, F.FULL_ATTN_CFG_SHARE],
+            [F.FULL_ATTN, F.OUTPUT_SHARE],
+            [F.FULL_ATTN, F.FULL_ATTN],
+            [F.OUTPUT_SHARE, F.OUTPUT_SHARE],
+            [F.RESIDUAL_WINDOW_ATTN_CFG_SHARE, F.OUTPUT_SHARE],
+        ],
+        np.int32,
+    )
+    opt = optimize_plan(plan)
+    expect = np.array(
+        [
+            [F.FULL_ATTN, F.FULL_ATTN_NO_RESIDUAL],
+            [F.RESIDUAL_WINDOW_ATTN, F.OUTPUT_SHARE],
+            [F.RESIDUAL_WINDOW_ATTN, F.FULL_ATTN_CFG_SHARE_NO_RESIDUAL],
+            [F.FULL_ATTN_NO_RESIDUAL, F.OUTPUT_SHARE],
+            [F.FULL_ATTN, F.FULL_ATTN_NO_RESIDUAL],
+            [F.OUTPUT_SHARE, F.OUTPUT_SHARE],
+            [F.RESIDUAL_WINDOW_ATTN_CFG_SHARE, F.OUTPUT_SHARE],
+        ],
+        np.int32,
+    )
+    np.testing.assert_array_equal(opt, expect)
+    # idempotent
+    np.testing.assert_array_equal(optimize_plan(opt), expect)
+
+
+def test_full_no_residual_branch_matches_full_output():
+    """NO_RESIDUAL FULL variants: same output, residual left untouched."""
+    impl = FastAttnAttn(window_size=4, cfg_batched=True)
+    q, k, v = _qkv(7, b=2)  # [cond; uncond] rows
+    st0 = jax.tree_util.tree_map(
+        lambda a: a[0], impl.init_state(1, 2, 32, 4, 16, jnp.float32)
+    )
+    st0 = dict(st0, residual=jnp.full_like(st0["residual"], 3.25))
+
+    st = dict(st0, method=jnp.int32(FastAttnMethod.FULL_ATTN))
+    out_full, st_full = impl(q, k, v, st)
+    st = dict(st0, method=jnp.int32(FastAttnMethod.FULL_ATTN_NO_RESIDUAL))
+    out_nores, st_nores = impl(q, k, v, st)
+    np.testing.assert_allclose(
+        np.asarray(out_nores), np.asarray(out_full), atol=1e-6
+    )
+    # residual passthrough (3.25 marker), vs FULL which refreshed it
+    np.testing.assert_array_equal(
+        np.asarray(st_nores["residual"]), np.asarray(st0["residual"])
+    )
+    assert not np.allclose(
+        np.asarray(st_full["residual"]), np.asarray(st0["residual"])
+    )
+
+    st = dict(st0, method=jnp.int32(FastAttnMethod.FULL_ATTN_CFG_SHARE))
+    out_cfg, _ = impl(q, k, v, st)
+    st = dict(
+        st0, method=jnp.int32(FastAttnMethod.FULL_ATTN_CFG_SHARE_NO_RESIDUAL)
+    )
+    out_cfg_nores, st_cfg_nores = impl(q, k, v, st)
+    np.testing.assert_allclose(
+        np.asarray(out_cfg_nores), np.asarray(out_cfg), atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_cfg_nores["residual"]), np.asarray(st0["residual"])
+    )
+
+
+def test_calibration_rejects_joint_tensors():
+    impl = CalibrationAttn(window_size=4)
+    q, k, v = _qkv(3)
+    st = jax.tree_util.tree_map(
+        lambda a: a[0], impl.init_state(1, 1, 32, 4, 16, jnp.float32)
+    )
+    with pytest.raises(AssertionError):
+        impl(q, k, v, st, joint_q=q, joint_k=k, joint_v=v)
