@@ -340,7 +340,7 @@ def calibrate_pixart(params, pcfg, text, text_mask, key, threshold: float = 0.5)
     assert pcfg.parallel.world_size == 1, "calibrate on a single device"
     mcfg = pcfg.model
     steps = pcfg.num_steps
-    sched = ddpm_schedule(steps)
+    sched = ddpm_schedule(steps, timestep_spacing="linspace")
     hp, wp = pcfg.grid
     pos = cm.sincos_pos_embed_2d(
         mcfg.dim, hp, wp,

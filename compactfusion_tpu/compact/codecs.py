@@ -81,9 +81,9 @@ class MinMaxPayload(NamedTuple):
 
 
 class Int8Payload(NamedTuple):
-    q: jax.Array  # (N, C) int8
+    q: jax.Array  # (N, C) uint8 codes
     scale: jax.Array  # (1, C) bf16
-    zero_point: jax.Array  # (1, C) int16
+    minv: jax.Array  # (1, C) bf16
 
 
 class LowRankPayload(NamedTuple):
@@ -226,7 +226,13 @@ def sim_int2(x: jax.Array) -> jax.Array:
 def _minmax_scale(x32: jax.Array, qmax: int, axis: int) -> Tuple[jax.Array, jax.Array]:
     mn = jnp.min(x32, axis=axis, keepdims=True)
     mx = jnp.max(x32, axis=axis, keepdims=True)
-    scale = (mx - mn) / (qmax + _EPS)
+    # eps belongs on the RANGE, not the denominator: (mx-mn)/(qmax+eps)
+    # yields scale == 0 for a constant channel, and the encode divides by
+    # it — NaN codes (the reference's quantize_int8 carries that bug,
+    # compress_quantize.py:455-461; constant channels include the all-zeros
+    # initial cache).  A floored scale instead makes codes 0 and decodes
+    # the channel exactly to mn.
+    scale = (mx - mn + _EPS) / qmax
     return scale, mn
 
 
@@ -278,17 +284,24 @@ def sim_int4(x: jax.Array, axis: int = 0) -> jax.Array:
 
 
 def encode_int8(x: jax.Array) -> Int8Payload:
-    x32 = x.astype(jnp.float32)
-    mn = jnp.min(x32, axis=0, keepdims=True)
-    mx = jnp.max(x32, axis=0, keepdims=True)
-    scale = (mx - mn) / (255.0 + _EPS)
-    zp = jnp.clip(jnp.round(-128.0 - mn / scale), -128, 127)
-    q = jnp.clip(jnp.round(x32 / scale + zp), -128, 127).astype(jnp.int8)
-    return Int8Payload(q, _wire(scale), zp.astype(jnp.int16))
+    """Per-channel 8-bit min-max quantization (the INT8 wire codec and the
+    quantized base cache).
+
+    Deliberate deviation from the reference's ``quantize_int8``
+    (``compress_quantize.py:428-484``): that stores an int16 zero point
+    ``qmin - mn/scale``, which divides by a vanishing scale on constant
+    channels (NaN codes on the all-zeros initial cache) and clips to
+    garbage whenever a channel's offset is large relative to its range —
+    silently decoding such channels to ~0.  Storing the channel minimum
+    directly (same 2 bytes/channel) decodes constant channels exactly and
+    never divides by a near-zero scale.
+    """
+    codes, scale, mn = _affine_encode(x.astype(jnp.float32), 255, axis=0)
+    return Int8Payload(codes, _wire(scale), _wire(mn))
 
 
 def decode_int8(p: Int8Payload, dtype=jnp.float32) -> jax.Array:
-    out = (p.q.astype(jnp.float32) - p.zero_point.astype(jnp.float32)) * p.scale.astype(
+    out = p.q.astype(jnp.float32) * p.scale.astype(jnp.float32) + p.minv.astype(
         jnp.float32
     )
     return out.astype(dtype)

@@ -47,8 +47,16 @@ def init_ef_state(
     quantized: bool = False,
 ) -> EFState:
     z = jnp.zeros(shape, dtype)
-    base = _quant_base(z) if quantized else z
-    return EFState(base=base, delta_base=z if residual == 2 else None)
+    if quantized:
+        # BOTH entries quantize (the reference CompactCache.put quantizes
+        # whatever it stores) — and a scan carry must keep one stable
+        # structure/dtype, which a mixed int8-base / raw-delta_base state
+        # would break after the first requant
+        return EFState(
+            base=_quant_base(z),
+            delta_base=_quant_base(z) if residual == 2 else None,
+        )
+    return EFState(base=z, delta_base=z if residual == 2 else None)
 
 
 def _quant_base(x):
@@ -64,12 +72,22 @@ def _dequant_state(state: EFState, dtype) -> EFState:
     from compactfusion_tpu.compact import codecs
 
     return EFState(
-        base=codecs.decode_int8(state.base, dtype), delta_base=state.delta_base
+        base=codecs.decode_int8(state.base, dtype),
+        delta_base=(
+            None
+            if state.delta_base is None
+            else codecs.decode_int8(state.delta_base, dtype)
+        ),
     )
 
 
 def _requant_state(state: EFState) -> EFState:
-    return EFState(base=_quant_base(state.base), delta_base=state.delta_base)
+    return EFState(
+        base=_quant_base(state.base),
+        delta_base=(
+            None if state.delta_base is None else _quant_base(state.delta_base)
+        ),
+    )
 
 
 def _use_fastpath(cfg: CompactConfig, method: CompressType) -> bool:
@@ -89,16 +107,19 @@ def _fastpath_compress(x, state: EFState, cfg: CompactConfig, method, update_cac
     from compactfusion_tpu.ops import quant_pallas as qp
 
     delta32 = x.astype(jnp.float32) - state.base.astype(jnp.float32)
+    # scales must cross the _wire() optimization barrier, not a bare astype:
+    # the Pallas operand pins the KERNEL side to bf16, but the same u/v feed
+    # jnp consumers in the same program (payload decode at ring_size==1,
+    # parity tests, stats probes) where XLA elides the f32->bf16->f32
+    # convert pair — handing them scales real inter-chip payloads never carry
     if method == CompressType.BINARY:
         u, v = codecs._scale_uv(delta32, cfg.comp_rank)
-        u = u.astype(codecs.SCALE_DTYPE)
-        v = v.astype(codecs.SCALE_DTYPE)
+        u, v = codecs._wire(u), codecs._wire(v)
         packed, new_base = qp.binary_quant_fastpath(x, state.base, u, v)
         payload = codecs.BinaryPayload(packed, u, v)
     else:
         u, v = codecs._mean_scale_uv(delta32)
-        u = u.astype(codecs.SCALE_DTYPE)
-        v = v.astype(codecs.SCALE_DTYPE)
+        u, v = codecs._wire(u), codecs._wire(v)
         packed, new_base = qp.int2_quant_fastpath(x, state.base, u, v)
         payload = codecs.Int2Payload(packed, u, v)
     if update_cache:

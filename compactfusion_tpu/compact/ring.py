@@ -53,12 +53,17 @@ def init_ring_state(
     channels: int,
     dtype=jnp.bfloat16,
     residual: int = 1,
+    quantized: bool = False,
 ) -> CompactRingState:
-    def mk():
-        z = jnp.zeros((ring_size, tokens, channels), dtype)
-        return EFState(base=z, delta_base=z if residual == 2 else None)
+    from compactfusion_tpu.compact.engine import init_ef_state
 
-    return CompactRingState(k=mk(), v=mk())
+    # one slot via the engine initializer (it owns the quantized-cache
+    # layout), stacked over the ring axis
+    one = init_ef_state((tokens, channels), dtype, residual, quantized)
+    stacked = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (ring_size,) + a.shape), one
+    )
+    return CompactRingState(k=stacked, v=stacked)
 
 
 def _slot(state: EFState, i) -> EFState:

@@ -125,6 +125,7 @@ class PatchKVAttn:
         if joint_q is not None:
             # joint (text) tokens are NOT cached: fresh every patch forward
             # (reference patched FLUX/SD3 attention — only image K/V ages)
+            assert joint_strategy == "front", joint_strategy
             q = jnp.concatenate([joint_q, q], axis=1)
             k_full = jnp.concatenate([joint_k, k_full], axis=1)
             v_full = jnp.concatenate([joint_v, v_full], axis=1)
@@ -183,6 +184,7 @@ class PatchKVUlyssesAttn:
         k_full = kc.astype(q.dtype)
         v_full = vc.astype(q.dtype)
         if joint_q is not None:
+            assert joint_strategy == "front", joint_strategy
             # joint (text) tensors are replicated: take this rank's heads
             jq = slice_joint_heads(joint_q, ax, self.ulysses_size)
             jk = slice_joint_heads(joint_k, ax, self.ulysses_size)
@@ -193,15 +195,17 @@ class PatchKVUlyssesAttn:
         out = sdpa(q, k_full, v_full)
         if joint_q is not None:
             s_j = joint_q.shape[1]
-            # joint rows stay head-sharded on every rank (replicated-joint
-            # convention of the USP path); gather heads for them separately
+            # joint rows were computed head-sharded on every rank; gather
+            # their heads (they are replicated row-wise) and re-shard the
+            # patch rows by tokens, then return ONE [joint; patch] array —
+            # the uniform strategy contract every model forward slices
+            # (e.g. flux.py `o[:, :s_txt]`)
             out_j = jax.lax.all_gather(
                 out[:, :s_j], ax, axis=2, tiled=True
             )
             out_p = scatter_seq_gather_heads(out[:, s_j:], ax)
-            return (out_j, out_p), {
-                "k_cache": kc, "v_cache": vc, "offset": off,
-            }
+            out = jnp.concatenate([out_j, out_p], axis=1)
+            return out, {"k_cache": kc, "v_cache": vc, "offset": off}
         out = scatter_seq_gather_heads(out, ax)
         return out, {"k_cache": kc, "v_cache": vc, "offset": off}
 
@@ -231,7 +235,10 @@ class SimRingAttn:
         assert seq_local % self.ring_size == 0
         n = batch * (seq_local // self.ring_size)
         c = heads * head_dim
-        one = init_ring_state(self.ring_size, n, c, dtype, self.cfg.residual)
+        one = init_ring_state(
+            self.ring_size, n, c, dtype, self.cfg.residual,
+            quantized=self.cfg.quantized_cache,
+        )
         return jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a[None], (n_layers,) + a.shape), one
         )
@@ -323,7 +330,10 @@ class CompactUSPAttn:
         """
         n = batch * seq_local * self.ulysses_size
         c = (heads // self.ulysses_size) * head_dim
-        one = init_ring_state(self.ring_size, n, c, dtype, self.cfg.residual)
+        one = init_ring_state(
+            self.ring_size, n, c, dtype, self.cfg.residual,
+            quantized=self.cfg.quantized_cache,
+        )
         return jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a[None], (n_layers,) + a.shape), one
         )

@@ -107,7 +107,7 @@ def binary_quant_fastpath(
     """
     n, c = x.shape
     k = u.shape[1]
-    assert c % (8 * 128) == 0 or c % 8 == 0
+    assert c % 8 == 0, f"binary pack needs C % 8 == 0, got C={c}"
     block_n = _auto_block_n(c, min(block_n, _round_up(n, 8)))
     n_p = _round_up(n, block_n)
     if n_p != n:
@@ -226,6 +226,9 @@ def int2_quant_fastpath(
 ):
     n, c = x.shape
     k = u.shape[1]
+    # without this, C % 4 trailing channels silently never pack (data loss
+    # with a confusing shape mismatch at dequant instead of a clear error)
+    assert c % 4 == 0, f"int2 pack needs C % 4 == 0, got C={c}"
     block_n = _auto_block_n(c, min(block_n, _round_up(n, 8)))
     n_p = _round_up(n, block_n)
     if n_p != n:

@@ -82,11 +82,24 @@ class PatchParallelAttn:
         if self.mode == "sync" or self.world == 1:
             return ()
         if self.mode == "compact":
+            from compactfusion_tpu.compact.engine import init_ef_state
+
+            # delegate to the engine initializer — it owns the layout of
+            # the quantized cache (a hand-rolled zeros EFState here is how
+            # cfg.quantized_cache got silently ignored before)
             n, c = batch * seq_local, heads * head_dim
-            z = jnp.zeros((n_layers, self.world, n, c), dtype)
-            db = z if (self.cfg and self.cfg.residual == 2) else None
-            mk = lambda: EFState(base=z, delta_base=db)
-            return PatchEFState(k=mk(), v=mk())
+            one = init_ef_state(
+                (n, c), dtype,
+                residual=self.cfg.residual if self.cfg else 1,
+                quantized=bool(self.cfg and self.cfg.quantized_cache),
+            )
+            stacked = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(
+                    a[None, None], (n_layers, self.world) + a.shape
+                ),
+                one,
+            )
+            return PatchEFState(k=stacked, v=stacked)
         if self.mode == "async":
             z = jnp.zeros(
                 (n_layers, self.world, batch, seq_local, heads, head_dim), dtype

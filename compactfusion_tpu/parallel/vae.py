@@ -15,6 +15,8 @@ decodes H/W * upsample**2 of the pixels — the distvae memory story.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -110,26 +112,17 @@ def _upsample_halo(p, x, axis_name, world):
     return _conv3_halo(p, x, axis_name, world)
 
 
-def decode_on_vae_mesh(vae_params, latents, cfg: VAEConfig, vae_mesh):
-    """Decode on the dedicated VAE device tail (reference separate-VAE-ranks
-    mode: ``parallel_state.py:297-308`` + latents hand-off
-    ``base_pipeline.py:654-669``).
-
-    ``latents``: (B, H, W, C) full latent image (host/any sharding); it is
-    resharded to height bands over the VAE mesh (the P2P send from the last
-    DiT rank in the reference is just a resharding here) and decoded with the
-    halo-exchange decoder.
-    """
-    import functools
-
-    from jax.sharding import NamedSharding
+@functools.lru_cache(maxsize=8)
+def _vae_mesh_decode_fn(cfg: VAEConfig, vae_mesh):
+    """One jitted banded decoder per (cfg, mesh) — jit caches key on callable
+    identity, so building the shard_map wrapper inside decode_on_vae_mesh
+    would recompile on EVERY decoded image (CLAUDE.md: 'shard_map closures
+    recompile per call')."""
     from jax.sharding import PartitionSpec as P
 
     world = vae_mesh.devices.size
     axis = vae_mesh.axis_names[0]
-    band = NamedSharding(vae_mesh, P(None, axis, None, None))
-    latents = jax.device_put(latents, band)
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             functools.partial(
                 parallel_vae_decode, cfg=cfg, axis_name=axis, world=world
@@ -140,7 +133,25 @@ def decode_on_vae_mesh(vae_params, latents, cfg: VAEConfig, vae_mesh):
             check_vma=False,
         )
     )
-    return fn(vae_params, latents)
+
+
+def decode_on_vae_mesh(vae_params, latents, cfg: VAEConfig, vae_mesh):
+    """Decode on the dedicated VAE device tail (reference separate-VAE-ranks
+    mode: ``parallel_state.py:297-308`` + latents hand-off
+    ``base_pipeline.py:654-669``).
+
+    ``latents``: (B, H, W, C) full latent image (host/any sharding); it is
+    resharded to height bands over the VAE mesh (the P2P send from the last
+    DiT rank in the reference is just a resharding here) and decoded with the
+    halo-exchange decoder.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    axis = vae_mesh.axis_names[0]
+    band = NamedSharding(vae_mesh, P(None, axis, None, None))
+    latents = jax.device_put(latents, band)
+    return _vae_mesh_decode_fn(cfg, vae_mesh)(vae_params, latents)
 
 
 def parallel_vae_decode(

@@ -179,11 +179,21 @@ def _build_pixart(engine: EngineConfig, inp: InputConfig, checkpoint: Optional[s
             from compactfusion_tpu.models.pixart import pixart_sigma_2k
 
             mcfg = pixart_sigma_2k()
+            sigma = True
         elif "sigma" in name or inp.height > 512:
             mcfg = pixart_sigma_1024()
+            sigma = True
         else:
             mcfg = pixart_alpha_512()
-        vcfg = sd_vae()
+            sigma = False
+        # PixArt-alpha ships the SD 1.x VAE (scaling 0.18215); Sigma ships
+        # the SDXL VAE (0.13025) — decoding with the wrong factor silently
+        # mis-scales every image (same override _build_hunyuan applies)
+        vcfg = (
+            dataclasses.replace(sd_vae(), scaling_factor=0.13025)
+            if sigma
+            else sd_vae()
+        )
     # snap to the model's native-area aspect bin (PixArt is the family the
     # reference bins; the output is resized back in xDiTParallel.__call__)
     inp = _bin_input(inp, mcfg.sample_size * 8)
@@ -704,9 +714,18 @@ class xDiTParallel:
             return
 
         mcfg = pcfg.model
+        # HF model ids contain '/' — sanitize or save_plan dies on a missing
+        # directory after the whole calibration ran; the threshold is part
+        # of the key or a plan calibrated at another --threshold is silently
+        # reused (reference keys its JSON cache per config the same way,
+        # fast_attn_state.py:38-40)
+        model_tag = re.sub(
+            r"[^A-Za-z0-9._-]", "_", self.engine_config.model_config.model
+        )
         cache_path = (
-            f".cftpu_fastattn_{self.engine_config.model_config.model}"
-            f"_{pcfg.num_steps}s_{mcfg.depth}l_w{fa.window_size}.json"
+            f".cftpu_fastattn_{model_tag}"
+            f"_{pcfg.num_steps}s_{mcfg.depth}l_w{fa.window_size}"
+            f"_t{fa.threshold:g}.json"
         )
         plan = None
         if fa.use_cache and os.path.exists(cache_path):

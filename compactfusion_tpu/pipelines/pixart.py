@@ -142,7 +142,11 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, plan):
     step), or a tuple of (method, n_layers) segments (per-layer
     compress_func plans) — the latter compiles one block-scan per segment.
     """
-    sched = ddpm_schedule(cfg.num_steps)
+    # DPM-Solver++ reads timesteps[i+1], so it takes the diffusers
+    # DPMSolverMultistep default "linspace" table (reference PixArt
+    # scheduler config; leading/trailing remain for the fixed-stride
+    # ddim/ddpm steppers)
+    sched = ddpm_schedule(cfg.num_steps, timestep_spacing="linspace")
     if plan is None or isinstance(plan, CompressType):
         attn = _attn_impl(cfg, plan)
     elif len(plan) == 1:

@@ -61,7 +61,9 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
         "patch mode composes with ULYSSES SP only (reference "
         "_sequence_parallel_cache_update is ulysses-aware, ring is not)"
     )
-    sched = ddpm_schedule(cfg.num_steps)
+    # same linspace table as the sync PixArt pipeline (diffusers
+    # DPMSolverMultistep default)
+    sched = ddpm_schedule(cfg.num_steps, timestep_spacing="linspace")
     hp, wp = cfg.grid
     pos_full = cm.sincos_pos_embed_2d(
         mcfg.dim, hp, wp,
@@ -116,7 +118,7 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             t = jnp.full((nb,), sched.timesteps[i], jnp.float32)
             out, _ = pixart_forward(
                 params, model_batch(latents).astype(mcfg.dtype), t, text,
-                mcfg, pos_embed=pos_full, pp_stages=PS,
+                mcfg, pos_embed=pos_full, pp_stages=PS, text_mask=text_mask,
             )
             eps = out[..., : out.shape[-1] // 2]
             if cfg.do_cfg:
@@ -132,29 +134,61 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
         px0 = jnp.zeros_like(latents)
         plam = jnp.zeros((M,), jnp.float32)
         phave = jnp.zeros((M,), jnp.int32)
+        # all but the LAST warmup step run plain; the last one rides through
+        # the PatchKV strategy below so it primes the caches as it denoises
+        # (reference: sync warmup steps update the CacheManager as they run,
+        # cache_manager.py:105) instead of paying a discarded extra forward
         (latents, px0, plam, phave), _ = lax.scan(
             warm_body, (latents, px0, plam, phave),
-            jnp.arange(warmup, dtype=jnp.int32),
+            jnp.arange(max(warmup - 1, 0), dtype=jnp.int32),
         )
 
-        # ---- prime KV caches with one cache-filling full forward (under
-        # ulysses each rank feeds its contiguous token slice; the all-to-all
-        # inside the strategy reassembles the full sequence head-sharded)
-        t = jnp.full((nb,), sched.timesteps[jnp.minimum(warmup, cfg.num_steps - 1)], jnp.float32)
-        kv_state = dict(kv_state, offset=jnp.zeros((L_local,), jnp.int32))
-        if U > 1:
-            x_prime = lax.dynamic_slice_in_dim(
-                latents, u_idx * (S // U), S // U, axis=1
+        def strategy_full_forward(latents, i):
+            """Full-sequence forward THROUGH the patch-KV strategy: each
+            ulysses rank feeds its contiguous token slice, offset 0 covers
+            the whole cache; returns the per-rank input slice + output."""
+            t = jnp.full((nb,), sched.timesteps[i], jnp.float32)
+            if U > 1:
+                x_in = lax.dynamic_slice_in_dim(
+                    latents, u_idx * (S // U), S // U, axis=1
+                )
+                pos_in = lax.dynamic_slice_in_dim(
+                    pos_full, u_idx * (S // U), S // U, axis=0
+                )
+            else:
+                x_in, pos_in = latents, pos_full
+            out, new_state = pixart_forward(
+                params, model_batch(x_in).astype(mcfg.dtype), t, text, mcfg,
+                pos_embed=pos_in, attn=attn, attn_state=kv_state,
+                pp_stages=PS, text_mask=text_mask,
             )
-            pos_prime = lax.dynamic_slice_in_dim(
-                pos_full, u_idx * (S // U), S // U, axis=0
+            return x_in, out, new_state
+
+        if warmup > 0:
+            i_last = jnp.int32(warmup - 1)
+            x_in, out, kv_state = strategy_full_forward(latents, i_last)
+            eps = out[..., : out.shape[-1] // 2]
+            if cfg.do_cfg:
+                eps = base.cfg_combine(eps, cfg.guidance_scale, p.cfg_degree)
+            px0_in = (
+                lax.dynamic_slice_in_dim(px0, u_idx * (S // U), S // U, axis=1)
+                if U > 1
+                else px0
             )
+            new_loc, x0_loc, lam = dpm_step_patch(
+                sched, i_last, cfg.num_steps, x_in, eps, px0_in,
+                plam[0], phave[0],
+            )
+            if U > 1:
+                latents = lax.all_gather(new_loc, AXIS_ULYSSES, axis=1, tiled=True)
+                px0 = lax.all_gather(x0_loc, AXIS_ULYSSES, axis=1, tiled=True)
+            else:
+                latents, px0 = new_loc, x0_loc
+            plam = jnp.full_like(plam, lam)
+            phave = jnp.ones_like(phave)
         else:
-            x_prime, pos_prime = latents, pos_full
-        _, kv_state = pixart_forward(
-            params, model_batch(x_prime).astype(mcfg.dtype), t, text, mcfg,
-            pos_embed=pos_prime, attn=attn, attn_state=kv_state, pp_stages=PS,
-        )
+            # no warmup step to ride: one discarded cache-priming forward
+            _, _, kv_state = strategy_full_forward(latents, jnp.int32(0))
 
         # ---- patch-pipelined steady state
         steady = cfg.num_steps - warmup
@@ -186,7 +220,7 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             h_out, kv_new = pixart_forward(
                 params, h_in, t, text, mcfg, pos_embed=pos_patch,
                 attn=attn, attn_state=kv_in, x_is_hidden=True,
-                return_hidden=True,
+                return_hidden=True, text_mask=text_mask,
             )
             # bubbles must not pollute the caches
             kv_state = jax.tree_util.tree_map(

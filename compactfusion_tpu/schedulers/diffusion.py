@@ -7,8 +7,10 @@ multistep DPM state (previous x0 prediction) is an explicit NamedTuple
 threaded through the denoise scan.
 
 Epsilon-prediction convention with optional learned-variance outputs: the
-model emits 2*C channels and the variance half is split off by the caller
-(PixArt/DiT style); DDPM uses it for the posterior variance range.
+model emits 2*C channels and the variance half is split off AND DISCARDED by
+the caller (PixArt/DiT style).  ``ddpm_step`` always uses the fixed posterior
+variance — the diffusers DDPMScheduler default (``variance_type
+"fixed_small"``); learned-range variance is not implemented.
 """
 
 from __future__ import annotations
@@ -72,6 +74,17 @@ def ddpm_schedule(
         timesteps = jnp.round(
             jnp.arange(num_train_timesteps, 0, -num_train_timesteps / num_steps)
         ).astype(jnp.int32) - 1
+    elif timestep_spacing == "linspace":
+        # the diffusers DPMSolverMultistepScheduler default: N+1 points over
+        # [0, T-1], reversed, dropping the final 0 (set_timesteps linspace
+        # branch) — consumers that read timesteps[i+1] (dpm_step) handle the
+        # non-uniform spacing; the fixed-stride t - T//N steppers (ddim/ddpm)
+        # must keep leading/trailing tables
+        timesteps = (
+            jnp.linspace(0.0, num_train_timesteps - 1, num_steps + 1)
+            .round()[::-1][:-1]
+            .astype(jnp.int32)
+        )
     else:
         raise ValueError(f"unknown timestep spacing {timestep_spacing}")
 
