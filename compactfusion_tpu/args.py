@@ -16,6 +16,8 @@ import argparse
 import dataclasses
 from typing import List, Optional, Tuple
 
+from compactfusion_tpu.utils.logger import init_logger
+
 from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
@@ -26,6 +28,8 @@ from compactfusion_tpu.config import (
     ParallelConfig,
     RuntimeConfig,
 )
+
+logger = init_logger(__name__)
 
 
 class FlexibleArgumentParser(argparse.ArgumentParser):
@@ -212,11 +216,16 @@ class xFuserArgs:
     def create_config(self) -> Tuple[EngineConfig, InputConfig]:
         """Validate and build the frozen config tree
         (reference ``config/args.py:373-465``)."""
-        if self.pipefusion_parallel_degree > 1 and (
-            self.ulysses_degree * self.ring_degree > 1
-        ):
-            # the reference allows pp x sp; we do too — no constraint here
-            pass
+        if self.attn_layer_num_for_pp is not None:
+            # the reference supports UNEVEN stage splits
+            # (config/config.py:170-176); the SPMD stacked-scan design
+            # shards the layer axis evenly — surface the deviation instead
+            # of silently using a different split than requested
+            logger.warning(
+                "--attn_layer_num_for_pp is not supported on the TPU build "
+                "(stage-sharded stacks split evenly); ignoring %s",
+                self.attn_layer_num_for_pp,
+            )
         parallel = ParallelConfig(
             dp_degree=self.data_parallel_degree,
             cfg_degree=2 if self.use_cfg_parallel else 1,
@@ -228,16 +237,22 @@ class xFuserArgs:
             vae_parallel_size=self.vae_parallel_size,
             num_pipeline_patch=self.num_pipeline_patch,
         )
-        compact = CompactConfig(
-            enabled=self.compact,
-            compress_type=CompressType(self.compact_type),
-            warmup_steps=self.compact_warmup_steps,
-            comp_rank=self.compact_rank,
-            residual=self.compact_residual,
-            error_feedback=not self.compact_no_ef,
-            patch_gather=self.compact_patch_gather,
-            patch_async=self.compact_patch_async,
-        )
+        if self.compact:
+            compact = CompactConfig(
+                enabled=True,
+                compress_type=CompressType(self.compact_type),
+                warmup_steps=self.compact_warmup_steps,
+                comp_rank=self.compact_rank,
+                residual=self.compact_residual,
+                error_feedback=not self.compact_no_ef,
+                patch_gather=self.compact_patch_gather,
+                patch_async=self.compact_patch_async,
+            )
+        else:
+            # don't validate compact flag combos for runs that never use
+            # compression (e.g. --compact_residual 0 without --compact_no_ef
+            # would abort here even with compression disabled)
+            compact = CompactConfig()
         engine = EngineConfig(
             model_config=ModelConfig(
                 model=self.model, pretrained_model_name_or_path=self.model
@@ -245,6 +260,7 @@ class xFuserArgs:
             runtime_config=RuntimeConfig(
                 warmup_steps=self.warmup_steps,
                 use_parallel_vae=self.use_parallel_vae,
+                use_profiler=self.use_profiler,
                 use_torch_compile=self.use_torch_compile,
                 use_teacache=self.use_teacache,
                 use_fbcache=self.use_fbcache,

@@ -82,20 +82,42 @@ def _rel_l1(cur, prev, sp_axes) -> jax.Array:
 
 
 def should_skip(
-    cfg: CacheAccelConfig, state: CacheAccelState, probe: jax.Array
+    cfg: CacheAccelConfig,
+    state: CacheAccelState,
+    probe: jax.Array,
+    force_compute=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (skip: bool scalar, new_accum).
 
-    ``probe`` is the first-block output (fbcache) or the modulated first-block
-    input (teacache).
+    ``probe`` is the FIRST-BLOCK RESIDUAL block0(x) - x (fbcache — the
+    reference compares residuals, not raw block outputs, whose step-to-step
+    change is far smaller at the same threshold) or the modulated first-block
+    input (teacache).  ``force_compute``: scalar bool forcing a full run —
+    pass ``i == num_steps - 1`` from the denoise loop (the reference's
+    TeaCache ``reset_mask`` guarantees the final, quality-critical step
+    always computes; applied to both modes here).
     """
     rel = _rel_l1(probe, state.prev_probe, cfg.sp_axes)
     if cfg.mode == "teacache":
         rescaled = jnp.polyval(jnp.asarray(cfg.poly, jnp.float32), rel)
         accum = state.accum + rescaled
         skip = (state.has_prev > 0) & (accum < cfg.threshold)
+        if force_compute is not None:
+            skip = skip & jnp.logical_not(force_compute)
         accum = jnp.where(skip, accum, 0.0)
         return skip, accum
     # fbcache
     skip = (state.has_prev > 0) & (rel < cfg.threshold)
+    if force_compute is not None:
+        skip = skip & jnp.logical_not(force_compute)
     return skip, state.accum
+
+
+def next_probe(cfg: CacheAccelConfig, state: CacheAccelState, probe, skip):
+    """The prev_probe to carry: FBCache pins it across skip runs (reference
+    updates ``modulated_inputs`` only on full-compute steps, so slow drift
+    accumulates against a fixed reference and eventually forces a recompute);
+    TeaCache refreshes it every step (its accumulator carries the history)."""
+    if cfg.mode == "teacache":
+        return probe.astype(state.prev_probe.dtype)
+    return jnp.where(skip, state.prev_probe, probe.astype(state.prev_probe.dtype))

@@ -35,7 +35,6 @@ from compactfusion_tpu.compact.engine import (
 from compactfusion_tpu.config import CompactConfig, CompressType
 from compactfusion_tpu.ops.attention import attn_with_lse
 from compactfusion_tpu.ops.merge import merge_out_lse
-from compactfusion_tpu.parallel import ulysses as uly
 from compactfusion_tpu.parallel.mesh import AXIS_RING, AXIS_ULYSSES
 from compactfusion_tpu.parallel.ring import _shift_perm, _with_joint
 
@@ -344,40 +343,36 @@ def compact_usp_attention(
     """USP (ulysses x ring) with the compressed ring inner loop.
 
     Mirrors ``xFuserLongContextAttention.forward`` with compact enabled
-    (``hybrid/attn_layer.py:59-64,190-210``).
+    (``hybrid/attn_layer.py:59-64,190-210``).  The joint/ulysses handling is
+    the shared :func:`compactfusion_tpu.parallel.usp.usp_wrap` (one wrapper
+    for the plain and the compressed path, so they cannot diverge); only the
+    inner ring differs.
     """
-    if joint_q is not None:
-        if joint_strategy == "front":
-            q = jnp.concatenate([joint_q, q], axis=1)
-        elif joint_strategy == "rear":
-            q = jnp.concatenate([q, joint_q], axis=1)
-        else:
-            raise ValueError(f"joint_strategy {joint_strategy!r} with joint_q")
+    from compactfusion_tpu.parallel.usp import usp_wrap
 
-    if ulysses_size > 1:
-        q = uly.scatter_heads_gather_seq(q, ulysses_axis)
-        k = uly.scatter_heads_gather_seq(k, ulysses_axis)
-        v = uly.scatter_heads_gather_seq(v, ulysses_axis)
-        if joint_k is not None:
-            joint_k = uly.slice_joint_heads(joint_k, ulysses_axis, ulysses_size)
-            joint_v = uly.slice_joint_heads(joint_v, ulysses_axis, ulysses_size)
+    def inner(q, k, v, joint_k, joint_v):
+        return compact_ring_attention(
+            q,
+            k,
+            v,
+            state,
+            cfg=cfg,
+            method=method,
+            axis_name=ring_axis,
+            ring_size=ring_size,
+            scale=scale,
+            joint_k=joint_k,
+            joint_v=joint_v,
+            joint_strategy=joint_strategy,
+            fused=fused,
+        )
 
-    out, state = compact_ring_attention(
-        q,
-        k,
-        v,
-        state,
-        cfg=cfg,
-        method=method,
-        axis_name=ring_axis,
-        ring_size=ring_size,
-        scale=scale,
+    return usp_wrap(
+        inner, q, k, v,
+        ulysses_size=ulysses_size,
+        ulysses_axis=ulysses_axis,
+        joint_q=joint_q,
         joint_k=joint_k,
         joint_v=joint_v,
         joint_strategy=joint_strategy,
-        fused=fused,
     )
-
-    if ulysses_size > 1:
-        out = uly.scatter_seq_gather_heads(out, ulysses_axis)
-    return out, state

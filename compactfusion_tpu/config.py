@@ -93,9 +93,9 @@ class CompactConfig:
     #: (steps x layers) method table; pipelines compile one scan segment per
     #: contiguous (step-range, layer-range) method block.  When None, the
     #: layer-uniform warmup/steady schedule below applies.
-    compress_func: Optional[Callable[[int, int], "CompressType"]] = dataclasses.field(
-        default=None, compare=False
-    )
+    #: compared BY IDENTITY (functions hash/compare by id), so configs
+    #: with different policies are != and never collide in jit/lru caches
+    compress_func: Optional[Callable[[int, int], "CompressType"]] = None
 
     def __post_init__(self):
         if self.residual not in (0, 1, 2):
@@ -198,6 +198,8 @@ class RuntimeConfig:
 
     warmup_steps: int = 1
     use_parallel_vae: bool = False
+    #: wrap generation in utils.prof scopes and log the per-scope summary
+    use_profiler: bool = False
     use_torch_compile: bool = False  # accepted for CLI parity; XLA always jits
     use_teacache: bool = False
     use_fbcache: bool = False

@@ -26,9 +26,20 @@ def mse(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def psnr(a: jax.Array, b: jax.Array, data_range: float = 1.0) -> jax.Array:
-    """Peak signal-to-noise ratio; inputs (..., H, W, C) in [0, data_range]."""
-    m = mse(a, b)
-    return 10.0 * jnp.log10(data_range**2 / jnp.maximum(m, 1e-12))
+    """Peak signal-to-noise ratio; inputs (..., H, W, C) in [0, data_range].
+
+    With a batch dimension (ndim == 4), returns the MEAN of per-image PSNRs
+    — the reference eval harness's convention; pooling the MSE over the
+    batch first would let one bad image dominate every good one (log of a
+    mean vs mean of logs).
+    """
+    a32 = a.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+    if a.ndim == 4:
+        m = jnp.mean((a32 - b32) ** 2, axis=(1, 2, 3))
+    else:
+        m = mse(a, b)
+    return jnp.mean(10.0 * jnp.log10(data_range**2 / jnp.maximum(m, 1e-12)))
 
 
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jax.Array:

@@ -357,7 +357,6 @@ def convert_hunyuanvideo(state: Dict[str, np.ndarray], cfg) -> Any:
     # x_embedder: Conv3d (O, I, 1, p, p) -> (p*p*I, O) linear
     w = state["x_embedder.proj.weight"]
     o, i_, kt, kh, kw = w.shape
-    flux_state["x_embedder.weight"] = w.reshape(o, i_ * kt * kh * kw)
     # conv flatten order is (I, kt, kh, kw); our patch vector is
     # (kt, kh, kw, I) raster — reorder
     wr = np.transpose(w, (0, 2, 3, 4, 1)).reshape(o, kt * kh * kw * i_)
@@ -865,11 +864,13 @@ def convert_local_facial_extractor(
 
 
 def _conv3(state, name, dtype):
-    """torch Conv3d (O, I, T, H, W) -> (T, H, W, I, O)."""
+    """torch Conv3d (O, I, T, H, W) -> (T, H, W, I, O); a 4D Conv2d weight
+    (the CogVideoX upsampler is a per-frame nn.Conv2d) loads as T=1."""
+    w = state[f"{name}.weight"]
+    if w.ndim == 4:  # Conv2d (O, I, H, W) -> (1, H, W, I, O)
+        w = w[:, :, None]
     return {
-        "w": jnp.asarray(
-            np.transpose(state[f"{name}.weight"], (2, 3, 4, 1, 0)), dtype
-        ),
+        "w": jnp.asarray(np.transpose(w, (2, 3, 4, 1, 0)), dtype),
         "b": jnp.asarray(state[f"{name}.bias"], dtype),
     }
 

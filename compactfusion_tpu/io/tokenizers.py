@@ -109,9 +109,13 @@ class ClipBPETokenizer:
                 regex.IGNORECASE,
             )
         except ImportError:  # pragma: no cover
+            # ASCII approximation of \p{L}/\p{N}: letters must NOT swallow
+            # digit runs or underscores (\w+ would tokenize "abc123" as one
+            # OOV piece -> eos fallback id, which also corrupts the argmax
+            # pooling position in clip_encode)
             self._pat = re.compile(
                 r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-                r"|\w+|\d|[^\s\w\d]+",
+                r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
                 re.IGNORECASE,
             )
 
@@ -349,7 +353,6 @@ class UnigramTokenizer:
         for i in range(n):
             if best[i] == NEG:
                 continue
-            matched = False
             for j in range(i + 1, min(n, i + self._max_piece_len) + 1):
                 ent = self.vocab.get(s[i:j])
                 if ent is None:
@@ -357,16 +360,14 @@ class UnigramTokenizer:
                 pid, score = ent
                 if pid in self._control or pid == self.unk_id:
                     continue
-                matched = True
                 if best[i] + score > best[j]:
                     best[j] = best[i] + score
                     back[j] = (i, pid)
             # single unknown char fallback
             j = i + 1
-            if not matched or best[i] + unk_score > best[j]:
-                if best[i] + unk_score > best[j]:
-                    best[j] = best[i] + unk_score
-                    back[j] = (i, self.unk_id)
+            if best[i] + unk_score > best[j]:
+                best[j] = best[i] + unk_score
+                back[j] = (i, self.unk_id)
         ids: List[int] = []
         pos = n
         while pos > 0:

@@ -159,6 +159,7 @@ def cogvideox_forward(
     attn=SingleDeviceAttn(),
     attn_state=(),
     tp_axis: Optional[str] = None,
+    pp_stages: int = 1,
 ):
     """CogVideoX denoiser on local video-token shards.
 
@@ -227,9 +228,24 @@ def cogvideox_forward(
 
     # ``attn`` may be a tuple of (strategy, n_layers) segments (per-layer
     # compression plans, reference compress_func(layer, step))
-    (vid, txt), new_state = cm.scan_segments(
-        make_block, (vid, txt), params["blocks"], attn, attn_state
-    )
+    if pp_stages > 1:
+        # sync PipeFusion: the blocks stack is sharded over the pp axis
+        # (model_param_specs(pp=True)); stages compose via masked rounds +
+        # ppermute (reference _init_sync_pipeline under pp for CogVideoX)
+        from compactfusion_tpu.parallel.pipefusion import pipefusion_blocks
+
+        assert not isinstance(attn, (tuple, list)), (
+            "per-layer compression plans do not compose with pp"
+        )
+        block = make_block(attn)
+        (vid, txt), new_state = pipefusion_blocks(
+            lambda hh, st: jax.lax.scan(block, hh, (params["blocks"], st)),
+            (vid, txt), attn_state, pp_stages,
+        )
+    else:
+        (vid, txt), new_state = cm.scan_segments(
+            make_block, (vid, txt), params["blocks"], attn, attn_state
+        )
 
     # norm_final over the joint sequence (video part kept), then
     # AdaLayerNorm: SHIFT first, affine inner norm (diffusers AdaLayerNorm

@@ -120,6 +120,7 @@ def consisid_forward(
     attn=SingleDeviceAttn(),
     attn_state=(),
     tp_axis: Optional[str] = None,
+    pp_stages: int = 1,
 ):
     """ConsisID denoiser: CogVideoX blocks + interval perceiver injection.
 
@@ -186,12 +187,42 @@ def consisid_forward(
         lambda a: jnp.repeat(a, interval, axis=0)[: cfg.depth],
         params["perceiver"],
     )
-    # per-layer compression plans: attn may be ((strategy, n_layers), ...);
-    # the per-layer xs (block params, perceiver params, injection flags) are
-    # bundled as the "blocks" pytree so scan_segments slices them together
-    (vid, txt), new_state = cm.scan_segments(
-        make_block, (vid, txt), (params["blocks"], pc, flags), attn, attn_state
-    )
+    if pp_stages > 1:
+        # sync PipeFusion: params["blocks"] arrives STAGE-LOCAL (sharded by
+        # model_param_specs(pp=True)); the perceiver stack stays replicated
+        # (it is tiny), so slice its repeated-per-layer expansion and the
+        # injection flags to this stage's depth/pp window
+        from jax import lax
+
+        from compactfusion_tpu.parallel.mesh import AXIS_PP
+        from compactfusion_tpu.parallel.pipefusion import pipefusion_blocks
+
+        assert not isinstance(attn, (tuple, list)), (
+            "per-layer compression plans do not compose with pp"
+        )
+        l_loc = cfg.depth // pp_stages
+        my = lax.axis_index(AXIS_PP)
+        pc = jax.tree_util.tree_map(
+            lambda a: lax.dynamic_slice_in_dim(a, my * l_loc, l_loc, axis=0),
+            pc,
+        )
+        flags_loc = lax.dynamic_slice_in_dim(flags, my * l_loc, l_loc, axis=0)
+        block = make_block(attn)
+        (vid, txt), new_state = pipefusion_blocks(
+            lambda hh, st: jax.lax.scan(
+                block, hh, ((params["blocks"], pc, flags_loc), st)
+            ),
+            (vid, txt), attn_state, pp_stages,
+        )
+    else:
+        # per-layer compression plans: attn may be ((strategy, n_layers),
+        # ...); the per-layer xs (block params, perceiver params, injection
+        # flags) are bundled as the "blocks" pytree so scan_segments slices
+        # them together
+        (vid, txt), new_state = cm.scan_segments(
+            make_block, (vid, txt), (params["blocks"], pc, flags), attn,
+            attn_state,
+        )
 
     joint = jnp.concatenate([txt, vid], axis=1)
     vid = cm.layernorm(params["norm_final"], joint, eps=1e-5)[:, txt.shape[1]:]

@@ -343,6 +343,8 @@ def flux_forward(
     tp_axis: Optional[str] = None,
     cache_cfg=None,
     cache_state=None,
+    cache_force=None,
+    pp_stages: int = 1,
 ):
     """FLUX denoiser on local image-token shards.
 
@@ -377,7 +379,11 @@ def flux_forward(
             jax.tree_util.tree_leaves(attn_state_double)
             or jax.tree_util.tree_leaves(attn_state_single)
         ), "cache acceleration is incompatible with compact EF state"
-        from compactfusion_tpu.cache.accel import CacheAccelState, should_skip
+        from compactfusion_tpu.cache.accel import (
+            CacheAccelState,
+            next_probe,
+            should_skip,
+        )
 
         p0 = jax.tree_util.tree_map(lambda a: a[0], params["double_blocks"])
         mod0 = cm.linear(p0["img_mod"], cm.silu(temb))
@@ -391,8 +397,12 @@ def flux_forward(
             img, txt, temb, cfg, img_rope=img_rope, txt_rope=txt_rope,
             attn=attn, attn_state=(), tp_axis=tp_axis,
         )
-        probe = img1 if cache_cfg.mode == "fbcache" else probe_in
-        skip, accum = should_skip(cache_cfg, cache_state, probe)
+        # fbcache probes the first-block RESIDUAL (reference
+        # get_modulated_inputs: block0(img) - img), not the raw block output
+        probe = (img1 - img) if cache_cfg.mode == "fbcache" else probe_in
+        skip, accum = should_skip(
+            cache_cfg, cache_state, probe, force_compute=cache_force
+        )
 
         p_rest = jax.tree_util.tree_map(lambda a: a[1:], params["double_blocks"])
 
@@ -416,7 +426,7 @@ def flux_forward(
 
         img, residual = jax.lax.cond(skip, replay, run_rest, (img1, txt1))
         new_cache = CacheAccelState(
-            prev_probe=probe.astype(cache_state.prev_probe.dtype),
+            prev_probe=next_probe(cache_cfg, cache_state, probe, skip),
             residual=residual,
             accum=accum,
             has_prev=jnp.ones((), jnp.int32),
@@ -424,6 +434,41 @@ def flux_forward(
         )
         out = flux_head(params, img, temb, cfg)
         return out, attn_state_double, attn_state_single, new_cache
+
+    if pp_stages > 1:
+        # sync PipeFusion over BOTH block families (stage-sharded stacks;
+        # pad with models.flux.pad_flux_for_pp when depths don't divide)
+        from compactfusion_tpu.parallel.pipefusion import pipefusion_blocks
+
+        assert (
+            attn_single is None or attn_single is attn
+        ) and not isinstance(attn, (tuple, list)), (
+            "per-layer compression plans do not compose with pp"
+        )
+
+        def run_doubles(hh, st):
+            i2, t2, st2 = flux_double_scan(
+                params["double_blocks"], hh[0], hh[1], temb, cfg,
+                img_rope=img_rope, txt_rope=txt_rope,
+                attn=attn, attn_state=st, tp_axis=tp_axis,
+            )
+            return (i2, t2), st2
+
+        def run_singles(hh, st):
+            i2, t2, st2 = flux_single_scan(
+                params["single_blocks"], hh[0], hh[1], temb, cfg,
+                img_rope=img_rope, txt_rope=txt_rope,
+                attn=attn, attn_state=st, tp_axis=tp_axis,
+            )
+            return (i2, t2), st2
+
+        (img, txt), new_state_double = pipefusion_blocks(
+            run_doubles, (img, txt), attn_state_double, pp_stages
+        )
+        (img, txt), new_state_single = pipefusion_blocks(
+            run_singles, (img, txt), attn_state_single, pp_stages
+        )
+        return flux_head(params, img, temb, cfg), new_state_double, new_state_single
 
     img, txt, new_state_double = flux_double_scan(
         params["double_blocks"], img, txt, temb, cfg,

@@ -208,6 +208,7 @@ def hunyuanvideo_forward(
     attn_state_single=(),
     attn_single=None,
     tp_axis: Optional[str] = None,
+    pp_stages: int = 1,
 ):
     """HunyuanVideo denoiser on local video-token shards.
 
@@ -225,6 +226,42 @@ def hunyuanvideo_forward(
     txt = token_refiner(params["refiner"], txt.astype(cfg.dtype), t, cfg,
                         mask=text_mask)
     temb = flux_time_embed(params, pooled, t, guidance, cfg)
+
+    if pp_stages > 1:
+        # sync PipeFusion over BOTH block families: each family's stack is
+        # sharded over the pp axis (the token refiner and embedders stay
+        # replicated); doubles compose across stages first, then singles
+        from compactfusion_tpu.parallel.pipefusion import pipefusion_blocks
+
+        assert (
+            attn_single is None or attn_single is attn
+        ) and not isinstance(attn, (tuple, list)), (
+            "per-layer compression plans do not compose with pp"
+        )
+
+        def run_doubles(hh, st):
+            i2, t2, st2 = flux_double_scan(
+                params["double_blocks"], hh[0], hh[1], temb, cfg,
+                img_rope=video_rope, txt_rope=txt_rope,
+                attn=attn, attn_state=st, tp_axis=tp_axis,
+            )
+            return (i2, t2), st2
+
+        def run_singles(hh, st):
+            i2, t2, st2 = flux_single_scan(
+                params["single_blocks"], hh[0], hh[1], temb, cfg,
+                img_rope=video_rope, txt_rope=txt_rope,
+                attn=attn, attn_state=st, tp_axis=tp_axis,
+            )
+            return (i2, t2), st2
+
+        (img, txt), sd = pipefusion_blocks(
+            run_doubles, (img, txt), attn_state_double, pp_stages
+        )
+        (img, txt), ss = pipefusion_blocks(
+            run_singles, (img, txt), attn_state_single, pp_stages
+        )
+        return flux_head(params, img, temb, cfg), sd, ss
 
     img, txt, sd = flux_double_scan(
         params["double_blocks"], img, txt, temb, cfg,

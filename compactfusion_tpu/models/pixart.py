@@ -155,6 +155,7 @@ def pixart_forward(
     pp_stages: int = 1,
     cache_cfg=None,
     cache_state=None,
+    cache_force=None,
     x_is_hidden: bool = False,
     return_hidden: bool = False,
 ) -> Tuple[jax.Array, Any]:
@@ -232,7 +233,11 @@ def pixart_forward(
         assert not jax.tree_util.tree_leaves(attn_state), (
             "cache acceleration is incompatible with compact EF state"
         )
-        from compactfusion_tpu.cache.accel import CacheAccelState, should_skip
+        from compactfusion_tpu.cache.accel import (
+            CacheAccelState,
+            next_probe,
+            should_skip,
+        )
 
         p0 = jax.tree_util.tree_map(lambda a: a[0], params["blocks"])
         table0 = p0["scale_shift_table"][None] + mod6
@@ -240,8 +245,12 @@ def pixart_forward(
             cm.layernorm({}, x) * (1 + table0[:, 1][:, None]) + table0[:, 0][:, None]
         )
         x1, _ = block(x, (p0, ()))
-        probe = x1 if cache_cfg.mode == "fbcache" else probe_in
-        skip, accum = should_skip(cache_cfg, cache_state, probe)
+        # fbcache probes the first-block RESIDUAL (reference
+        # get_modulated_inputs: block0(x) - x), not the raw block output
+        probe = (x1 - x) if cache_cfg.mode == "fbcache" else probe_in
+        skip, accum = should_skip(
+            cache_cfg, cache_state, probe, force_compute=cache_force
+        )
 
         p_rest = jax.tree_util.tree_map(lambda a: a[1:], params["blocks"])
 
@@ -254,7 +263,7 @@ def pixart_forward(
 
         x, residual = jax.lax.cond(skip, replay, run_rest, x1)
         new_cache = CacheAccelState(
-            prev_probe=probe.astype(cache_state.prev_probe.dtype),
+            prev_probe=next_probe(cache_cfg, cache_state, probe, skip),
             residual=residual.astype(cache_state.residual.dtype),
             accum=accum,
             has_prev=jnp.ones((), jnp.int32),

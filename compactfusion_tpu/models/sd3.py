@@ -196,6 +196,7 @@ def sd3_forward(
     attn=SingleDeviceAttn(),
     attn_state=(),
     tp_axis: Optional[str] = None,
+    pp_stages: int = 1,
 ):
     """SD3 denoiser on local image-token shards.
 
@@ -207,6 +208,26 @@ def sd3_forward(
     img = cm.linear(params["patch_embed"], img) + pos_embed.astype(cfg.dtype)[None]
     txt = cm.linear(params["context_embedder"], txt)
     temb = sd3_time_embed(params, pooled, t, cfg)
+    if pp_stages > 1:
+        # sync PipeFusion: the blocks stack is sharded over the pp axis
+        from compactfusion_tpu.parallel.pipefusion import pipefusion_blocks
+
+        assert not isinstance(attn, (tuple, list)), (
+            "per-layer compression plans do not compose with pp"
+        )
+
+        def run_blocks(hh, st):
+            i2, t2, st2 = sd3_joint_scan(
+                params["blocks"], hh[0], hh[1], temb, cfg,
+                attn=attn, attn_state=st, tp_axis=tp_axis,
+            )
+            return (i2, t2), st2
+
+        (img, txt), new_state = pipefusion_blocks(
+            run_blocks, (img, txt), attn_state, pp_stages
+        )
+        return sd3_head(params, img, temb, cfg), new_state
+
     img, txt, new_state = sd3_joint_scan(
         params["blocks"], img, txt, temb, cfg,
         attn=attn, attn_state=attn_state, tp_axis=tp_axis,

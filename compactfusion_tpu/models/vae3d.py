@@ -12,7 +12,9 @@ Faithful re-implementation of diffusers ``AutoencoderKLCogVideoX``'s decoder
   * ``CogVideoXUpsample3D`` — nearest 2x spatial upsample; in
     ``compress_time`` blocks the first frame is kept un-doubled (T -> 2T-1)
     so ``T_out = (T_lat - 1) * temporal_ratio + 1``; the upsample conv is a
-    PLAIN (non-causal) 3x3x3 conv;
+    PER-FRAME 2D 3x3 conv (diffusers uses ``nn.Conv2d`` — a (1, 3, 3)
+    kernel here, so real 4D checkpoint weights load and no temporal mixing
+    happens in the upsampler);
   * decode order: conv_in, mid (2 spatial-norm resnets), up blocks
     (layers_per_block+1 resnets + upsampler), spatial norm_out, silu,
     conv_out.
@@ -77,13 +79,7 @@ def tiny_hv_vae3d() -> VAE3DConfig:
 
 
 def tiny_vae3d() -> VAE3DConfig:
-    return VAE3DConfig(
-        latent_channels=4,
-        block_out_channels=(8, 16),
-        layers_per_block=1,
-        norm_num_groups=4,
-        temporal_compress_levels=1,
-    )
+    return tiny_hv_vae3d()  # identical smoke-test config for both decoders
 
 
 # ---------------------------------------------------------------------------
@@ -146,7 +142,8 @@ def init_vae3d_decoder(key, cfg: VAE3DConfig):
             c_prev = c
         blk = {"resnets": blocks}
         if i < len(chans) - 1:
-            blk["upsample_conv"] = _init_conv3(next(ks), c, c, dtype=dt)
+            # diffusers CogVideoXUpsample3D conv is a per-frame nn.Conv2d
+            blk["upsample_conv"] = _init_conv3(next(ks), c, c, (1, 3, 3), dt)
         up.append(blk)
     p["up"] = up
     return p
@@ -243,7 +240,8 @@ def _resnet3(p, x, zq, groups):
 
 def _upsample3(p, x, temporal: bool):
     """CogVideoXUpsample3D: nearest 2x (h, w); ``temporal`` additionally
-    doubles frames 1..T-1, keeping frame 0 (odd-T rule); plain conv."""
+    doubles frames 1..T-1, keeping frame 0 (odd-T rule); PER-FRAME 2D conv
+    (a (1, 3, 3) kernel — no temporal mixing, matching nn.Conv2d)."""
     b, t, h, w, c = x.shape
     x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
     if temporal and t > 1:
@@ -315,18 +313,20 @@ def _resnet3_hv(p, x, groups):
 
 def _mid_attn_hv(p, x, groups):
     """Single-head attention over flattened (T*H*W) tokens with a CAUSAL
-    frame mask (token of frame f attends frames <= f)."""
+    frame mask (token of frame f attends frames <= f).  Routed through
+    ``ops.attention.sdpa`` like the 2D VAE's mid attention — a hand-rolled
+    dense (T*H*W)^2 fp32 score matrix would be ~53 GB at 720p real scale."""
+    from compactfusion_tpu.ops.attention import sdpa
+
     b, t, hh, ww, c = x.shape
     y = _plain_groupnorm3(p["norm"], x, groups).reshape(b, t * hh * ww, c)
-    q = cm.linear(p["q"], y).astype(jnp.float32)
-    k = cm.linear(p["k"], y).astype(jnp.float32)
-    v = cm.linear(p["v"], y).astype(jnp.float32)
+    q = cm.linear(p["q"], y)
+    k = cm.linear(p["k"], y)
+    v = cm.linear(p["v"], y)
     frame = jnp.repeat(jnp.arange(t), hh * ww)
     mask = frame[:, None] >= frame[None, :]
-    scores = q @ k.transpose(0, 2, 1) * (c**-0.5)
-    scores = jnp.where(mask[None], scores, -1e30)
-    o = jax.nn.softmax(scores, axis=-1) @ v
-    o = cm.linear(p["out"], o.astype(x.dtype))
+    o = sdpa(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :], mask=mask)
+    o = cm.linear(p["out"], o[:, :, 0].astype(x.dtype))
     return x + o.reshape(b, t, hh, ww, c)
 
 
@@ -398,12 +398,19 @@ def hv_vae3d_decode(params, latents: jax.Array, cfg: VAE3DConfig) -> jax.Array:
     x = _resnet3_hv(params["mid_res1"], x, g)
     x = _mid_attn_hv(params["mid_attn"], x, g)
     x = _resnet3_hv(params["mid_res2"], x, g)
+    n_up = len(params["up"])
     for i, up in enumerate(params["up"]):
         for r in up["resnets"]:
             x = _resnet3_hv(r, x, g)
         if "upsample_conv" in up:
+            # HunyuanVideo places TIME upsampling at the LAST
+            # temporal_compress_levels non-final up blocks
+            # (add_time_upsample = i >= len - 1 - levels and not final),
+            # i.e. blocks {1, 2} of the real 4-block decoder — not the
+            # first blocks like CogVideoX
             x = _upsample3_hv(
-                up["upsample_conv"], x, i < cfg.temporal_compress_levels
+                up["upsample_conv"], x,
+                i >= n_up - 1 - cfg.temporal_compress_levels,
             )
     x = cm.silu(_plain_groupnorm3(params["norm_out"], x, g))
     return _causal_conv3_repl(params["conv_out"], x)

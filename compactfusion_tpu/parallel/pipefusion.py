@@ -44,8 +44,9 @@ def pipefusion_blocks(
     Args:
       scan_blocks_fn: applies THIS device's local (depth/pp) blocks:
         ``(h, state) -> (h, state)``.
-      h: (B, S_local, D) activations entering the block stack (identical on
-        every stage at entry).
+      h: activations entering the block stack — a (B, S_local, D) array or a
+        PYTREE of such (e.g. the (vid, txt) pair of joint-attention models);
+        identical on every stage at entry.
       state: per-local-layer attention/compression state.
 
     Returns:
@@ -60,7 +61,9 @@ def pipefusion_blocks(
     for u in range(n_stages):
         h_new, state_new = scan_blocks_fn(h, state)
         active = my == u
-        h = jnp.where(active, h_new, h)
+        h = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(active, new, old), h_new, h
+        )
         # discard state updates from masked (inactive) rounds so EF caches
         # only advance when this stage actually processed the activations
         state = jax.tree_util.tree_map(
@@ -69,5 +72,10 @@ def pipefusion_blocks(
         if u < n_stages - 1:
             h = lax.ppermute(h, axis, perm)
     # broadcast the last stage's result to every stage
-    h = lax.psum(jnp.where(my == n_stages - 1, h, jnp.zeros_like(h)), axis)
+    h = jax.tree_util.tree_map(
+        lambda x: lax.psum(
+            jnp.where(my == n_stages - 1, x, jnp.zeros_like(x)), axis
+        ),
+        h,
+    )
     return h, state

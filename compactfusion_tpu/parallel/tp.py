@@ -27,14 +27,16 @@ from compactfusion_tpu.parallel.mesh import AXIS_PP, AXIS_TP
 #: parameter-subtree names treated as TP-sharded feed-forwards
 FFN_KEYS = ("ffn", "img_ffn", "txt_ffn", "mlp")
 
-#: parameter-subtree names whose leading (layer-stack) axis shards over pp
+#: TOP-LEVEL parameter-subtree names whose leading (layer-stack) axis shards
+#: over pp.  Matched at the root of the param tree ONLY: nested stacks that
+#: happen to reuse a name (HunyuanVideo's token-refiner ``refiner.blocks``)
+#: are NOT pipeline stages and must stay replicated.
 BLOCK_KEYS = (
     "blocks",
     "double_blocks",
     "single_blocks",
     "down_blocks",
     "up_blocks",
-    "id_attns",
 )
 
 
@@ -71,7 +73,7 @@ def model_param_specs(params: Any, tp: bool = False, pp: bool = False) -> Any:
         parts[0] = AXIS_PP
         return P(*parts)
 
-    def walk(node, in_block):
+    def walk(node, in_block, top):
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
@@ -87,16 +89,18 @@ def model_param_specs(params: Any, tp: bool = False, pp: bool = False) -> Any:
                         specs = map_specs(specs, v)
                     out[k] = specs
                 else:
-                    out[k] = walk(v, in_block or k in BLOCK_KEYS)
+                    out[k] = walk(
+                        v, in_block or (top and k in BLOCK_KEYS), False
+                    )
             return out
         if isinstance(node, (list, tuple)):
             t = type(node)
-            return t(walk(v, in_block) for v in node)
+            return t(walk(v, in_block, False) for v in node)
         if pp and in_block:
             return P(AXIS_PP)
         return P()
 
-    return walk(params, False)
+    return walk(params, False, True)
 
 
 def tp_param_specs(params: Any) -> Any:

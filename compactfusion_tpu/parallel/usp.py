@@ -29,6 +29,51 @@ from compactfusion_tpu.parallel.mesh import AXIS_RING, AXIS_ULYSSES
 from compactfusion_tpu.parallel.ring import ring_attention
 
 
+def usp_wrap(
+    inner,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    ulysses_size: int,
+    ulysses_axis: str = AXIS_ULYSSES,
+    joint_q: Optional[jax.Array] = None,
+    joint_k: Optional[jax.Array] = None,
+    joint_v: Optional[jax.Array] = None,
+    joint_strategy: str = "none",
+):
+    """Shared USP wrapper: joint-q concat -> ulysses all-to-all (scatter
+    heads, gather seq; slice the replicated joint K/V to this rank's head
+    block) -> ``inner(q, k, v, joint_k, joint_v) -> (out, aux)`` -> inverse
+    all-to-all on out.
+
+    Both the plain and the COMPRESSED USP attention
+    (``compact.ring.compact_usp_attention``) route through this one wrapper
+    so their joint/ulysses handling cannot diverge.
+    """
+    if joint_q is not None:
+        if joint_strategy == "front":
+            q = jnp.concatenate([joint_q, q], axis=1)
+        elif joint_strategy == "rear":
+            q = jnp.concatenate([q, joint_q], axis=1)
+        else:
+            raise ValueError(f"joint_strategy {joint_strategy!r} with joint_q")
+
+    if ulysses_size > 1:
+        q = uly.scatter_heads_gather_seq(q, ulysses_axis)
+        k = uly.scatter_heads_gather_seq(k, ulysses_axis)
+        v = uly.scatter_heads_gather_seq(v, ulysses_axis)
+        if joint_k is not None:
+            joint_k = uly.slice_joint_heads(joint_k, ulysses_axis, ulysses_size)
+            joint_v = uly.slice_joint_heads(joint_v, ulysses_axis, ulysses_size)
+
+    out, aux = inner(q, k, v, joint_k, joint_v)
+
+    if ulysses_size > 1:
+        out = uly.scatter_seq_gather_heads(out, ulysses_axis)
+    return out, aux
+
+
 def usp_attention(
     q: jax.Array,
     k: jax.Array,
@@ -57,36 +102,30 @@ def usp_attention(
     Returns:
       (B, S_local(+Sj), H, D) attention output, same sharding as q.
     """
-    if joint_q is not None:
-        if joint_strategy == "front":
-            q = jnp.concatenate([joint_q, q], axis=1)
-        elif joint_strategy == "rear":
-            q = jnp.concatenate([q, joint_q], axis=1)
-        else:
-            raise ValueError(f"joint_strategy {joint_strategy!r} with joint_q")
 
-    if ulysses_size > 1:
-        q = uly.scatter_heads_gather_seq(q, ulysses_axis)
-        k = uly.scatter_heads_gather_seq(k, ulysses_axis)
-        v = uly.scatter_heads_gather_seq(v, ulysses_axis)
-        if joint_k is not None:
-            joint_k = uly.slice_joint_heads(joint_k, ulysses_axis, ulysses_size)
-            joint_v = uly.slice_joint_heads(joint_v, ulysses_axis, ulysses_size)
+    def inner(q, k, v, joint_k, joint_v):
+        out = ring_attention(
+            q,
+            k,
+            v,
+            axis_name=ring_axis,
+            ring_size=ring_size,
+            scale=scale,
+            causal=causal,
+            joint_k=joint_k,
+            joint_v=joint_v,
+            joint_strategy=joint_strategy,
+            fused=fused_ring,
+        )
+        return out, None
 
-    out = ring_attention(
-        q,
-        k,
-        v,
-        axis_name=ring_axis,
-        ring_size=ring_size,
-        scale=scale,
-        causal=causal,
+    out, _ = usp_wrap(
+        inner, q, k, v,
+        ulysses_size=ulysses_size,
+        ulysses_axis=ulysses_axis,
+        joint_q=joint_q,
         joint_k=joint_k,
         joint_v=joint_v,
         joint_strategy=joint_strategy,
-        fused=fused_ring,
     )
-
-    if ulysses_size > 1:
-        out = uly.scatter_seq_gather_heads(out, ulysses_axis)
     return out

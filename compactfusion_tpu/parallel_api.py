@@ -856,6 +856,18 @@ class xDiTParallel:
         return self
 
     def __call__(self, key: Optional[jax.Array] = None, decode: Optional[bool] = None):
+        if self.engine_config.runtime_config.use_profiler:
+            # reference --use_profiler wraps generation in profiler traces;
+            # here: wall-clock scopes + per-scope summary (utils/prof.py)
+            from compactfusion_tpu.utils.prof import Profiler
+
+            with Profiler.scope("total"):
+                out = self._generate(key, decode)
+            logger.info("profiler summary:\n%s", Profiler.summary())
+            return out
+        return self._generate(key, decode)
+
+    def _generate(self, key: Optional[jax.Array] = None, decode: Optional[bool] = None):
         inp = self.input_config
         if decode is None:
             # reference --output_type: "latent" skips the VAE

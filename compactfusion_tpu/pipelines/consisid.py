@@ -109,8 +109,9 @@ def build_sample_fn(cfg: ConsisIDPipelineConfig, mesh: Mesh, params_tree=None):
             else:
                 attn = _attn_impl(cfg, method)
                 st = attn.init_state(
-                    mcfg.depth, n_model_batch, s_local, mcfg.heads,
-                    mcfg.head_dim, jnp.float32,
+                    # per-STAGE local layers under sync PipeFusion
+                    mcfg.depth // p.pp_degree, n_model_batch, s_local,
+                    mcfg.heads, mcfg.head_dim, jnp.float32,
                 )
             st = base.carry_ef_state(carry[1], st)  # EF caches across segments
             carry = (carry[0], st)
@@ -132,6 +133,7 @@ def build_sample_fn(cfg: ConsisIDPipelineConfig, mesh: Mesh, params_tree=None):
                     attn=_attn,
                     attn_state=st,
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
+                    pp_stages=p.pp_degree,
                 )
                 if cfg.do_cfg:
                     g = (
@@ -145,6 +147,10 @@ def build_sample_fn(cfg: ConsisIDPipelineConfig, mesh: Mesh, params_tree=None):
             carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
         return carry[0]
 
+    if p.pp_degree > 1:
+        assert mcfg.depth % p.pp_degree == 0, (
+            "sync PipeFusion needs depth divisible by pp_degree"
+        )
     if p.tp_degree > 1 or p.pp_degree > 1:
         assert params_tree is not None
         param_specs = model_param_specs(

@@ -40,7 +40,7 @@ from compactfusion_tpu.models.flux import (
 )
 from compactfusion_tpu.models.vae import VAEConfig, vae_decode
 from compactfusion_tpu.parallel.mesh import AXIS_DP, AXIS_RING, AXIS_TP, AXIS_ULYSSES
-from compactfusion_tpu.parallel.tp import tp_param_specs
+from compactfusion_tpu.parallel.tp import model_param_specs
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.flow_match import (
     calculate_shift,
@@ -104,7 +104,12 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
     mcfg = cfg.model
     hp, wp = cfg.grid
     mu = calculate_shift(cfg.tokens)
-    sched = flow_match_schedule(cfg.num_steps, use_dynamic_shifting=True, mu=mu)
+    # FLUX overrides the scheduler sigmas with linspace(1, 1/N, N)
+    # (reference pipeline_flux.py:275)
+    sched = flow_match_schedule(
+        cfg.num_steps, use_dynamic_shifting=True, mu=mu,
+        final_sigma=1.0 / cfg.num_steps,
+    )
 
     img_pos = flux_image_positions(hp, wp)
     cos_i_full, sin_i_full = cm.rope_frequencies(img_pos, mcfg.axes_dim)
@@ -164,8 +169,9 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
                 ss = tuple(_init(a, n) for a, n in attn_s)
             else:
                 attn_d = attn_s = _attn_impl(cfg, method)
-                sd = _init(attn_d, mcfg.double_layers)
-                ss = _init(attn_s, mcfg.single_layers)
+                # per-STAGE local layers under sync PipeFusion
+                sd = _init(attn_d, mcfg.double_layers // p.pp_degree)
+                ss = _init(attn_s, mcfg.single_layers // p.pp_degree)
             # carry EF caches across segments, per family: a per-layer plan
             # can change one family's method class but not the other's
             sd = base.carry_ef_state(carry[1], sd)
@@ -192,6 +198,9 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
                     cache_cfg=cache_cfg,
                     cache_state=cst,
+                    # final step always computes (reference reset_mask)
+                    cache_force=i == cfg.num_steps - 1,
+                    pp_stages=p.pp_degree,
                 )
                 if use_cache:
                     v, sd, ss, cst = fwd
@@ -208,9 +217,19 @@ def build_sample_fn(cfg: FluxPipelineConfig, mesh: Mesh, params_tree=None):
             carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
         return carry[0]
 
-    if p.tp_degree > 1:
-        assert params_tree is not None, "TP needs the param tree for specs"
-        param_specs = tp_param_specs(params_tree)
+    if p.pp_degree > 1:
+        assert (
+            mcfg.double_layers % p.pp_degree == 0
+            and mcfg.single_layers % p.pp_degree == 0
+        ), "pad params/config with models.flux.pad_flux_for_pp first"
+        assert cfg.cache.mode == "none", (
+            "TeaCache/FBCache does not compose with sync PipeFusion"
+        )
+    if p.tp_degree > 1 or p.pp_degree > 1:
+        assert params_tree is not None, "TP/PP need the param tree for specs"
+        param_specs = model_param_specs(
+            params_tree, tp=p.tp_degree > 1, pp=p.pp_degree > 1
+        )
     else:
         param_specs = P()
     in_specs = (
@@ -261,6 +280,16 @@ class FluxPipeline:
             self._sample = build_flux_patch_pp_sample_fn(
                 cfg, mesh, self.params
             )
+        elif cfg.parallel.pp_degree > 1:
+            # SYNC PipeFusion (num_pipeline_patch == 1): same zero-init
+            # identity padding so both block-family counts divide the stages
+            from compactfusion_tpu.models.flux import pad_flux_for_pp
+
+            self.params, padded_model = pad_flux_for_pp(
+                params, cfg.model, cfg.parallel.pp_degree
+            )
+            cfg = dataclasses.replace(cfg, model=padded_model)
+            self._sample = build_sample_fn(cfg, mesh, self.params)
         else:
             self._sample = build_sample_fn(cfg, mesh, params)
         self._decode = jax.jit(functools.partial(decode_latents, cfg=cfg))

@@ -40,7 +40,7 @@ from compactfusion_tpu.models.flux import (
     flux_single_scan,
     flux_time_embed,
 )
-from compactfusion_tpu.parallel.mesh import AXIS_PP
+from compactfusion_tpu.parallel.mesh import AXIS_PP, AXIS_TP
 from compactfusion_tpu.parallel.tp import model_param_specs
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.flow_match import (
@@ -51,12 +51,20 @@ from compactfusion_tpu.schedulers.flow_match import (
 
 def build_flux_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
     """``sample(params, txt, pooled, latents0) -> latents`` for a FLUX config
-    with pp_degree > 1 and num_pipeline_patch M >= pp stages."""
+    with pp_degree > 1 and num_pipeline_patch M >= 2*pp stages."""
     p = cfg.parallel
     mcfg = cfg.model
     M = cfg.num_pipeline_patch
     PS = p.pp_degree
-    assert PS > 1 and M >= PS, "patch pipeline needs pp>1 and M >= pp stages"
+    # the VIRTUAL pipeline is 2*PS deep (doubles + singles per device): the
+    # latents write for patch g lands at round g + 2*PS - 1, and stage 0
+    # re-embeds that patch for the NEXT step at round g + M reading the
+    # PREVIOUS round's latents — M < 2*PS would silently denoise from
+    # latents missing the previous step's update
+    assert PS > 1 and M >= 2 * PS, (
+        "FLUX patch pipeline needs pp>1 and M >= 2*pp (2*PS-deep virtual "
+        "pipeline over double+single blocks)"
+    )
     assert p.sp_degree == 1, "patch mode shards tokens by patch, not by SP"
     # FluxPipeline pads the params with zero-init identity blocks first
     assert mcfg.double_layers % PS == 0 and mcfg.single_layers % PS == 0, (
@@ -67,8 +75,15 @@ def build_flux_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
     assert S % M == 0
     s_patch = S // M
     mu = calculate_shift(S)
-    sched = flow_match_schedule(cfg.num_steps, use_dynamic_shifting=True, mu=mu)
+    sched = flow_match_schedule(
+        cfg.num_steps, use_dynamic_shifting=True, mu=mu,
+        final_sigma=1.0 / cfg.num_steps,  # reference pipeline_flux.py:275
+    )
     warmup = min(max(cfg.runtime_warmup_steps, 1), cfg.num_steps)
+    assert cfg.num_steps > warmup, (
+        "patch mode needs at least one steady (post-warmup) step"
+    )
+    tp = AXIS_TP if p.tp_degree > 1 else None
     Ld = mcfg.double_layers // PS
     Ls = mcfg.single_layers // PS
 
@@ -109,7 +124,7 @@ def build_flux_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
                 i2, t2, st = flux_double_scan(
                     params["double_blocks"], h[0], h[1], temb, mcfg,
                     img_rope=(cos_full, sin_full), txt_rope=txt_rope,
-                    attn=attn, attn_state=kv_d2,
+                    attn=attn, attn_state=kv_d2, tp_axis=tp,
                 )
                 active = my == u
                 h = jax.tree_util.tree_map(
@@ -124,7 +139,7 @@ def build_flux_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
                 i2, t2, st = flux_single_scan(
                     params["single_blocks"], h[0], h[1], temb, mcfg,
                     img_rope=(cos_full, sin_full), txt_rope=txt_rope,
-                    attn=attn, attn_state=kv_s2,
+                    attn=attn, attn_state=kv_s2, tp_axis=tp,
                 )
                 active = my == u
                 h = jax.tree_util.tree_map(
@@ -183,6 +198,7 @@ def build_flux_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             d_img, d_txt, kv_d_new = flux_double_scan(
                 params["double_blocks"], img_in, txt_in, tembA, mcfg,
                 img_rope=ropeA, txt_rope=txt_rope, attn=attn, attn_state=kv_dA,
+                tp_axis=tp,
             )
             kv_d = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(validA, new, old), kv_d_new, kv_d
@@ -208,6 +224,7 @@ def build_flux_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             s_img, s_txt_o, kv_s_new = flux_single_scan(
                 params["single_blocks"], simg_in, stxt_in, tembB, mcfg,
                 img_rope=ropeB, txt_rope=txt_rope, attn=attn, attn_state=kv_sB,
+                tp_axis=tp,
             )
             kv_s = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(validB, new, old), kv_s_new, kv_s

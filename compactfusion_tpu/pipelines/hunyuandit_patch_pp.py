@@ -34,7 +34,7 @@ from compactfusion_tpu.models.hunyuandit import (
     hunyuandit_head,
     hunyuandit_up_scan,
 )
-from compactfusion_tpu.parallel.mesh import AXIS_PP
+from compactfusion_tpu.parallel.mesh import AXIS_PP, AXIS_TP
 from compactfusion_tpu.parallel.tp import model_param_specs
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.diffusion import (
@@ -45,12 +45,18 @@ from compactfusion_tpu.schedulers.diffusion import (
 
 def build_hunyuandit_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
     """``sample(params, text, text_mask, latents0) -> latents`` for a
-    HunyuanDiT config with pp_degree > 1 and num_pipeline_patch M >= PS."""
+    HunyuanDiT config with pp_degree > 1 and num_pipeline_patch M >= 2*PS."""
     p = cfg.parallel
     mcfg = cfg.model
     M = cfg.num_pipeline_patch
     PS = p.pp_degree
-    assert PS > 1 and M >= PS, "patch pipeline needs pp>1 and M >= pp stages"
+    # 2*PS-deep virtual pipeline (down + up block families per device): the
+    # latents write for patch g lands at round g + 2*PS - 1 while stage 0
+    # re-reads that patch at round g + M — see flux_patch_pp.py
+    assert PS > 1 and M >= 2 * PS, (
+        "HunyuanDiT patch pipeline needs pp>1 and M >= 2*pp (2*PS-deep "
+        "virtual pipeline over down+up blocks)"
+    )
     assert p.sp_degree == 1, "patch mode shards tokens by patch, not by SP"
     half = mcfg.depth // 2
     assert half % PS == 0
@@ -61,6 +67,10 @@ def build_hunyuandit_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
     s_patch = S // M
     sched = ddpm_schedule(cfg.num_steps)
     warmup = min(max(cfg.runtime_warmup_steps, 1), cfg.num_steps)
+    assert cfg.num_steps > warmup, (
+        "patch mode needs at least one steady (post-warmup) step"
+    )
+    tp = AXIS_TP if p.tp_degree > 1 else None
     from compactfusion_tpu.models.hunyuandit import hunyuandit_positions
 
     pos = hunyuandit_positions(hp, wp)
@@ -95,7 +105,7 @@ def build_hunyuandit_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             out, _, _ = hunyuandit_forward(
                 params, model_batch(latents).astype(mcfg.dtype), t, text,
                 mcfg, rope=(cos_full, sin_full), text_mask=text_mask,
-                pp_stages=PS,
+                pp_stages=PS, tp_axis=tp,
             )
             eps = out[..., : out.shape[-1] // 2]
             if cfg.do_cfg:
@@ -127,7 +137,7 @@ def build_hunyuandit_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             params, model_batch(latents).astype(mcfg.dtype), t, text, mcfg,
             rope=(cos_full, sin_full), attn=attn,
             attn_state_down=kv_d, attn_state_up=kv_u,
-            text_mask=text_mask, pp_stages=PS,
+            text_mask=text_mask, pp_stages=PS, tp_axis=tp,
         )
 
         # ---- patch-pipelined steady state with the skip train
@@ -168,6 +178,7 @@ def build_hunyuandit_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             d_h, kv_d_new, skips = hunyuandit_down_scan(
                 params["down_blocks"], h_in, tembA, text, mcfg,
                 rope=ropeA, attn=attn, attn_state=kv_dA, kv_lens=kv_lens,
+                tp_axis=tp,
             )
             kv_d = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(validA, new, old), kv_d_new, kv_d
@@ -200,6 +211,7 @@ def build_hunyuandit_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             u_h, kv_u_new = hunyuandit_up_scan(
                 params["up_blocks"], uh_in, skips_me, tembB, text, mcfg,
                 rope=ropeB, attn=attn, attn_state=kv_uB, kv_lens=kv_lens,
+                tp_axis=tp,
             )
             kv_u = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(validB, new, old), kv_u_new, kv_u

@@ -86,7 +86,10 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
     p = cfg.parallel
     mcfg = cfg.model
     f, hp, wp = cfg.grid
-    sched = flow_match_schedule(cfg.num_steps, shift=cfg.shift)
+    # diffusers HunyuanVideoPipeline: sigmas = linspace(1, 0, N+1)[:-1]
+    sched = flow_match_schedule(
+        cfg.num_steps, shift=cfg.shift, final_sigma=1.0 / cfg.num_steps
+    )
     pos = hunyuanvideo_positions(f, hp, wp)
     theta = getattr(mcfg, "rope_theta", 10000.0)
     cos_full, sin_full = cm.rope_frequencies(pos, mcfg.axes_dim, theta=theta)
@@ -131,8 +134,9 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
                 ss = tuple(_init(a, n) for a, n in attn_s)
             else:
                 attn_d = attn_s = _attn_impl(cfg, method)
-                sd = _init(attn_d, mcfg.double_layers)
-                ss = _init(attn_s, mcfg.single_layers)
+                # per-STAGE local layers under sync PipeFusion
+                sd = _init(attn_d, mcfg.double_layers // p.pp_degree)
+                ss = _init(attn_s, mcfg.single_layers // p.pp_degree)
             # carry EF caches across segments, per family: a per-layer plan
             # can change one family's method class but not the other's
             sd = base.carry_ef_state(carry[1], sd)
@@ -158,6 +162,7 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
                     attn_state_single=ss,
                     attn_single=_attn_s,
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
+                    pp_stages=p.pp_degree,
                 )
                 latents = flow_match_step(sched, i, latents, v)
                 return (latents, sd, ss), None
@@ -165,6 +170,11 @@ def build_sample_fn(cfg: HunyuanVideoPipelineConfig, mesh: Mesh, params_tree=Non
             carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
         return carry[0]
 
+    if p.pp_degree > 1:
+        assert (
+            mcfg.double_layers % p.pp_degree == 0
+            and mcfg.single_layers % p.pp_degree == 0
+        ), "sync PipeFusion needs both block families divisible by pp_degree"
     if p.tp_degree > 1 or p.pp_degree > 1:
         assert params_tree is not None
         param_specs = model_param_specs(

@@ -203,6 +203,9 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, plan):
             pp_stages=p.pp_degree,
             cache_cfg=cache_cfg if use_cache else None,
             cache_state=cache_state,
+            # the final, quality-critical step always computes (reference
+            # TeaCache reset_mask at cnt == num_steps - 1)
+            cache_force=i == cfg.num_steps - 1,
         )
         if use_cache:
             out, attn_state, cache_state = fwd_out

@@ -37,7 +37,7 @@ from compactfusion_tpu.models.pixart import (
     pixart_forward,
     pixart_head,
 )
-from compactfusion_tpu.parallel.mesh import AXIS_CFG, AXIS_PP, AXIS_ULYSSES
+from compactfusion_tpu.parallel.mesh import AXIS_CFG, AXIS_PP, AXIS_TP, AXIS_ULYSSES
 from compactfusion_tpu.parallel.tp import model_param_specs
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.diffusion import ddpm_schedule, dpm_step_patch
@@ -76,6 +76,10 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
     assert s_patch % U == 0
     spl = s_patch // U  # per-ulysses-rank token slice of one patch
     warmup = min(cfg.runtime_warmup_steps, cfg.num_steps)
+    assert cfg.num_steps > warmup, (
+        "patch mode needs at least one steady (post-warmup) step"
+    )
+    tp = AXIS_TP if p.tp_degree > 1 else None
     L_local = mcfg.depth // PS
 
     def spmd(params, text, text_mask, latents):
@@ -119,6 +123,7 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             out, _ = pixart_forward(
                 params, model_batch(latents).astype(mcfg.dtype), t, text,
                 mcfg, pos_embed=pos_full, pp_stages=PS, text_mask=text_mask,
+                tp_axis=tp,
             )
             eps = out[..., : out.shape[-1] // 2]
             if cfg.do_cfg:
@@ -160,7 +165,7 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             out, new_state = pixart_forward(
                 params, model_batch(x_in).astype(mcfg.dtype), t, text, mcfg,
                 pos_embed=pos_in, attn=attn, attn_state=kv_state,
-                pp_stages=PS, text_mask=text_mask,
+                pp_stages=PS, text_mask=text_mask, tp_axis=tp,
             )
             return x_in, out, new_state
 
@@ -220,7 +225,7 @@ def build_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             h_out, kv_new = pixart_forward(
                 params, h_in, t, text, mcfg, pos_embed=pos_patch,
                 attn=attn, attn_state=kv_in, x_is_hidden=True,
-                return_hidden=True, text_mask=text_mask,
+                return_hidden=True, text_mask=text_mask, tp_axis=tp,
             )
             # bubbles must not pollute the caches
             kv_state = jax.tree_util.tree_map(

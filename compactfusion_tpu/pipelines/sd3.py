@@ -32,7 +32,7 @@ from compactfusion_tpu.models.attn_impl import (
 from compactfusion_tpu.models.sd3 import SD3Config, sd3_forward
 from compactfusion_tpu.models.vae import VAEConfig, vae_decode
 from compactfusion_tpu.parallel.mesh import AXIS_DP, AXIS_TP
-from compactfusion_tpu.parallel.tp import tp_param_specs
+from compactfusion_tpu.parallel.tp import model_param_specs
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.flow_match import (
     flow_match_schedule,
@@ -136,8 +136,9 @@ def build_sample_fn(cfg: SD3PipelineConfig, mesh: Mesh, params_tree=None):
             else:
                 attn = _attn_impl(cfg, method)
                 st = attn.init_state(
-                    mcfg.depth, n_model_batch, s_local, mcfg.heads,
-                    mcfg.head_dim, jnp.float32,
+                    # per-STAGE local layers under sync PipeFusion
+                    mcfg.depth // p.pp_degree, n_model_batch, s_local,
+                    mcfg.heads, mcfg.head_dim, jnp.float32,
                 )
             st = base.carry_ef_state(carry[1], st)  # EF caches across segments
             carry = (carry[0], st)
@@ -159,6 +160,7 @@ def build_sample_fn(cfg: SD3PipelineConfig, mesh: Mesh, params_tree=None):
                     attn=_attn,
                     attn_state=st,
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
+                    pp_stages=p.pp_degree,
                 )
                 if cfg.do_cfg:
                     v = base.cfg_combine(v, cfg.guidance_scale, p.cfg_degree)
@@ -168,9 +170,15 @@ def build_sample_fn(cfg: SD3PipelineConfig, mesh: Mesh, params_tree=None):
             carry, _ = lax.scan(body, carry, jnp.asarray(steps, jnp.int32))
         return carry[0]
 
-    if p.tp_degree > 1:
-        assert params_tree is not None, "TP needs the param tree for specs"
-        param_specs = tp_param_specs(params_tree)
+    if p.pp_degree > 1:
+        assert mcfg.depth % p.pp_degree == 0, (
+            "sync PipeFusion needs depth divisible by pp_degree"
+        )
+    if p.tp_degree > 1 or p.pp_degree > 1:
+        assert params_tree is not None, "TP/PP need the param tree for specs"
+        param_specs = model_param_specs(
+            params_tree, tp=p.tp_degree > 1, pp=p.pp_degree > 1
+        )
     else:
         param_specs = P()
     in_specs = (param_specs, base.TEXT_SPEC, base.TEXT_SPEC, base.LATENT_SPEC)

@@ -29,7 +29,7 @@ from compactfusion_tpu.models.sd3 import (
     sd3_joint_scan,
     sd3_time_embed,
 )
-from compactfusion_tpu.parallel.mesh import AXIS_PP
+from compactfusion_tpu.parallel.mesh import AXIS_PP, AXIS_TP
 from compactfusion_tpu.parallel.tp import model_param_specs
 from compactfusion_tpu.pipelines import base
 from compactfusion_tpu.schedulers.flow_match import flow_match_schedule
@@ -51,6 +51,10 @@ def build_sd3_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
     s_patch = S // M
     sched = flow_match_schedule(cfg.num_steps, shift=cfg.shift)
     warmup = min(max(cfg.runtime_warmup_steps, 1), cfg.num_steps)
+    assert cfg.num_steps > warmup, (
+        "patch mode needs at least one steady (post-warmup) step"
+    )
+    tp = AXIS_TP if p.tp_degree > 1 else None
     L_loc = mcfg.depth // PS
     pos_full = cm.cropped_pos_embed_2d(
         mcfg.dim, hp, wp, mcfg.pos_embed_max_size, mcfg.base_size
@@ -97,7 +101,7 @@ def build_sd3_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             for u in range(PS):
                 i2, t2, st = sd3_joint_scan(
                     params["blocks"], h[0], h[1], temb, mcfg,
-                    attn=attn, attn_state=kv2,
+                    attn=attn, attn_state=kv2, tp_axis=tp,
                 )
                 active = my == u
                 h = jax.tree_util.tree_map(
@@ -154,7 +158,7 @@ def build_sd3_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
             kv_in = dict(kv, offset=jnp.full((L_loc,), off, jnp.int32))
             img_o, txt_o, kv_new = sd3_joint_scan(
                 params["blocks"], img_in, txt_in, temb, mcfg,
-                attn=attn, attn_state=kv_in,
+                attn=attn, attn_state=kv_in, tp_axis=tp,
             )
             kv = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(valid, new, old), kv_new, kv

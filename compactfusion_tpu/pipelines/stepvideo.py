@@ -101,7 +101,10 @@ def build_sample_fn(cfg: StepVideoPipelineConfig, mesh: Mesh, params_tree=None):
     p = cfg.parallel
     mcfg = cfg.model
     f, hp, wp = cfg.grid
-    sched = flow_match_schedule(cfg.num_steps, shift=cfg.shift)
+    # Step-Video FlowMatchDiscreteScheduler: sigmas = linspace(1, 0, N+1)
+    sched = flow_match_schedule(
+        cfg.num_steps, shift=cfg.shift, final_sigma=1.0 / cfg.num_steps
+    )
     rope_full = stepvideo_rope_tables(f, hp, wp, mcfg.axes_dim)
 
     segments = base.compact_layer_segments(

@@ -28,14 +28,26 @@ def flow_match_schedule(
     use_dynamic_shifting: bool = False,
     mu: Optional[float] = None,
     num_train_timesteps: int = 1000,
+    final_sigma: Optional[float] = None,
 ) -> FlowMatchSchedule:
     """Build the sigma table.
 
     ``shift`` is the static SD3-style time shift; FLUX uses dynamic shifting
     where ``mu`` is resolution-dependent (computed by
     :func:`calculate_shift`).
+
+    ``final_sigma``: last PRE-SHIFT sigma of the table.  The default
+    ``1/num_train_timesteps`` is the diffusers FlowMatchEulerDiscrete
+    default that SD3 inherits; the FLUX pipeline overrides its scheduler
+    with ``sigmas = linspace(1.0, 1/num_inference_steps, N)`` (reference
+    ``pipeline_flux.py:275``) and HunyuanVideo/Step-Video build
+    ``linspace(1, 0, N+1)[:-1]`` (same endpoint) — those callers must pass
+    ``1.0 / num_steps`` or every interior sigma deviates from the reference
+    schedule.
     """
-    sigmas = jnp.linspace(1.0, 1.0 / num_train_timesteps, num_steps, dtype=jnp.float32)
+    if final_sigma is None:
+        final_sigma = 1.0 / num_train_timesteps
+    sigmas = jnp.linspace(1.0, final_sigma, num_steps, dtype=jnp.float32)
     if use_dynamic_shifting:
         assert mu is not None, "dynamic shifting requires mu"
         sigmas = math.exp(mu) / (math.exp(mu) + (1.0 / sigmas - 1.0))

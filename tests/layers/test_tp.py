@@ -87,3 +87,26 @@ def test_tp_pipeline_matches_single_device():
         text, mask, key, decode=False
     )
     assert rel_err(out, ref) < 5e-3
+
+
+def test_pp_specs_shard_only_top_level_stacks():
+    """model_param_specs(pp=True) must shard ONLY the top-level block
+    stacks: nested stacks reusing a name (HunyuanVideo's token-refiner
+    ``refiner.blocks``) are not pipeline stages and stay replicated."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from compactfusion_tpu.parallel.mesh import AXIS_PP
+    from compactfusion_tpu.parallel.tp import model_param_specs
+
+    params = {
+        "double_blocks": {"attn": {"w": np.zeros((4, 8, 8))}},
+        "refiner": {"blocks": {"attn": {"w": np.zeros((2, 8, 8))}}},
+        "perceiver": {"w": np.zeros((2, 8, 8))},
+        "x_embedder": {"w": np.zeros((8, 8))},
+    }
+    specs = model_param_specs(params, pp=True)
+    assert specs["double_blocks"]["attn"]["w"] == P(AXIS_PP)
+    assert specs["refiner"]["blocks"]["attn"]["w"] == P()
+    assert specs["perceiver"]["w"] == P()
+    assert specs["x_embedder"]["w"] == P()

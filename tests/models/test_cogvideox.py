@@ -114,3 +114,20 @@ def test_cogvideox_compact(tiny):
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert err > 1e-5, "compact pipeline identical to lossless - test blind"
     assert err < 0.25, f"compact CogVideoX diverged: {err}"
+
+
+def test_cogvideox_sync_pipefusion_exact(tiny):
+    """pp=2 sync PipeFusion (stage-sharded blocks + masked ppermute rounds)
+    must reproduce the single-device pipeline EXACTLY — same math, different
+    placement.  Regression: pp>1 used to shard the blocks with no stage
+    logic at all (each rank silently ran half the model)."""
+    mcfg, params = tiny
+    txt = _text(mcfg)
+    key = jax.random.PRNGKey(5)
+    c1 = _pipe_cfg(mcfg, ParallelConfig())
+    ref = CogVideoXPipeline(
+        params, c1, make_mesh(c1.parallel, devices=jax.devices()[:1])
+    )(txt, key)
+    cP = _pipe_cfg(mcfg, ParallelConfig(pp_degree=2))
+    out = CogVideoXPipeline(params, cP, make_mesh(cP.parallel))(txt, key)
+    assert rel_err(out, ref) < 1e-5

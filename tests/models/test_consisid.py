@@ -98,3 +98,41 @@ def test_sharded_matches_single(setup):
     )
     out = f(video)
     assert rel_err(out, ref) < 2e-2
+
+
+def test_consisid_sync_pipefusion_exact(setup):
+    """pp=2 sync PipeFusion must reproduce the single-device pipeline
+    EXACTLY, including the interval perceiver injection whose repeated
+    per-layer params/flags are sliced per stage."""
+    from compactfusion_tpu.pipelines.consisid import (
+        ConsisIDPipeline,
+        ConsisIDPipelineConfig,
+    )
+
+    mcfg, params, video, txt, ids, t, rope = setup
+    rng = np.random.default_rng(7)
+    txt2 = jnp.asarray(
+        np.stack([
+            rng.standard_normal((1, 8, mcfg.text_dim)),
+            np.zeros((1, 8, mcfg.text_dim)),
+        ]),
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(9)
+
+    def cfg_for(parallel):
+        return ConsisIDPipelineConfig(
+            model=mcfg, parallel=parallel, num_steps=3,
+            height=4 * 16, width=4 * 16, num_frames=5,
+            id_tokens=ids.shape[1],
+        )
+
+    c1 = cfg_for(ParallelConfig())
+    ref = ConsisIDPipeline(
+        params, c1, make_mesh(c1.parallel, devices=jax.devices()[:1])
+    )(txt2, key, id_states=ids)
+    cP = cfg_for(ParallelConfig(pp_degree=2))
+    out = ConsisIDPipeline(params, cP, make_mesh(cP.parallel))(
+        txt2, key, id_states=ids
+    )
+    assert rel_err(out, ref) < 1e-5

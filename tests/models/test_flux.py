@@ -274,3 +274,22 @@ def test_flux_patch_pp_identity_padding(tiny):
     err = rel_err(out, ref)
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert 1e-6 < err < 0.3, err
+
+
+def test_flux_sync_pipefusion_exact(tiny):
+    """pp=2 SYNC PipeFusion (num_pipeline_patch=1): stage-sharded double+
+    single stacks with masked ppermute rounds must match single-device
+    EXACTLY (the padded identity blocks are zero-init no-ops)."""
+    mcfg, params = tiny
+    txt, pooled = _inputs(mcfg)
+    key = jax.random.PRNGKey(11)
+
+    c1 = _pipe_cfg(mcfg, ParallelConfig(), steps=3)
+    ref = FluxPipeline(
+        params, None, c1, make_mesh(c1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key, decode=False)
+    cP = _pipe_cfg(mcfg, ParallelConfig(pp_degree=2), steps=3)
+    out = FluxPipeline(params, None, cP, make_mesh(cP.parallel))(
+        txt, pooled, key, decode=False
+    )
+    assert rel_err(out, ref) < 1e-5

@@ -96,3 +96,26 @@ def test_hunyuanvideo_pixel_decode():
     assert np.isfinite(np.asarray(video, np.float32)).all()
     lat = pipe(txt, jax.random.PRNGKey(2), decode=False)
     assert lat.ndim == 3
+
+
+def test_hunyuanvideo_sync_pipefusion_exact():
+    """pp=2 sync PipeFusion over BOTH block families must reproduce the
+    single-device pipeline EXACTLY (token refiner stays replicated)."""
+    from tests.helpers import spice_params
+
+    mcfg = hunyuanvideo_tiny()
+    params = spice_params(init_hunyuanvideo(jax.random.PRNGKey(0), mcfg))
+    rng = np.random.default_rng(4)
+    txt = jnp.asarray(rng.standard_normal((1, 8, mcfg.text_dim)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((1, mcfg.pooled_dim)), jnp.float32)
+    key = jax.random.PRNGKey(6)
+
+    c1 = _cfg(mcfg, ParallelConfig(), steps=3)
+    ref = HunyuanVideoPipeline(
+        params, c1, make_mesh(c1.parallel, devices=jax.devices()[:1])
+    )(txt, key, pooled=pooled)
+    cP = _cfg(mcfg, ParallelConfig(pp_degree=2), steps=3)
+    out = HunyuanVideoPipeline(params, cP, make_mesh(cP.parallel))(
+        txt, key, pooled=pooled
+    )
+    assert rel_err(out, ref) < 1e-5

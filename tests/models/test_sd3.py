@@ -154,3 +154,21 @@ def test_sd3_patch_pipelined_pipefusion(tiny):
     assert np.isfinite(np.asarray(out, np.float32)).all()
     assert err > 1e-6, "patch pipeline identical to sync - stale KV not exercised"
     assert err < 0.3, f"patch-pipelined SD3 diverged: {err}"
+
+
+def test_sd3_sync_pipefusion_exact(tiny):
+    """pp=2 sync PipeFusion (stage-sharded joint-block stack + masked
+    ppermute rounds) must match single-device EXACTLY."""
+    mcfg, params = tiny
+    txt, pooled = _inputs(mcfg)
+    key = jax.random.PRNGKey(13)
+
+    c1 = _pipe_cfg(mcfg, ParallelConfig(), steps=3)
+    ref = SD3Pipeline(
+        params, None, c1, make_mesh(c1.parallel, devices=jax.devices()[:1])
+    )(txt, pooled, key, decode=False)
+    cP = _pipe_cfg(mcfg, ParallelConfig(pp_degree=2), steps=3)
+    out = SD3Pipeline(params, None, cP, make_mesh(cP.parallel))(
+        txt, pooled, key, decode=False
+    )
+    assert rel_err(out, ref) < 1e-5

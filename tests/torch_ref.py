@@ -1710,12 +1710,13 @@ class _CogResnet3D(nn.Module):
 
 class _CogUpsample3D(nn.Module):
     """CogVideoXUpsample3D: nearest 2x; compress_time keeps frame 0
-    un-doubled when T is odd; PLAIN (non-causal) conv."""
+    un-doubled when T is odd; PER-FRAME 2D conv (diffusers nn.Conv2d —
+    real checkpoints ship 4D upsampler weights)."""
 
     def __init__(self, c: int, compress_time: bool):
         super().__init__()
         self.compress_time = compress_time
-        self.conv = nn.Conv3d(c, c, 3, padding=1)
+        self.conv = nn.Conv2d(c, c, 3, padding=1)
 
     def forward(self, x):
         if self.compress_time:
@@ -1735,7 +1736,10 @@ class _CogUpsample3D(nn.Module):
             x = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
             x = F.interpolate(x, scale_factor=2.0)
             x = x.reshape(b, t, c, 2 * h, 2 * w).permute(0, 2, 1, 3, 4)
-        return self.conv(x)
+        b, c, t, h, w = x.shape
+        x = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+        x = self.conv(x)
+        return x.reshape(b, t, c, h, w).permute(0, 2, 1, 3, 4)
 
 
 # ---------------------------------------------------------------------------
@@ -1876,7 +1880,10 @@ class HunyuanVideoVAEDecoderRef(nn.Module):
                     ups.append(
                         UpBlock(
                             c_prev, c, upsample=i < len(chans) - 1,
-                            temporal=i < temporal_compress_levels,
+                            # diffusers/HY: time upsample at the LAST
+                            # `levels` non-final up blocks
+                            temporal=i >= len(chans) - 1
+                            - temporal_compress_levels,
                         )
                     )
                     c_prev = c
