@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 
+import jax
+
+# static payload-shape accounting only: pin CPU AFTER import or the axon
+# plugin grabs the single-tenant chip and deadlocks any running TPU job
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -175,6 +181,11 @@ def main():
     p.add_argument("--compact_type", default="binary")
     p.add_argument("--compact_rank", type=int, default=-1)
     args = p.parse_args()
+    if "low-rank" in args.compact_type and args.compact_rank < 1:
+        p.error(
+            "--compact_type low-rank* needs an explicit --compact_rank >= 1 "
+            "(the factor rank IS the payload size)"
+        )
 
     if args.northstar:
         northstar(

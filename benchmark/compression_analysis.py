@@ -57,6 +57,10 @@ def main():
 
     mcfg = pixart_tiny()
     params = init_pixart(jax.random.PRNGKey(0), mcfg)
+    # NOTE: deliberately NOT tests.helpers.spice_params — that helper spices
+    # a superset of tables (pattern-matched), and this script's artifact was
+    # generated ON THE TPU with exactly this seed-99 spice; keep byte-stable
+    # until the artifact is regenerated on hardware.
     grng = np.random.default_rng(99)
     params["blocks"]["scale_shift_table"] = jnp.asarray(
         grng.standard_normal(

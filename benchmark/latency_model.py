@@ -40,9 +40,13 @@ STEPS = 28
 
 # ---- link bandwidths (GB/s, per direction per device) ---------------------
 LINKS = {
-    # v5e ICI: 4 links x ~50 GB/s each direction per chip (public v5e spec:
-    # 1600 Gbps aggregate); a 1D ring uses 2 of them
-    "ici_v5e_ring": 100.0,
+    # v5e ICI: 4 links x ~50 GB/s each direction per chip (public v5e
+    # spec: 1600 Gbps aggregate).  The ring implementations send each hop
+    # to ONE neighbor in one direction (ppermute rotation / the fused RDMA
+    # kernel), so the effective SEND bandwidth is a single link — counting
+    # the receive-side link would halve predicted ICI comm time for
+    # traffic no code path splits into counter-rotating half-rings
+    "ici_v5e_ring": 50.0,
     # DCN between slices/hosts (~200 Gbps NICs)
     "dcn_25GBps": 25.0,
     # the paper's bandwidth-constrained point (latency_eth.csv: 2000 MB/s)
@@ -64,6 +68,7 @@ def model(ring: int = 8):
         ("compact-1bit", dict(compact_type="binary")),
         ("compact-low-rank-r2", dict(compact_type="low-rank", comp_rank=2)),
     ]
+    warmup = 4  # warmup steps ship RAW bf16 payloads (CompactConfig default)
     out = {"model": "FLUX-1024, 28 steps, ring-%d" % ring,
            "inputs": {
                "fwd_ms_1chip_measured": FWD_MS_1CHIP,
@@ -86,11 +91,19 @@ def model(ring: int = 8):
                 "flux", ring=ring, ulysses=1, height=1024, width=1024, **kw
             )
             bytes_dev = r["compressed_bytes_per_step_per_device"]
+            raw_dev = r["raw_bytes_per_step_per_device"]
             t_comm = bytes_dev / (bw * 1e9)
-            t_overlap0 = t_compute + t_comm
-            t_overlap1 = max(t_compute, t_comm)
-            e2e0 = STEPS * t_overlap0
-            e2e1 = STEPS * t_overlap1
+            t_comm_raw = raw_dev / (bw * 1e9)
+            # warmup steps send RAW payloads — on slow links they dominate
+            # the compressed configs' e2e (bytes_per_step.py amortises the
+            # same way); uncompressed configs have bytes_dev == raw_dev
+            steady = STEPS - warmup
+            e2e0 = warmup * (t_compute + t_comm_raw) + steady * (
+                t_compute + t_comm
+            )
+            e2e1 = warmup * max(t_compute, t_comm_raw) + steady * max(
+                t_compute, t_comm
+            )
             if base_e2e is None:
                 base_e2e = (e2e0, e2e1)
             rows.append({

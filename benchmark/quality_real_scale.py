@@ -72,6 +72,10 @@ def main():
     params = jit_init(init_pixart, jax.random.PRNGKey(0), mcfg)
     # spice the zero-init AdaLN gates so attention (and hence compression
     # error) reaches the output at trained-model-like magnitude
+    # NOTE: deliberately NOT tests.helpers.spice_params — that helper spices
+    # a superset of tables (pattern-matched), and this script's artifact was
+    # generated ON THE TPU with exactly this seed-99 spice; keep byte-stable
+    # until the artifact is regenerated on hardware.
     grng = np.random.default_rng(99)
     params["blocks"]["scale_shift_table"] = jnp.asarray(
         grng.standard_normal(

@@ -60,6 +60,10 @@ def main():
     # randomize the zero-init AdaLN tables so the attention path (and hence
     # compression error) actually reaches the output (trained models have
     # O(1) gates; fresh inits do not)
+    # NOTE: deliberately NOT tests.helpers.spice_params — that helper spices
+    # a superset of tables (pattern-matched), and this script's artifact was
+    # generated ON THE TPU with exactly this seed-99 spice; keep byte-stable
+    # until the artifact is regenerated on hardware.
     grng = np.random.default_rng(99)
     params["blocks"]["scale_shift_table"] = jnp.asarray(
         grng.standard_normal(params["blocks"]["scale_shift_table"].shape) * 0.5,

@@ -697,19 +697,21 @@ def convert_stepvideo(state: Dict[str, np.ndarray], cfg) -> Any:
         return {"w": jnp.asarray(wj, dt), "b": jnp.asarray(bj, dt)}
 
     def q_only(name):
-        # wq (d, d) rows grouped (h, hd) -> q slot of a (d, 3, h, hd) triple
+        # wq (d, d) rows grouped (h, hd) -> (d, 1, h, hd)
         w = np.asarray(state[f"{name}.weight"]).reshape(h, hd, d)
-        full = np.zeros((d, 3, h, hd), np.float32)
-        full[:, 0] = np.transpose(w, (2, 0, 1))
-        return {"w": jnp.asarray(full, dt), "b": jnp.zeros((3, h, hd), dt)}
+        return {
+            "w": jnp.asarray(np.transpose(w, (2, 0, 1))[:, None], dt),
+            "b": jnp.zeros((1, h, hd), dt),
+        }
 
     def kv_only(name):
-        # wkv (2d, d) rows grouped (h, 2, hd) -> k/v slots
+        # wkv (2d, d) rows grouped (h, 2, hd) -> (d, 2, h, hd)
         w = np.asarray(state[f"{name}.weight"]).reshape(h, 2, hd, d)
-        full = np.zeros((d, 3, h, hd), np.float32)
-        full[:, 1] = np.transpose(w[:, 0], (2, 0, 1))
-        full[:, 2] = np.transpose(w[:, 1], (2, 0, 1))
-        return {"w": jnp.asarray(full, dt), "b": jnp.zeros((3, h, hd), dt)}
+        kv = np.stack(
+            [np.transpose(w[:, 0], (2, 0, 1)), np.transpose(w[:, 1], (2, 0, 1))],
+            axis=1,
+        )
+        return {"w": jnp.asarray(kv, dt), "b": jnp.zeros((2, h, hd), dt)}
 
     def head_out(name):
         # wo (d, h*hd) cols grouped per head -> (h, hd, d)

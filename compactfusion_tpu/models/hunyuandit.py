@@ -256,18 +256,42 @@ def _block_factory(temb, text, cfg, rope, attn, kv_lens, tp_axis):
     return block_body
 
 
-def hunyuandit_down_scan(
-    blocks, x, temb, text, cfg, *, rope, attn=SingleDeviceAttn(),
-    attn_state=(), kv_lens=None, tp_axis=None,
-):
-    """Scan the (stacked) down blocks: -> (x, new_state, skip stack)."""
+def _down_body(temb, text, cfg, rope, attn, kv_lens, tp_axis):
+    """Scan body over down blocks; ys carry (state, skip activation).
+
+    The ONE definition of the down-half step — the standalone scans, the
+    main forward, and the patch-PP sampler all build from here, so skip
+    handling cannot silently diverge between them."""
     body = _block_factory(temb, text, cfg, rope, attn, kv_lens, tp_axis)
 
     def down(carry, xs):
         p, state = xs
         x, state = body(p, carry, state)
-        return x, (state, x)  # ys: (state, skip activation)
+        return x, (state, x)
 
+    return down
+
+
+def _up_body(temb, text, cfg, rope, attn, kv_lens, tp_axis):
+    """Scan body over up blocks consuming skips (see :func:`_down_body`)."""
+    body = _block_factory(temb, text, cfg, rope, attn, kv_lens, tp_axis)
+
+    def up(carry, xs):
+        p, state, skip = xs
+        cat = jnp.concatenate([carry, skip], axis=-1)
+        x = cm.linear(p["skip_proj"], cm.layernorm(p["skip_norm"], cat))
+        x, state = body(p, x, state)
+        return x, state
+
+    return up
+
+
+def hunyuandit_down_scan(
+    blocks, x, temb, text, cfg, *, rope, attn=SingleDeviceAttn(),
+    attn_state=(), kv_lens=None, tp_axis=None,
+):
+    """Scan the (stacked) down blocks: -> (x, new_state, skip stack)."""
+    down = _down_body(temb, text, cfg, rope, attn, kv_lens, tp_axis)
     x, (new_state, skips) = jax.lax.scan(down, x, (blocks, attn_state))
     return x, new_state, skips
 
@@ -278,16 +302,7 @@ def hunyuandit_up_scan(
 ):
     """Scan the (stacked) up blocks consuming skips (already in consumption
     order): -> (x, new_state)."""
-    body = _block_factory(temb, text, cfg, rope, attn, kv_lens, tp_axis)
-
-    def up(carry, xs):
-        p, state, skip = xs
-        x = carry
-        cat = jnp.concatenate([x, skip], axis=-1)
-        x = cm.linear(p["skip_proj"], cm.layernorm(p["skip_norm"], cat))
-        x, state = body(p, x, state)
-        return x, state
-
+    up = _up_body(temb, text, cfg, rope, attn, kv_lens, tp_axis)
     x, new_state = jax.lax.scan(up, x, (blocks, attn_state, skips))
     return x, new_state
 
@@ -335,26 +350,10 @@ def hunyuandit_forward(
         if text_mask is not None else None
     )
     def make_down(a):
-        b = _block_factory(temb, text, cfg, rope, a, kv_lens, tp_axis)
-
-        def down(carry, xs):
-            p, state = xs
-            h, state = b(p, carry, state)
-            return h, (state, h)  # ys: (state, skip activation)
-
-        return down
+        return _down_body(temb, text, cfg, rope, a, kv_lens, tp_axis)
 
     def make_up(a):
-        b = _block_factory(temb, text, cfg, rope, a, kv_lens, tp_axis)
-
-        def up(carry, xs):
-            p, state, skip = xs
-            cat = jnp.concatenate([carry, skip], axis=-1)
-            h = cm.linear(p["skip_proj"], cm.layernorm(p["skip_norm"], cat))
-            h, state = b(p, h, state)
-            return h, state
-
-        return up
+        return _up_body(temb, text, cfg, rope, a, kv_lens, tp_axis)
 
     segmented = isinstance(attn, (tuple, list))
     if not segmented:
@@ -417,6 +416,10 @@ def hunyuandit_forward(
             states.append(st)
             skip_parts.append(sk)
             l0 += n_l
+        half = jax.tree_util.tree_leaves(params["down_blocks"])[0].shape[0]
+        assert l0 == half, (
+            f"down-half layer segments cover {l0} of {half} layers"
+        )
         state_down = tuple(states)
         # mirror order: up block k consumes the skip of down block (half-1-k)
         skips_rev = jnp.flip(jnp.concatenate(skip_parts, axis=0), axis=0)
@@ -433,6 +436,9 @@ def hunyuandit_forward(
             )
             states.append(st)
             l0 += n_l
+        assert l0 == jax.tree_util.tree_leaves(params["up_blocks"])[0].shape[0], (
+            "up-half layer segments must cover every up block"
+        )
         state_up = tuple(states)
     else:
         x, (state_down, skips) = jax.lax.scan(

@@ -174,8 +174,12 @@ def latte_forward(
         xs = xs + table_r[:, 2][:, None] * cm.linear(p["attn_out"], _unheads(o))
 
         q = _heads(cm.linear(p["cross_q"], xs), h)
-        text_r = jnp.repeat(text, f_l, axis=0)
-        kt, vt = jnp.split(cm.linear(p["cross_kv"], text_r), 2, -1)
+        # project ONCE, then repeat per frame — repeating the raw text first
+        # would push identical rows through the (d, 2d) projection f_l times
+        # (XLA does not CSE matmuls over repeated rows)
+        kt, vt = jnp.split(cm.linear(p["cross_kv"], text), 2, -1)
+        kt = jnp.repeat(kt, f_l, axis=0)
+        vt = jnp.repeat(vt, f_l, axis=0)
         lens_r = jnp.repeat(kv_lens, f_l, axis=0) if kv_lens is not None else None
         o = _cross_attn(q, _heads(kt, h), _heads(vt, h), None, kv_lens=lens_r)
         xs = xs + cm.linear(p["cross_out"], _unheads(o))

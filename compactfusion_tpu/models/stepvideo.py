@@ -97,10 +97,14 @@ def apply_rope_3d_half(x: jax.Array, tables, ch_split) -> jax.Array:
     return jnp.concatenate(outs, axis=-1).astype(x.dtype)
 
 
-def _init_qkv(key, cfg: StepVideoConfig):
+def _init_qkv(key, cfg: StepVideoConfig, n: int = 3):
+    """Fused n-way projection (d, n, H, hd) — n=3 self qkv, n=2 cross kv,
+    n=1 cross q (the real checkpoint ships separate wq / wkv for cross
+    attention; allocating a full 3-way buffer per cross projection would
+    waste ~2/3 of ~113M params per projection per layer at full scale)."""
     d, h, hd, dt = cfg.dim, cfg.heads, cfg.head_dim, cfg.dtype
-    w = jax.random.truncated_normal(key, -2, 2, (d, 3, h, hd), jnp.float32)
-    return {"w": (w * 0.02).astype(dt), "b": jnp.zeros((3, h, hd), dt)}
+    w = jax.random.truncated_normal(key, -2, 2, (d, n, h, hd), jnp.float32)
+    return {"w": (w * 0.02).astype(dt), "b": jnp.zeros((n, h, hd), dt)}
 
 
 def _init_headout(key, cfg: StepVideoConfig):
@@ -119,8 +123,8 @@ def _init_block(key, cfg: StepVideoConfig):
         "q_norm": cm.init_rmsnorm(hd, dt),
         "k_norm": cm.init_rmsnorm(hd, dt),
         "attn_out": _init_headout(ks[1], cfg),
-        "cross_q": _init_qkv(ks[2], cfg),  # reuses (d,3,h,hd); q slice used
-        "cross_kv": _init_qkv(ks[3], cfg),  # k/v slices used
+        "cross_q": _init_qkv(ks[2], cfg, n=1),
+        "cross_kv": _init_qkv(ks[3], cfg, n=2),
         "cross_q_norm": cm.init_rmsnorm(hd, dt),
         "cross_k_norm": cm.init_rmsnorm(hd, dt),
         "cross_out": _init_headout(ks[4], cfg),
@@ -185,10 +189,10 @@ def stepvideo_param_specs(cfg: StepVideoConfig) -> Any:
     }
 
 
-def _qkv_proj(p, x, heads_local):
-    """(B,S,D) @ (D,3,Hl,hd) -> q,k,v each (B,S,Hl,hd)."""
+def _qkv_proj(p, x):
+    """(B,S,D) @ (D,n,Hl,hd) -> n tensors of (B,S,Hl,hd)."""
     y = jnp.einsum("bsd,dthc->bsthc", x, p["w"]) + p["b"]
-    return y[:, :, 0], y[:, :, 1], y[:, :, 2]
+    return tuple(y[:, :, i] for i in range(y.shape[2]))
 
 
 def _head_out(p, o, tp_axis):
@@ -210,7 +214,6 @@ def stepvideo_forward(
     attn=SingleDeviceAttn(),
     attn_state=(),
     tp_axis: Optional[str] = None,
-    tp_size: int = 1,
 ):
     """StepVideo denoiser on local token shards with full TP.
 
@@ -221,7 +224,6 @@ def stepvideo_forward(
     composes on top (heads split over tp x ulysses).
     """
     d = cfg.dim
-    h_local = cfg.heads // tp_size
 
     x = cm.linear(params["patch_embed"], video)
     txt = cm.linear(
@@ -245,7 +247,7 @@ def stepvideo_forward(
             # reference block (blocks.py:253-290): affine norm1, modulate,
             # RoPE'd qk-normed self attention, gated residual
             xn = cm.layernorm(p["norm1"], x) * (1 + sc_a) + sh_a
-            q, k, v = _qkv_proj(p["qkv"], xn, h_local)
+            q, k, v = _qkv_proj(p["qkv"], xn)
             q = cm.rmsnorm(p["q_norm"], q)
             k = cm.rmsnorm(p["k_norm"], k)
             q = apply_rope_3d_half(q, video_rope, cfg.axes_dim)
@@ -254,8 +256,8 @@ def stepvideo_forward(
             x = x + g_a * _head_out(p["attn_out"], o, tp_axis)
 
             # cross attention on the RAW stream, ungated (blocks.py:276-282)
-            q, _, _ = _qkv_proj(p["cross_q"], x, h_local)
-            _, kt, vt = _qkv_proj(p["cross_kv"], txt, h_local)
+            (q,) = _qkv_proj(p["cross_q"], x)
+            kt, vt = _qkv_proj(p["cross_kv"], txt)
             q = cm.rmsnorm(p["cross_q_norm"], q)
             kt = cm.rmsnorm(p["cross_k_norm"], kt)
             o = sdpa(q, kt, vt)

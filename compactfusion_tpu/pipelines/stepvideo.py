@@ -173,7 +173,6 @@ def build_sample_fn(cfg: StepVideoPipelineConfig, mesh: Mesh, params_tree=None):
                     attn=_attn,
                     attn_state=st,
                     tp_axis=AXIS_TP if p.tp_degree > 1 else None,
-                    tp_size=p.tp_degree,
                 )
                 if cfg.do_cfg:
                     v = base.cfg_combine(v, cfg.guidance_scale, p.cfg_degree)

@@ -47,7 +47,7 @@ def test_full_tp_matches_serial(tp):
     def body(params, video, txt):
         out, _ = stepvideo_forward(
             params, video.astype(mcfg.dtype), txt.astype(mcfg.dtype), t, mcfg,
-            video_rope=rope, tp_axis=AXIS_TP, tp_size=tp,
+            video_rope=rope, tp_axis=AXIS_TP,
         )
         return out
 
