@@ -47,6 +47,15 @@ class VAE3DConfig:
     scaling_factor: float = 1.15258426  # CogVideoX
     #: CogVideoX-2b/5b invert scaling only; 1.5 variants also scale spatially
     dtype: Any = jnp.bfloat16
+    #: decode in overlapping SPATIAL tiles blended with linear ramps
+    #: (diffusers AutoencoderKLCogVideoX.tiled_decode semantics — the
+    #: reference calls vae.enable_tiling() for the video families); the
+    #: memory knob that makes real-scale (720p+) video decode fit: peak
+    #: activations and the causal mid-attention's score matrix scale with
+    #: the tile area instead of the full frame
+    use_tiling: bool = False
+    tile_latent_size: int = 64  # latent px per spatial tile side
+    tile_overlap_factor: float = 0.25
 
     @property
     def temporal_ratio(self) -> int:
@@ -258,6 +267,63 @@ def _upsample3(p, x, temporal: bool):
 # ---------------------------------------------------------------------------
 
 
+def _blend_v3(above, cur, extent):
+    """Blend cur's top rows into above's bottom rows ((B, T, H, W, C))."""
+    n = min(above.shape[2], cur.shape[2], extent)
+    w = (jnp.arange(n, dtype=jnp.float32) / n).astype(cur.dtype)
+    mixed = above[:, :, -n:] * (1.0 - w)[None, None, :, None, None] + cur[
+        :, :, :n
+    ] * w[None, None, :, None, None]
+    return jnp.concatenate([mixed, cur[:, :, n:]], axis=2)
+
+
+def _blend_h3(left, cur, extent):
+    n = min(left.shape[3], cur.shape[3], extent)
+    w = (jnp.arange(n, dtype=jnp.float32) / n).astype(cur.dtype)
+    mixed = left[:, :, :, -n:] * (1.0 - w)[None, None, None, :, None] + cur[
+        :, :, :, :n
+    ] * w[None, None, None, :, None]
+    return jnp.concatenate([mixed, cur[:, :, :, n:]], axis=3)
+
+
+def _tiled_decode3d(decode_fn, latents, cfg: VAE3DConfig):
+    """Overlapping spatial tiles over (H, W), all frames per tile, blended
+    with linear ramps — diffusers ``AutoencoderKLCogVideoX.tiled_decode`` /
+    ``AutoencoderKLHunyuanVideo.tiled_decode`` structure (the temporal axis
+    is NOT tiled: causal convs would need boundary-frame caches).  Each tile
+    decodes with its own latent window, so the spatial-norm zq conditioning
+    matches the tile exactly like the diffusers per-tile decode."""
+    b, t, h, w, _ = latents.shape
+    tl = cfg.tile_latent_size
+    if h <= tl and w <= tl:
+        return decode_fn(latents)
+    # spatial upscale = one 2x per non-final up block
+    upscale = 2 ** (len(cfg.block_out_channels) - 1)
+    stride = max(1, int(tl * (1.0 - cfg.tile_overlap_factor)))
+    blend = int(tl * upscale * cfg.tile_overlap_factor)
+    row_limit = tl * upscale - blend
+
+    rows = []
+    for i in range(0, h, stride):
+        row = []
+        for j in range(0, w, stride):
+            row.append(decode_fn(latents[:, :, i : i + tl, j : j + tl, :]))
+        rows.append(row)
+
+    out_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v3(rows[i - 1][j], tile, blend)
+            if j > 0:
+                tile = _blend_h3(row[j - 1], tile, blend)
+            out_row.append(tile[:, :, :row_limit, :row_limit])
+        out_rows.append(jnp.concatenate(out_row, axis=3))
+    out = jnp.concatenate(out_rows, axis=2)
+    return out[:, :, : h * upscale, : w * upscale]
+
+
 # ---------------------------------------------------------------------------
 # HunyuanVideo causal 3D VAE decoder (AutoencoderKLHunyuanVideo)
 # ---------------------------------------------------------------------------
@@ -392,6 +458,11 @@ def init_hv_vae3d_decoder(key, cfg: VAE3DConfig):
 
 def hv_vae3d_decode(params, latents: jax.Array, cfg: VAE3DConfig) -> jax.Array:
     """HunyuanVideo decode: (B, T_lat, h, w, C) SCALED latents -> pixels."""
+    if cfg.use_tiling:
+        dense = dataclasses.replace(cfg, use_tiling=False)
+        return _tiled_decode3d(
+            lambda z: hv_vae3d_decode(params, z, dense), latents, cfg
+        )
     g = cfg.norm_num_groups
     x = (latents / cfg.scaling_factor).astype(cfg.dtype)
     x = _causal_conv3_repl(params["conv_in"], x)
@@ -422,6 +493,11 @@ def vae3d_decode(params, latents: jax.Array, cfg: VAE3DConfig) -> jax.Array:
     T = (T_lat - 1) * temporal_ratio + 1 (CogVideoX frame-count rule);
     H = h * 8, W = w * 8.
     """
+    if cfg.use_tiling:
+        dense = dataclasses.replace(cfg, use_tiling=False)
+        return _tiled_decode3d(
+            lambda z: vae3d_decode(params, z, dense), latents, cfg
+        )
     g = cfg.norm_num_groups
     zq = (latents / cfg.scaling_factor).astype(cfg.dtype)
     x = _causal_conv3(params["conv_in"], zq)

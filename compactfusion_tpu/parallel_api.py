@@ -143,9 +143,9 @@ def resolve_family(model_name: str) -> _Family:
 
 def _vae_opts(vcfg, engine: EngineConfig):
     """Apply the runtime VAE decode memory knobs (reference --enable_tiling /
-    --enable_slicing) to a 2D ``VAEConfig``.  Video (3D causal) VAEs decode
-    frame-chunked already and ignore these flags, like the reference's
-    non-diffusers video VAE wrappers."""
+    --enable_slicing) to a 2D ``VAEConfig``.  The video (3D causal) VAE
+    builders wire --enable_tiling into ``VAE3DConfig.use_tiling`` themselves
+    (spatial tiled decode, the reference's vae.enable_tiling())."""
     rc = engine.runtime_config
     if rc.enable_tiling or rc.enable_slicing:
         vcfg = dataclasses.replace(
@@ -387,6 +387,8 @@ def _build_cogvideox(engine: EngineConfig, inp: InputConfig, checkpoint: Optiona
         )
     else:
         vcfg = cogvideox_vae()
+        if engine.runtime_config.enable_tiling:
+            vcfg = dataclasses.replace(vcfg, use_tiling=True)
     pcfg = CogVideoXPipelineConfig(
         model=mcfg,
         parallel=engine.parallel_config,
@@ -476,6 +478,8 @@ def _build_hunyuanvideo(engine: EngineConfig, inp: InputConfig, checkpoint: Opti
         )
     else:
         vcfg = hunyuanvideo_vae()
+        if engine.runtime_config.enable_tiling:
+            vcfg = dataclasses.replace(vcfg, use_tiling=True)
     vae_params = None
     if checkpoint:
         from compactfusion_tpu.io import hf
@@ -545,6 +549,8 @@ def _build_consisid(engine: EngineConfig, inp: InputConfig, checkpoint: Optional
         )
     else:
         vcfg = cogvideox_vae()
+        if engine.runtime_config.enable_tiling:
+            vcfg = dataclasses.replace(vcfg, use_tiling=True)
     pcfg = ConsisIDPipelineConfig(
         model=mcfg,
         parallel=engine.parallel_config,
