@@ -163,6 +163,17 @@ def log_inside_jit(
 
     if ordered and ambient_device_count() > 1:
         if rank is None:
+            import warnings
+
+            # without a rank tag all devices' records interleave into ONE
+            # key and the arrival-order (layer, step) reconstruction the
+            # caller requested is silently wrong — make the degradation loud
+            warnings.warn(
+                f"stats key {key!r}: ordered logging requested on a "
+                "multi-device mesh without rank= — records will interleave "
+                "across devices (pass rank=lax.axis_index(...))",
+                stacklevel=2,
+            )
 
             def cb_u(step_, **m):
                 StatsLogger.instance().log(key, step_, m)

@@ -68,6 +68,12 @@ def attn_with_lse(
     if impl == "auto" and _flash_eligible(q, k, causal, mask):
         impl = "flash"
     if impl == "flash":
+        # the kernel has no causal/mask parameters — silently dropping them
+        # would return unmasked attention (the auto path guards via
+        # _flash_eligible; the explicit path must fail loudly)
+        assert not causal and mask is None, (
+            "impl='flash' supports kv_lens only; causal/mask need impl='xla'"
+        )
         from compactfusion_tpu.ops.flash_pallas import flash_attn_with_lse
 
         return flash_attn_with_lse(q, k, v, scale=scale, kv_lens=kv_lens)
@@ -97,6 +103,13 @@ def attn_with_lse(
 
     lse = jax.nn.logsumexp(scores, axis=-1)  # (B, H, Sq)
     p = jnp.exp(scores - lse[..., None])
+    if mask is not None or kv_lens is not None:
+        # a FULLY masked row has every score at the finite NEG_INF, so
+        # softmax degenerates to uniform and the row would return mean(v);
+        # zero it instead (and pin its lse to -inf so ring merges ignore it)
+        dead = jnp.max(scores, axis=-1, keepdims=True) <= NEG_INF / 2
+        p = jnp.where(dead, 0.0, p)
+        lse = jnp.where(dead[..., 0], -jnp.inf, lse)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd",
         p.astype(v.dtype),

@@ -66,12 +66,22 @@ def ring_attention(
     Returns:
       out: (B, Sq_local, H, D) in q.dtype.
     """
+    # validate BEFORE the ring_size==1 early return: a typo'd strategy
+    # would otherwise silently drop the joint K/V (_with_joint matches
+    # neither "front" nor "rear" and returns k, v unchanged)
+    assert joint_strategy in ("none", "front", "rear"), joint_strategy
+    # the causal keep-gate below zeroes whole step blocks; the replicated
+    # joint text appended at a given step is position-independent and must
+    # stay visible to every rank — the combination is unused (diffusion
+    # runs causal=False; causal exists for parity tests only)
+    assert not (causal and joint_k is not None), (
+        "causal ring does not support joint tensors"
+    )
     if ring_size == 1:
         kk, vv = _with_joint(k, v, joint_k, joint_v, joint_strategy, 0, 1)
         out, _ = attn_with_lse(q, kk, vv, scale=scale, causal=causal)
         return out
 
-    assert joint_strategy in ("none", "front", "rear")
     if fused and not causal:
         interp = fused == "interpret"
         if interp or jax.default_backend() == "tpu":

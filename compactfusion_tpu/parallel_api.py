@@ -935,7 +935,9 @@ class xDiTParallel:
 
             paths = []
             # image pipelines return clip(img*0.5+0.5) in [0, 1]
-            img8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
+            from compactfusion_tpu.utils.image import to_uint8
+
+            img8 = to_uint8(out)
             for i in range(img8.shape[0]):
                 path = os.path.join(
                     directory, f"{prefix}_rank{rank}_{i}.png"

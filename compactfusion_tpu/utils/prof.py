@@ -45,6 +45,11 @@ class Profiler:
         if not self.enabled:
             yield
             return
+        if sync:
+            # drain device work queued by EARLIER async dispatches before
+            # starting the clock, or their (potentially seconds-long under
+            # the axon tunnel) completion gets charged to this scope
+            _device_fence()
         t0 = time.perf_counter()
         try:
             yield

@@ -48,6 +48,9 @@ class Engine:
         # tenant anyway — serialize requests or concurrent POSTs could swap
         # prompts mid-flight
         self._lock = threading.Lock()
+        #: pristine launch-time request config (per-request overrides must
+        #: not mutate server state)
+        self._base_input = self.runner.input_config
         # warmup compile (prepare_run forces device execution — a bare
         # dispatch returns immediately under the axon tunnel)
         self.runner.prepare_run()
@@ -59,7 +62,10 @@ class Engine:
     def _generate(self, request: dict) -> dict:
         import dataclasses
 
-        inp = self.runner.input_config
+        # request overrides apply to THIS request only: derive from the
+        # pristine launch-time config and restore it afterwards, or one
+        # client's prompt/seed would leak into every later request
+        inp = self._base_input
         # only fields that take effect at request time on the compiled
         # pipeline; size/steps/frames are baked into the jitted program at
         # startup (change them by relaunching) — unlike the reference's
@@ -76,16 +82,21 @@ class Engine:
             if isinstance(overrides.get(k), str):
                 overrides[k] = (overrides[k],)
         self.runner.input_config = dataclasses.replace(inp, **overrides)
-        t0 = time.time()
-        out = np.asarray(self.runner(), np.float32)
-        latency = time.time() - t0
+        try:
+            t0 = time.time()
+            out = np.asarray(self.runner(), np.float32)
+            latency = time.time() - t0
+        finally:
+            self.runner.input_config = self._base_input
         if out.ndim == 4 and out.shape[-1] == 3:
             # (B, H, W, 3) in [0, 1] -> base64 PNG per image (reference
             # contract: entrypoints/launch.py:165-214 returns png bytes)
             from PIL import Image
 
+            from compactfusion_tpu.utils.image import to_uint8
+
             # image pipelines return clip(img*0.5+0.5) in [0, 1]
-            img8 = np.clip(out * 255.0, 0, 255).astype(np.uint8)
+            img8 = to_uint8(out)
             save_dir = request.get("save_disk_path")
             if save_dir:
                 # reference contract (entrypoints/launch.py:114-126): write
@@ -154,7 +165,11 @@ def make_handler(engine: Engine):
             if self.path != "/generate":
                 self._send(404, {"error": "not found"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send(400, {"error": "malformed Content-Length"})
+                return
             try:
                 request = json.loads(self.rfile.read(length) or b"{}")
                 self._send(200, engine.generate(request))

@@ -121,12 +121,14 @@ def test_save_png(tiny_runner, tmp_path):
     # tiny_vae has 2 up blocks -> 2x upscale of the 8x8 latent
     assert img.size == (16, 16)
     # the PNG must use the full 8-bit range: pipelines return [0, 1], so the
-    # writer maps x*255 (a [-1, 1] mapping would squeeze pixels into
-    # [128, 255])
+    # writer maps round(x*255) (a [-1, 1] mapping would squeeze pixels into
+    # [128, 255]; truncation instead of rounding would bias every pixel low)
+    from compactfusion_tpu.utils.image import to_uint8
+
     arr = np.asarray(runner(), np.float32)
+    np.testing.assert_array_equal(np.asarray(img), to_uint8(arr[0]))
     np.testing.assert_array_equal(
-        np.asarray(img),
-        np.clip(arr[0] * 255.0, 0, 255).astype(np.uint8),
+        to_uint8(np.asarray([0.999, 0.003])), np.asarray([255, 1])
     )
 
 
