@@ -89,14 +89,20 @@ class PackagesEnvChecker:
             # generation gates kernel tuning (VMEM budget, MXU shape)
             gen = "unknown"
             k = kind.lower()
-            for tag in ("v6", "v5e", "v5p", "v5", "v4", "v3", "v2"):
-                if tag in k:
-                    gen = tag
-                    break
+            # v5e reports device_kind "TPU v5 lite" — map it before the
+            # generic "v5" tag or generation-gated kernel tuning picks the
+            # wrong branch on the primary target hardware
+            if "lite" in k or "v5e" in k or "v5litepod" in k:
+                gen = "v5e"
+            else:
+                for tag in ("v6", "v5p", "v5", "v4", "v3", "v2"):
+                    if tag in k:
+                        gen = tag
+                        break
             info["tpu_generation"] = gen
-            info["hbm_bytes"] = getattr(
-                dev0, "memory_stats", lambda: {}
-            )().get("bytes_limit", None)
+            stats = getattr(dev0, "memory_stats", lambda: None)()
+            # memory_stats() returns None when the backend doesn't support it
+            info["hbm_bytes"] = (stats or {}).get("bytes_limit", None)
         return info
 
     def check_platform(self, expected: str) -> bool:

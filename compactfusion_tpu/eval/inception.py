@@ -7,9 +7,13 @@ pool, with a converter that folds the eval-mode BatchNorms (eps=1e-3) into
 conv weight/bias at load time.
 
 Local-weights path (no egress in this environment):
-  1. export ``inception_v3_google-0cc3c7bd.pth`` (torchvision) — or the
-     pytorch-fid ``pt_inception-2015-12-05`` weights renamed to the
-     torchvision keys — to safetensors/npz on a connected machine;
+  1. export ``inception_v3_google-0cc3c7bd.pth`` (torchvision) to
+     safetensors/npz on a connected machine.  (The pytorch-fid
+     ``pt_inception-2015-12-05`` weights are NOT drop-in: pytorch-fid
+     patches the A/C/E branch pools to count_include_pad=False and makes
+     Mixed_7c's pool branch a max-pool — this forward implements the
+     torchvision semantics only, so FID numbers are comparable across
+     runs of THIS harness but not to pytorch-fid absolute values);
   2. ``params = convert_inception_v3(load_safetensors(path))``;
   3. ``feats = inception_pool_features(params, images)`` with images
      (B, 299, 299, 3) in [-1, 1];

@@ -149,9 +149,11 @@ class LPIPS:
     """LPIPS distance given a feature extractor.
 
     ``extractor(images) -> list of (B, H, W, C) feature maps``; the metric
-    normalises each map channelwise and averages squared differences —
-    AlexNet/VGG weights plug in via ``compactfusion_tpu.io.hf`` when present
-    locally.
+    normalises each map channelwise, SUMS squared differences over channels
+    and spatially averages — the lpips package's baseline aggregation
+    (``spatial_average(diff.sum(dim=1))``; same math as
+    ``eval.vgg.make_lpips``, keep in sync).  AlexNet/VGG weights plug in via
+    ``compactfusion_tpu.io.hf`` when present locally.
     """
 
     def __init__(self, extractor, weights=None):
@@ -164,12 +166,12 @@ class LPIPS:
         total = 0.0
         for i, (xa, xb) in enumerate(zip(fa, fb)):
             na = xa / jnp.maximum(
-                jnp.linalg.norm(xa, axis=-1, keepdims=True), 1e-8
+                jnp.linalg.norm(xa, axis=-1, keepdims=True), 1e-10
             )
             nb = xb / jnp.maximum(
-                jnp.linalg.norm(xb, axis=-1, keepdims=True), 1e-8
+                jnp.linalg.norm(xb, axis=-1, keepdims=True), 1e-10
             )
-            d = jnp.mean((na - nb) ** 2, axis=(1, 2, 3))
+            d = jnp.mean(jnp.sum((na - nb) ** 2, axis=-1), axis=(1, 2))
             if self.weights is not None:
                 d = d * self.weights[i]
             total = total + d

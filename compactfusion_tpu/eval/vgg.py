@@ -103,7 +103,12 @@ def vgg16_features(params, images: jax.Array) -> List[jax.Array]:
 def make_lpips(params, lins: Optional[List[jax.Array]] = None):
     """Build the full LPIPS callable: images (B, H, W, 3) in [-1, 1] ->
     (B,) distances.  ``lins`` are the learned per-channel calibration
-    weights; None = uniform (the lpips 'baseline' mode)."""
+    weights; None = the lpips package's 'baseline' mode, which SUMS over
+    channels before spatial averaging (not a per-channel mean — each
+    stage's contribution scales with its channel count, like upstream).
+
+    Same normalise/aggregate math as ``eval.metrics.LPIPS`` (keep in sync;
+    this variant adds the per-channel ``lins`` hook)."""
 
     def distance(a, b):
         fa = vgg16_features(params, a)
@@ -119,9 +124,7 @@ def make_lpips(params, lins: Optional[List[jax.Array]] = None):
             d2 = (na - nb) ** 2  # (B, H, W, C)
             if lins is not None:
                 d2 = d2 * lins[i]
-                total = total + jnp.mean(jnp.sum(d2, axis=-1), axis=(1, 2))
-            else:
-                total = total + jnp.mean(d2, axis=(1, 2, 3))
+            total = total + jnp.mean(jnp.sum(d2, axis=-1), axis=(1, 2))
         return total
 
     return jax.jit(distance)

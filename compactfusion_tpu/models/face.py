@@ -214,23 +214,30 @@ def _seeded_proj(d_in: int, d_out: int, seed: int) -> "np.ndarray":
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((d_in, d_out)).astype(np.float32) / np.sqrt(d_in)
+    # generate float32 DIRECTLY: the float64 default doubles a matrix that
+    # can reach GBs (e.g. full-image projections) before the astype copy
+    return rng.standard_normal((d_in, d_out), dtype=np.float32) / np.sqrt(
+        np.float32(d_in)
+    )
 
 
 def image_face_features(path: str, cfg: LFEConfig):
     """Image file -> (id_cond (1, id_dim), [id_vit_hidden x num_scale]).
 
-    Stand-in for ArcFace + CLIP-ViT preprocessing (see module note): patch
-    pyramids at ``num_scale`` resolutions, each patch flattened and passed
-    through a fixed seeded projection to ``vit_dim``; the global projection
-    gives ``id_cond``.
+    Stand-in for ArcFace + CLIP-ViT preprocessing (see module note): one
+    24x24 patch grid (the CLIP ViT-L/14@336 geometry) per scale, each scale
+    using a DIFFERENT fixed seeded projection to ``vit_dim`` (same grid —
+    no actual multi-resolution content; the perceiver only needs
+    deterministic, image-dependent features at the right shapes); a global
+    projection of a downsampled image gives ``id_cond``.
     """
-    import numpy as np
-
     img = _load_image(path)
     s = img.shape[0]
+    # project from a DOWNSAMPLED image: a full 224*224*3-input projection
+    # matrix is ~1.5 GB for id_dim=1280 and >10 GB for id_states shapes
+    small = _load_image(path, size=32)
     id_cond = jnp.asarray(
-        img.reshape(1, -1) @ _seeded_proj(s * s * 3, cfg.id_dim, seed=101)
+        small.reshape(1, -1) @ _seeded_proj(32 * 32 * 3, cfg.id_dim, seed=101)
     )
     hidden = []
     for i in range(cfg.num_scale):
@@ -252,11 +259,11 @@ def image_face_features(path: str, cfg: LFEConfig):
 
 def image_to_id_states(path: str, id_tokens: int, id_dim: int) -> jax.Array:
     """Image file -> (1, id_tokens, id_dim) identity tokens directly, for
-    pipelines built without face-encoder weights (random-init runs)."""
-    import numpy as np
+    pipelines built without face-encoder weights (random-init runs).
 
-    img = _load_image(path)
-    s = img.shape[0]
-    flat = img.reshape(1, -1)
-    out = flat @ _seeded_proj(s * s * 3, id_tokens * id_dim, seed=303)
+    Projects a DOWNSAMPLED (32x32) image: the full-resolution projection
+    matrix would be (150528, id_tokens*id_dim) ~ 6+ GB."""
+    small = _load_image(path, size=32)
+    flat = small.reshape(1, -1)
+    out = flat @ _seeded_proj(32 * 32 * 3, id_tokens * id_dim, seed=303)
     return jnp.asarray(out.reshape(1, id_tokens, id_dim))

@@ -20,7 +20,12 @@ def enable(path: str | None = None) -> str:
     """Turn on the persistent compilation cache (idempotent)."""
     import jax
 
-    path = path or os.environ.get("CFTPU_JAX_CACHE_DIR", _DEFAULT)
+    if path is None:
+        # one source of truth for the env var (registered in envs.py);
+        # an empty-string value means unset, not cache-at-''
+        from compactfusion_tpu import envs
+
+        path = getattr(envs, "CFTPU_JAX_CACHE_DIR", None) or _DEFAULT
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -123,7 +123,9 @@ def test_vgg16_lpips_matches_torch_reference():
         for xa, xb in zip(fa, fb):
             na = xa / xa.norm(dim=1, keepdim=True).clamp_min(1e-10)
             nb = xb / xb.norm(dim=1, keepdim=True).clamp_min(1e-10)
-            total = total + ((na - nb) ** 2).mean(dim=(1, 2, 3))
+            # the lpips package's baseline: SUM over channels, then spatial
+            # average (each stage weighs by its channel count)
+            total = total + ((na - nb) ** 2).sum(dim=1).mean(dim=(1, 2))
         return total
 
     rng = np.random.default_rng(0)
