@@ -14,16 +14,67 @@ real TPU chip and reports seconds per image.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 ROOFLINE_SEC = 0.61
 
+_BUSY_FLAG = "/tmp/tpu_busy"
+
+
+def _guard_chip(busy_wait_s: int = 6300, probe_timeout_s: int = 180) -> None:
+    """Fail fast instead of hanging when the chip can't be used.
+
+    The TPU is single-tenant through the axon tunnel: a second process
+    touching it deadlocks both silently, and when the tunnel itself is down
+    ``jax.devices()`` blocks forever.  Long-running chip jobs in this repo
+    hold ``/tmp/tpu_busy`` — wait for it to clear (bounded), then probe the
+    chip in a SUBPROCESS with a hard timeout so an unreachable tunnel
+    surfaces as a clean error, not an indefinite hang.
+    """
+    t0 = time.time()
+    while os.path.exists(_BUSY_FLAG) and time.time() - t0 < busy_wait_s:
+        print(
+            f"bench: waiting for {_BUSY_FLAG} to clear "
+            f"({int(time.time() - t0)}s)...",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(30)
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "y = np.asarray(jax.jit(lambda a: (a @ a).sum())"
+        "(jnp.ones((128, 128), jnp.bfloat16)))\n"
+    )
+    try:
+        subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=probe_timeout_s,
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(
+            json.dumps(
+                {
+                    "error": "device backend unreachable "
+                    f"(probe {type(e).__name__}); bench needs the real chip",
+                }
+            )
+        )
+        raise SystemExit(2)
+
 
 def main():
+    _guard_chip()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from compactfusion_tpu.utils import jax_cache
 
     jax_cache.enable()  # warm-start remote compiles (minutes -> seconds)
