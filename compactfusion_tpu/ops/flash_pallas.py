@@ -300,13 +300,14 @@ def flash_attn_with_lse(
     number of KV blocks its band overlaps, so FLOPs scale with S*window
     instead of S^2.  Requires Sq == Sk and excludes kv_lens.
 
-    fuse_sum (opt-in, default off): compute rowsum(p) on the MXU by appending
-    8 ones-columns to the v block — the columns ride the AV matmul's lane
-    padding (any d with d % 128 <= 120, e.g. the 72 of PixArt heads, pads to
-    the same 128-lane multiple), so the S^2-sized VPU sum-reduce pass
-    disappears for free.  Honoured only when the padding is free and
-    heads_per == 1; held opt-in pending the in-model silicon A/B.  l then
-    sums the SAME bf16-rounded p the AV matmul consumes — self-consistent
+    fuse_sum (default: auto-on where free): compute rowsum(p) on the MXU by
+    appending 8 ones-columns to the v block — the columns ride the AV
+    matmul's lane padding (any d with d % 128 <= 120, e.g. the 72 of PixArt
+    heads, pads to the same 128-lane multiple), so the S^2-sized VPU
+    sum-reduce pass disappears for free.  Honoured only when the padding is
+    free and heads_per == 1.  In-model silicon A/B (v5e, 28-block PixArt
+    stack, B2 S1024): 19.395 -> 18.832 ms/fwd (-2.9%).  l then sums the
+    SAME bf16-rounded p the AV matmul consumes — self-consistent
     normalisation, within bf16 noise of the unfused path.
 
     block_q=None picks a measured-on-v5e default: kv blocks of 1024 (the
@@ -324,10 +325,10 @@ def flash_attn_with_lse(
     if block_q is None:
         block_q = 1024 if sq <= 2048 else 512
     if fuse_sum is None:
-        # opt-in until the in-model silicon A/B lands (micro-bench winners
-        # have lost in-model before - see docs/PERF.md "measured dead ends");
-        # auto-on candidate: _round_up(d + 8, 128) == _round_up(d, 128)
-        fuse_sum = False
+        # auto-on where the ones-columns are free: in-model silicon A/B
+        # (2026-08-18, _prof2_dbg self_fuseoff/self_fuseon) measured
+        # 19.395 -> 18.832 ms/fwd (-2.9%) on the 28-block PixArt stack
+        fuse_sum = True
     # the fusion is only free when d + 8 ones-columns round up to the same
     # 128-lane multiple as d (d=72 -> 80 -> 128: free; d=128 -> 136 -> 256:
     # would double AV cost), and the head-batched kernel has no fused path
