@@ -132,6 +132,61 @@ def test_low_rank_awl_upweights_rows():
     assert rel_err(jnp.asarray(out_awl), sim) < 5e-2
 
 
+def _awl_attention_errors(seed, n=256, d=64, m=6, rank=8, n_q=64):
+    """Attention-output rel-err (plain vs AWL low-rank K) in the regime the
+    reference's AWL premise describes (``xfuser/compact/ring.py:99``:
+    "smaller the v norm, typically larger the attn score").
+
+    ``m`` retrieval keys each own a private direction: queries align with
+    them (large scores) and their V rows have small norm; the remaining
+    background keys carry the bulk Frobenius energy and large-norm V rows.
+    An unweighted rank-``rank`` fit spends its subspace on the background
+    spectrum and garbles the high-score keys' logits — redistributing
+    softmax mass onto the large-V background.  The V-norm weighting pulls
+    the important keys into the subspace at identical wire bytes.
+    """
+    rng = np.random.default_rng(seed)
+    w = np.linalg.qr(rng.standard_normal((d, m)))[0].T  # m orthonormal dirs
+    k = rng.standard_normal((n, d)).astype(np.float32)
+    # matched logit ~ 4*16/sqrt(d) = 8 >> background logit noise (sigma~0.6),
+    # so ~90% of softmax mass sits on the matched important key; yet each
+    # important row's Frobenius energy (16^2=256) stays BELOW the background
+    # spectrum's top singular values (~(sqrt(n-m)+sqrt(d))^2 ~ 560), so the
+    # unweighted rank-k fit spends its whole subspace on background rows.
+    k[:m] = 16.0 * w + 0.05 * rng.standard_normal((m, d))
+    v = 3.0 * rng.standard_normal((n, d)).astype(np.float32)
+    v[:m] *= 0.03  # important keys: small V norm (the reference's premise)
+    q = 4.0 * w[rng.integers(0, m, size=n_q)] + 0.3 * rng.standard_normal(
+        (n_q, d)
+    ).astype(np.float32)
+
+    def attn(k_hat):
+        logits = (q @ np.asarray(k_hat, np.float32).T) / np.sqrt(d)
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        return (p / p.sum(-1, keepdims=True)) @ v
+
+    ref = attn(k)
+    kj = jnp.asarray(k)
+    scale = codecs.awl_row_scale(jnp.asarray(v))
+    out_plain = codecs.decode_low_rank(codecs.encode_low_rank(kj, rank))
+    out_awl = codecs.decode_low_rank(codecs.encode_low_rank_awl(kj, rank, scale))
+    return (
+        rel_err(attn(out_plain), ref),
+        rel_err(attn(out_awl), ref),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_awl_beats_plain_low_rank_on_attention_output(seed):
+    """End-to-end mechanism win at matched bytes (VERDICT r2 item 5): under
+    the importance-skew regime, AWL's attention output error is a fraction
+    of plain LOW_RANK's.  (At random init both tie — see docs/PERF.md codec
+    analysis and ``benchmark/awl_attention.py``.)"""
+    err_plain, err_awl = _awl_attention_errors(seed)
+    assert err_awl < 0.5 * err_plain, (err_plain, err_awl)
+    assert err_plain > 0.05  # the regime must actually stress plain low-rank
+
+
 def test_awl_row_scale_semantics():
     """mean(||v_row||)/||v_row|| — small-norm rows get large weight."""
     v = jnp.concatenate(
