@@ -140,6 +140,25 @@ def pixart_head(params, x: jax.Array, temb: jax.Array, cfg: PixArtConfig):
     return cm.linear(params["proj_out"], x)
 
 
+def precompute_text_kv(params, text: jax.Array) -> jax.Array:
+    """Hoist the step-invariant text path out of the denoise loop.
+
+    The caption MLP and every block's ``cross_kv`` projection depend only on
+    the (constant-across-steps) text states, yet the reference recomputes
+    them inside each denoise step (``pipeline_pixart_alpha.py`` calls the
+    full transformer per step).  Computing them once per image removes
+    ~36 GFLOP of fp32-promoted matmuls AND the per-step ``cross_kv`` weight
+    reads (~149 MB/forward at 0.61B scale) from the compiled step scan.
+
+    Returns (L, B, S_text, 2*dim) for :func:`pixart_forward`'s ``text_kv``;
+    math is op-identical to the in-block path (a vmapped ``cm.linear``).
+    """
+    text = cm.linear(
+        params["caption_fc2"], cm.gelu(cm.linear(params["caption_fc1"], text))
+    )
+    return jax.vmap(lambda p: cm.linear(p, text))(params["blocks"]["cross_kv"])
+
+
 def pixart_forward(
     params,
     x: jax.Array,
@@ -158,6 +177,7 @@ def pixart_forward(
     cache_force=None,
     x_is_hidden: bool = False,
     return_hidden: bool = False,
+    text_kv: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Any]:
     """Denoiser forward on (already patchified-shard) latent tokens.
 
@@ -169,6 +189,10 @@ def pixart_forward(
       attn: self-attention strategy (see ``models/attn_impl.py``).
       attn_state: per-layer stacked compression state (leaves (L, ...)).
       text_mask: optional (B, S_text) bool; True = valid token.
+      text_kv: optional (L, B, S_text, 2*dim) precomputed per-block cross
+        K/V (:func:`precompute_text_kv`) — the text path is step-invariant,
+        so pipelines hoist the caption MLP + per-block ``cross_kv``
+        projections out of the denoise loop; ``text`` is ignored when given.
 
     Returns:
       (out, new_attn_state): out (B, S_local, p*p*out_channels).
@@ -182,9 +206,10 @@ def pixart_forward(
     mod6 = cm.linear(params["adaln_single"], cm.silu(temb))  # (B, 6d)
     mod6 = mod6.reshape(-1, 6, d)
 
-    text = cm.linear(
-        params["caption_fc2"], cm.gelu(cm.linear(params["caption_fc1"], text))
-    )
+    if text_kv is None:
+        text = cm.linear(
+            params["caption_fc2"], cm.gelu(cm.linear(params["caption_fc1"], text))
+        )
     # text masks are contiguous padding prefixes (T5 tokenizer): reduce to a
     # per-batch length so cross-attention stays on the flash path (the bool
     # mask forced materialised fp32 scores)
@@ -192,10 +217,15 @@ def pixart_forward(
     if text_mask is not None:
         kv_lens = jnp.sum(text_mask, axis=-1).astype(jnp.int32)
 
+    has_kv = text_kv is not None
+
     def make_block(attn_impl):
         def block(carry, xs):
             x = carry
-            p, state = xs
+            if has_kv:
+                p, state, kv_pre = xs
+            else:
+                (p, state), kv_pre = xs, None
             table = p["scale_shift_table"][None] + mod6  # (B, 6, d)
             sh_a, sc_a, g_a, sh_m, sc_m, g_m = [
                 table[:, i][:, None] for i in range(6)
@@ -210,7 +240,7 @@ def pixart_forward(
 
             # cross attention to text (queries local, text replicated)
             q = cm.linear(p["cross_q"], x)
-            kv = cm.linear(p["cross_kv"], text)
+            kv = cm.linear(p["cross_kv"], text) if kv_pre is None else kv_pre
             k, v = jnp.split(kv, 2, axis=-1)
             o = _cross_attn(
                 _heads(q, h), _heads(k, h), _heads(v, h), None, kv_lens=kv_lens
@@ -244,7 +274,7 @@ def pixart_forward(
         probe_in = (
             cm.layernorm({}, x) * (1 + table0[:, 1][:, None]) + table0[:, 0][:, None]
         )
-        x1, _ = block(x, (p0, ()))
+        x1, _ = block(x, (p0, (), text_kv[0]) if has_kv else (p0, ()))
         # fbcache probes the first-block RESIDUAL (reference
         # get_modulated_inputs: block0(x) - x), not the raw block output
         probe = (x1 - x) if cache_cfg.mode == "fbcache" else probe_in
@@ -255,7 +285,8 @@ def pixart_forward(
         p_rest = jax.tree_util.tree_map(lambda a: a[1:], params["blocks"])
 
         def run_rest(x1):
-            xf, _ = jax.lax.scan(block, x1, (p_rest, ()))
+            xs = (p_rest, (), text_kv[1:]) if has_kv else (p_rest, ())
+            xf, _ = jax.lax.scan(block, x1, xs)
             return xf, (xf - x1).astype(cache_state.residual.dtype)
 
         def replay(x1):
@@ -274,7 +305,13 @@ def pixart_forward(
         from compactfusion_tpu.parallel.pipefusion import pipefusion_blocks
 
         x, new_state = pipefusion_blocks(
-            lambda h, st: jax.lax.scan(block, h, (params["blocks"], st)),
+            lambda h, st: jax.lax.scan(
+                block,
+                h,
+                (params["blocks"], st, text_kv)
+                if has_kv
+                else (params["blocks"], st),
+            ),
             x,
             attn_state,
             pp_stages,
@@ -290,16 +327,24 @@ def pixart_forward(
             seg_params = jax.tree_util.tree_map(
                 lambda a, _l0=l0, _n=n_l: a[_l0 : _l0 + _n], params["blocks"]
             )
-            x, st = jax.lax.scan(
-                make_block(seg_attn), x, (seg_params, seg_state)
+            seg_xs = (
+                (seg_params, seg_state, text_kv[l0 : l0 + n_l])
+                if has_kv
+                else (seg_params, seg_state)
             )
+            x, st = jax.lax.scan(make_block(seg_attn), x, seg_xs)
             new_state.append(st)
             l0 += n_l
         assert l0 == cfg.depth, "layer segments must cover all blocks"
         new_state = tuple(new_state)
         new_cache = cache_state
     else:
-        x, new_state = jax.lax.scan(block, x, (params["blocks"], attn_state))
+        xs = (
+            (params["blocks"], attn_state, text_kv)
+            if has_kv
+            else (params["blocks"], attn_state)
+        )
+        x, new_state = jax.lax.scan(block, x, xs)
         new_cache = cache_state
 
     out = x if return_hidden else pixart_head(params, x, temb, cfg)

@@ -27,7 +27,11 @@ from compactfusion_tpu.models.attn_impl import (
     SingleDeviceAttn,
     USPAttn,
 )
-from compactfusion_tpu.models.pixart import PixArtConfig, pixart_forward
+from compactfusion_tpu.models.pixart import (
+    PixArtConfig,
+    pixart_forward,
+    precompute_text_kv,
+)
 from compactfusion_tpu.models.vae import VAEConfig, vae_decode
 from compactfusion_tpu.parallel.mesh import AXIS_CFG, AXIS_DP, AXIS_RING, AXIS_TP, AXIS_ULYSSES
 from compactfusion_tpu.parallel.tp import model_param_specs
@@ -179,7 +183,7 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, plan):
     else:
         plan_table = None
 
-    def step(params, carry, i, text, text_mask, pos_local):
+    def step(params, carry, i, text, text_mask, pos_local, text_kv=None):
         latents, dpm_state, attn_state, cache_state = carry
         if plan_table is not None:
             attn_state = dict(attn_state, method=plan_table[i])
@@ -206,6 +210,7 @@ def denoise_step_fn(cfg: PixArtPipelineConfig, plan):
             # the final, quality-critical step always computes (reference
             # TeaCache reset_mask at cnt == num_steps - 1)
             cache_force=i == cfg.num_steps - 1,
+            text_kv=text_kv,
         )
         if use_cache:
             out, attn_state, cache_state = fwd_out
@@ -274,6 +279,15 @@ def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh, params_tree=None):
             cache_state = None
         carry = (latents, dpm_state, None, cache_state)
 
+        # text is constant across denoise steps: hoist the caption MLP +
+        # per-block cross_kv projections out of the step scan (with pp>1 the
+        # blocks axis is stage-local inside shard_map, so this precomputes
+        # exactly this stage's K/V).  Stored in the model compute dtype —
+        # the reference's fp16 pipelines carry text states at half precision
+        # too, and it keeps the in-loop cross-attention matmuls off the
+        # fp32-promotion path when callers pass fp32 text embeddings.
+        text_kv = precompute_text_kv(params, text).astype(cfg.model.dtype)
+
         for method, steps in segments:
             step_fn, pos_full, attn = denoise_step_fn(cfg, method)
             pos_local = (
@@ -303,7 +317,10 @@ def build_sample_fn(cfg: PixArtPipelineConfig, mesh: Mesh, params_tree=None):
             carry = (carry[0], carry[1], attn_state, carry[3])
 
             def body(c, i, _step=step_fn, _pos=pos_local):
-                return _step(params, c, i, text, text_mask, _pos), None
+                return (
+                    _step(params, c, i, text, text_mask, _pos, text_kv),
+                    None,
+                )
 
             carry, _ = lax.scan(
                 body, carry, jnp.asarray(steps, jnp.int32)

@@ -67,6 +67,33 @@ def test_forward_shapes(tiny_setup):
     assert state == ()
 
 
+def test_precomputed_text_kv_matches_in_block(tiny_setup):
+    """The hoisted text path (precompute_text_kv, used by the pipeline's
+    step scan) is op-identical to the per-block computation — exact match."""
+    from compactfusion_tpu.models.pixart import precompute_text_kv
+
+    mcfg, params, _, _ = tiny_setup
+    b, s = 2, 16
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(
+        rng.standard_normal((b, s, mcfg.patch**2 * mcfg.in_channels)),
+        jnp.float32,
+    )
+    t = jnp.full((b,), 500.0)
+    text = jnp.asarray(rng.standard_normal((b, 8, mcfg.text_dim)), jnp.float32)
+    mask = jnp.ones((b, 8), bool)
+    pos = cm.sincos_pos_embed_2d(mcfg.dim, 4, 4)
+    ref, _ = pixart_forward(
+        params, x, t, text, mcfg, pos_embed=pos, text_mask=mask
+    )
+    kv = precompute_text_kv(params, text)
+    assert kv.shape == (mcfg.depth, b, 8, 2 * mcfg.dim)
+    out, _ = pixart_forward(
+        params, x, t, text, mcfg, pos_embed=pos, text_mask=mask, text_kv=kv
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_vae_decode_shapes(tiny_setup):
     _, _, vcfg, vae_params = tiny_setup
     lat = jnp.ones((1, 8, 8, vcfg.latent_channels), jnp.float32)
