@@ -119,6 +119,93 @@ def attn_with_lse(
     return out.astype(q.dtype), lse
 
 
+def _xla_attn_nolse(q, k, v, scale, kv_lens):
+    """Bandwidth-lean attention for the materialised-scores path when the
+    caller discards the LSE (cross-attention to short text is the hot case:
+    PixArt/HunyuanDiT/Latte Sk≈120-256, flash-ineligible, HBM-bound).
+
+    Two passes over the (B,H,Sq,Sk) scores instead of four:
+
+    * the softmax max is replaced by the per-row Cauchy-Schwarz bound
+      ``m_ub = scale·‖q_row‖·max_k‖k_row‖`` computed from the q/k norms
+      (Sk/Sq-times smaller than scores), so ``exp(s−m_ub) ∈ (0,1]`` can
+      never overflow and the max-reduce pass over scores disappears.  The
+      slack only scales every exp by the same ``e^{-Δ}``, which the final
+      division removes exactly (floating point keeps relative precision
+      under uniform scaling).  The one failure mode — slack so large that
+      exp drifts toward the fp32 underflow cliff (Δ≳87, adversarial norm
+      blow-ups far beyond DiT activation ranges) — is detected by the row
+      normaliser on a valid row falling below ``e^{-45}`` (a decade-wide
+      safety margin above the precision cliff), and a ``lax.cond`` reruns
+      the max-shifted reference path; the guard costs one scalar reduce in
+      the common case.
+    * the row normaliser rides the AV matmul on free output lanes (one
+      ones-column appended to v — the XLA-path analog of the flash
+      kernel's ``fuse_sum``; free whenever d%128≠0), and the division
+      happens after the matmul in fp32 — also where fully-masked rows
+      (kv_lens=0) are zeroed, matching :func:`attn_with_lse`.
+
+    Chip-measured A/B on the PixArt-512 block: see docs/PERF.md.
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+
+    qn = jnp.linalg.norm(q.astype(jnp.float32), axis=-1)  # (B, Sq, H)
+    kn = jnp.linalg.norm(k.astype(jnp.float32), axis=-1)  # (B, Sk, H)
+    if kv_lens is not None:
+        valid = jnp.arange(sk)[None, :, None] < kv_lens[:, None, None]
+        kn = jnp.where(valid, kn, 0.0)
+    # (B, H, Sq); the bound holds per VALID key row, which is all p uses
+    m_ub = scale * jnp.transpose(qn, (0, 2, 1)) * jnp.max(kn, axis=1)[..., None]
+
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    p = jnp.exp(scores * scale - m_ub[..., None])
+    if kv_lens is not None:
+        col = jnp.arange(sk)[None, None, None, :]
+        p = jnp.where(col < kv_lens[:, None, None, None], p, 0.0)
+    p = p.astype(v.dtype)
+
+    if d % 128 != 0:
+        # rowsum(p) on the MXU via a ones-column in v (free lanes)
+        v_aug = jnp.concatenate([v, jnp.ones((b, sk, h, 1), v.dtype)], axis=-1)
+        out_plus = jnp.einsum(
+            "bhqk,bkhd->bqhd", p, v_aug, preferred_element_type=jnp.float32
+        )
+        out, r = out_plus[..., :d], out_plus[..., d:]
+    else:
+        # d fills the lanes exactly: fused VPU reduction instead
+        r = jnp.transpose(
+            jnp.sum(p.astype(jnp.float32), axis=-1), (0, 2, 1)
+        )[..., None]
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32
+        )
+    fast = jnp.where(r > 0, out / r, 0.0).astype(q.dtype)
+
+    # a tiny r on a row that has at least one valid key means the bound's
+    # slack pushed exp toward the underflow cliff (r >= e^-Δ, so r < e^-45
+    # implies Δ > 45; full precision holds until Δ ~ 87) — rerun the exact
+    # max-shifted path then
+    row_valid = (
+        jnp.ones((b, 1, 1, 1), bool)
+        if kv_lens is None
+        else (kv_lens > 0)[:, None, None, None]
+    )
+    underflowed = jnp.any((r < 2.9e-20) & row_valid)
+
+    def _exact(_):
+        o, _lse = attn_with_lse(
+            q, k, v, scale=scale, kv_lens=kv_lens, impl="xla"
+        )
+        return o.astype(q.dtype)
+
+    return jax.lax.cond(underflowed, _exact, lambda _: fast, None)
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,
@@ -127,9 +214,18 @@ def sdpa(
     causal: bool = False,
     mask: Optional[jax.Array] = None,
     kv_lens: Optional[jax.Array] = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """Plain attention (no lse) for single-device paths."""
+    if impl == "auto" and not causal and mask is None:
+        if _flash_eligible(q, k, causal, mask):
+            from compactfusion_tpu.ops.flash_pallas import flash_attn_with_lse
+
+            out, _ = flash_attn_with_lse(q, k, v, scale=scale, kv_lens=kv_lens)
+            return out
+        return _xla_attn_nolse(q, k, v, scale, kv_lens)
     out, _ = attn_with_lse(
-        q, k, v, scale=scale, causal=causal, mask=mask, kv_lens=kv_lens
+        q, k, v, scale=scale, causal=causal, mask=mask, kv_lens=kv_lens,
+        impl=impl,
     )
     return out
