@@ -1,0 +1,311 @@
+"""Delta coherence: training concentrates the K/V step-delta spectrum.
+
+The CompactFusion >=100x low-rank operating point presumes TRAINED DiTs
+drift coherently across denoise steps — the delta between consecutive
+steps' K/V is near-low-rank (premise behind the reference's eigenvalue
+tooling, ``xfuser/compact/stats.py:683-762``, and the paper's rank-2/4
+configs).  ``ANALYSIS_STATS.json`` measured the opposite at RANDOM init
+(delta top-2 energy below the raw activation's; low-rank rel-err ~2-3x
+worse than 1-bit), so docs/PERF.md flags the claim as
+checkpoint-contingent.
+
+This script closes that loop without any external checkpoint (zero-egress
+env): it trains a small PixArt from scratch — epsilon-prediction under the
+pipeline's own ``ddpm_schedule`` on a synthetic class-conditional smooth-
+field task, CFG dropout included — then reruns the spectrum + codec-error
+analysis on the SAME pipeline for random-init vs trained params:
+
+  * top-2 energy of the K step-delta spectrum, random vs trained;
+  * per-codec (binary / low-rank r2 / low-rank-awl r2) K rel-err and
+    end-to-end final-latent rel-err vs the lossless run.
+
+Training runs as device-side ``lax.scan`` chunks (one dispatch per chunk;
+the axon tunnel makes per-step dispatch useless — see docs/PERF.md).
+
+Artifact: ``DELTA_COHERENCE.json`` at the repo root.
+
+    python benchmark/delta_coherence.py --train-steps 4000        # on-chip
+    JAX_PLATFORMS=cpu python benchmark/delta_coherence.py --smoke  # CI
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+_BUSY_FLAG = "/tmp/tpu_busy"
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--train-steps", type=int, default=4000)
+    p.add_argument("--chunk", type=int, default=500)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--classes", type=int, default=8)
+    p.add_argument("--steps", type=int, default=20, help="denoise steps")
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--codecs", default="binary,low-rank,low-rank-awl")
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--smoke", action="store_true", help="tiny CI run")
+    args = p.parse_args()
+    if args.smoke:
+        args.train_steps, args.chunk, args.batch, args.steps = 40, 20, 8, 6
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from compactfusion_tpu.utils import jax_cache
+
+    jax_cache.enable()
+
+    from compactfusion_tpu.compact.stats import StatsLogger
+    from compactfusion_tpu.config import (
+        CompactConfig,
+        CompressType,
+        ParallelConfig,
+    )
+    from compactfusion_tpu.models import common as cm
+    from compactfusion_tpu.models.pixart import (
+        PixArtConfig,
+        init_pixart,
+        pixart_forward,
+    )
+    from compactfusion_tpu.parallel.mesh import make_mesh
+    from compactfusion_tpu.pipelines.pixart import (
+        PixArtPipeline,
+        PixArtPipelineConfig,
+    )
+    from compactfusion_tpu.schedulers.diffusion import ddpm_schedule
+
+    # fp32 end to end: training stability, and an eval floor well below the
+    # codec errors under study
+    mcfg = PixArtConfig(
+        dim=128,
+        depth=4,
+        heads=4,
+        text_dim=32,
+        sample_size=16,
+        dtype=jnp.float32,
+    )
+    lat_hw, ch, text_len = mcfg.sample_size, mcfg.in_channels, 8
+    hp = wp = lat_hw // mcfg.patch
+    pos = cm.sincos_pos_embed_2d(
+        mcfg.dim, hp, wp, base_size=mcfg.base_size,
+        interpolation_scale=mcfg.interpolation_scale,
+    )
+
+    # --- synthetic class-conditional task -------------------------------
+    # smooth per-class fields (coarse grids upsampled) + smooth per-sample
+    # jitter: a denoising task whose solutions move along a few coherent
+    # directions, like natural-image latents do
+    drng = np.random.default_rng(7)
+    fields = jax.image.resize(
+        jnp.asarray(drng.standard_normal((args.classes, 4, 4, ch)), jnp.float32),
+        (args.classes, lat_hw, lat_hw, ch),
+        "cubic",
+    )
+    fields = fields / jnp.std(fields)
+    class_text = jnp.asarray(
+        drng.standard_normal((args.classes, text_len, mcfg.text_dim)),
+        jnp.float32,
+    )
+
+    def sample_x0(key, c):
+        coarse = jax.random.normal(key, (c.shape[0], 4, 4, ch), jnp.float32)
+        jitter = jax.image.resize(
+            coarse, (c.shape[0], lat_hw, lat_hw, ch), "cubic"
+        )
+        return fields[c] + 0.5 * jitter
+
+    # --- training: epsilon-prediction under the pipeline's schedule -----
+    # (pipelines/pixart.py builds ddpm_schedule(...,"linspace"); training
+    # samples the full 1000-step alphas_cumprod the table is drawn from)
+    abar = ddpm_schedule(args.steps).alphas_cumprod  # (1000,)
+
+    def loss_fn(params, key):
+        kc, kx, kt, ke, kd = jax.random.split(key, 5)
+        c = jax.random.randint(kc, (args.batch,), 0, args.classes)
+        x0 = sample_x0(kx, c)
+        text = class_text[c]
+        # 10% CFG dropout -> the null (zeros) conditioning used at eval
+        drop = jax.random.bernoulli(kd, 0.1, (args.batch, 1, 1))
+        text = jnp.where(drop, 0.0, text)
+        t = jax.random.randint(kt, (args.batch,), 0, abar.shape[0])
+        eps = jax.random.normal(ke, x0.shape, jnp.float32)
+        a = abar[t][:, None, None, None]
+        xt = jnp.sqrt(a) * x0 + jnp.sqrt(1.0 - a) * eps
+        out, _ = pixart_forward(
+            params,
+            cm.patchify(xt, mcfg.patch),
+            t.astype(jnp.float32),
+            text,
+            mcfg,
+            pos_embed=pos,
+        )
+        # first feature half = the eps head in the pipeline's token-space
+        # convention (pipelines/pixart.py ``out[..., : d//2]``); the
+        # learned-variance half is unused by DPM and stays untrained
+        pred = out[..., : out.shape[-1] // 2]
+        return jnp.mean((pred - cm.patchify(eps, mcfg.patch)) ** 2)
+
+    opt = optax.adam(args.lr)
+
+    @jax.jit
+    def train_chunk(params, opt_state, key):
+        def step(carry, k):
+            params, opt_state = carry
+            loss, g = jax.value_and_grad(loss_fn)(params, k)
+            upd, opt_state = opt.update(g, opt_state)
+            return (optax.apply_updates(params, upd), opt_state), loss
+
+        keys = jax.random.split(key, args.chunk)
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), keys
+        )
+        return params, opt_state, losses.mean(), losses[-10:].mean()
+
+    params0 = init_pixart(jax.random.PRNGKey(0), mcfg)
+    params, opt_state = params0, opt.init(params0)
+    losses = []
+    t0 = time.time()
+    for i in range(args.train_steps // args.chunk):
+        params, opt_state, lmean, ltail = train_chunk(
+            params, opt_state, jax.random.PRNGKey(1000 + i)
+        )
+        losses.append(float(lmean))
+        print(
+            f"chunk {i}: mean {float(lmean):.4f} tail {float(ltail):.4f} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+
+    # --- eval: spectra + codec errors, random vs trained ----------------
+    par = ParallelConfig()
+    mesh = make_mesh(par, devices=jax.devices()[:1])
+    eval_classes = np.asarray([0, 3]) % args.classes
+    cond = class_text[jnp.asarray(eval_classes)]  # (B, S_text, D)
+    text = jnp.stack([cond, jnp.zeros_like(cond)])  # [cond, uncond]
+    mask = jnp.ones((2, len(eval_classes), text_len), bool)
+    lat_key = jax.random.PRNGKey(11)
+
+    def run(params_, compact):
+        cfg = PixArtPipelineConfig(
+            model=mcfg, vae=None, parallel=par, compact=compact,
+            num_steps=args.steps, guidance_scale=4.5,
+            height=lat_hw * 8, width=lat_hw * 8,
+        )
+        lat = PixArtPipeline(params_, None, cfg, mesh)(
+            text, mask, lat_key, decode=False
+        )
+        return np.asarray(lat)
+
+    def top2_energy(grouped):
+        fracs = [
+            float((np.asarray(sv, np.float64)[:2] ** 2).sum()
+                  / (np.asarray(sv, np.float64) ** 2).sum())
+            for step_rows in grouped
+            for sv in step_rows
+        ]
+        return sum(fracs) / len(fracs)
+
+    # random baseline needs spiced AdaLN gates to see attention at all
+    # (tests/helpers.py rationale); the trained model LEARNS its gates
+    from tests.helpers import spice_params
+
+    models = {
+        "random": spice_params(params0, seed=99, scale=0.5),
+        "trained": params,
+    }
+    report = {
+        "model": {"dim": mcfg.dim, "depth": mcfg.depth, "tokens": hp * wp},
+        "train": {
+            "steps": args.train_steps,
+            "loss_first_chunk": losses[0] if losses else None,
+            "loss_last_chunk": losses[-1] if losses else None,
+        },
+    }
+    for label, prm in models.items():
+        lossless = run(prm, CompactConfig())
+        entry = {"codecs": {}}
+        for name in args.codecs.split(","):
+            StatsLogger.reset()
+            compact = CompactConfig(
+                enabled=True,
+                compress_type=CompressType(name),
+                warmup_steps=args.warmup,
+                comp_rank=2 if "rank" in name else -1,
+                residual=1,
+                error_feedback=True,
+                log_stats=True,
+            )
+            lat = run(prm, compact)
+            log = StatsLogger.instance()
+            errs = log.dump_err_vs_steps("/dev/null", depth=mcfg.depth)
+            spectra = log.dump_eigenvalues("/dev/null", depth=mcfg.depth)
+            krel = [m["rel_err"] for m in errs.get("k", [])]
+            entry["codecs"][name] = {
+                "k_rel_err_mean": round(float(np.mean(krel)), 6),
+                "k_rel_err_last": round(float(krel[-1]), 6),
+                "latent_rel_err_vs_lossless": round(
+                    rel_err(lat, lossless), 6
+                ),
+            }
+            entry["activation_top2_energy"] = round(
+                top2_energy(spectra["k-activation"]), 4
+            )
+            entry["delta_top2_energy"] = round(
+                top2_energy(spectra["k-delta"]), 4
+            )
+            print(label, name, entry["codecs"][name],
+                  "delta_top2", entry["delta_top2_energy"], flush=True)
+        report[label] = entry
+
+    b = report["random"]["codecs"].get("binary", {})
+    lr_rand = report["random"]["codecs"].get("low-rank", {})
+    lr_tr = report["trained"]["codecs"].get("low-rank", {})
+    report["summary"] = {
+        "delta_top2_random": report["random"]["delta_top2_energy"],
+        "delta_top2_trained": report["trained"]["delta_top2_energy"],
+        "lowrank_vs_binary_latent_err_random": (
+            round(lr_rand["latent_rel_err_vs_lossless"]
+                  / max(b.get("latent_rel_err_vs_lossless", 1e-12), 1e-12), 3)
+            if lr_rand and b else None
+        ),
+        "lowrank_vs_binary_latent_err_trained": (
+            round(lr_tr["latent_rel_err_vs_lossless"]
+                  / max(report["trained"]["codecs"]["binary"]
+                        ["latent_rel_err_vs_lossless"], 1e-12), 3)
+            if lr_tr else None
+        ),
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DELTA_COHERENCE.json",
+    )
+    if not args.smoke:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        open(_BUSY_FLAG, "w").close()
+    try:
+        main()
+    finally:
+        if os.path.exists(_BUSY_FLAG):
+            os.remove(_BUSY_FLAG)

@@ -152,8 +152,16 @@ def _xla_attn_nolse(q, k, v, scale, kv_lens):
     if scale is None:
         scale = d**-0.5
 
-    qn = jnp.linalg.norm(q.astype(jnp.float32), axis=-1)  # (B, Sq, H)
-    kn = jnp.linalg.norm(k.astype(jnp.float32), axis=-1)  # (B, Sk, H)
+    # grad-safe norms: d‖x‖/dx is NaN at x=0 and all-zero rows are ROUTINE
+    # here (zero text embeddings are the standard CFG null conditioning);
+    # the epsilon only raises the upper bound m_ub, which stays valid, and
+    # the uniform per-row exp scaling it induces divides out exactly
+    def _norm(x):
+        x = x.astype(jnp.float32)
+        return jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-30)
+
+    qn = _norm(q)  # (B, Sq, H)
+    kn = _norm(k)  # (B, Sk, H)
     if kv_lens is not None:
         valid = jnp.arange(sk)[None, :, None] < kv_lens[:, None, None]
         kn = jnp.where(valid, kn, 0.0)

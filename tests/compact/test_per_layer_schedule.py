@@ -504,15 +504,16 @@ def test_hunyuandit_per_layer_plan():
         text, mask, key, decode=False
     )
 
-    def plan(first_down, rest):
-        # down layer 0 gets ``first_down``; all other down AND up layers
-        # (layer indices depth/2..depth-1) get ``rest``
+    def plan(head, last):
+        # layers 0..depth-2 get ``head``, the final up layer gets ``last``
+        # — the boundary sits INSIDE the up stack (layers 2,3 at depth=4),
+        # so the up stack itself must split into two scan segments
         return CompactConfig(
             enabled=True, compress_type=CompressType.BINARY,
             warmup_steps=1, residual=1, error_feedback=True,
             compress_func=lambda layer, step: (
                 CompressType.WARMUP if step < 1
-                else (first_down if layer == 0 else rest)
+                else (last if layer == mcfg.depth - 1 else head)
             ),
         )
 
@@ -531,4 +532,9 @@ def test_hunyuandit_per_layer_plan():
     err_full = rel_err(out_full, ref)
     assert np.isfinite(np.asarray(out_mixed, np.float32)).all()
     assert err_mixed > 1e-6
+    # the plans differ at layers 0..2, so the outputs must too
+    assert rel_err(out_mixed, out_full) > 1e-6
+    # compressing 1/4 layers must hurt visibly less than compressing 4/4
+    # (a single-layer difference is noise-level under EF dynamics — this
+    # 3-layer margin is what makes the ordering deterministic)
     assert err_mixed < err_full, (err_mixed, err_full)

@@ -97,3 +97,21 @@ def test_sdpa_masked_path_unchanged():
     np.testing.assert_allclose(
         np.asarray(sdpa(q, k, v, causal=True)), np.asarray(ref_c), atol=1e-6
     )
+
+
+def test_nolse_grad_finite_at_zero_kv():
+    """d‖x‖/dx is NaN at x=0 and all-zero K/V rows are ROUTINE (zero text
+    embeddings are the standard CFG null conditioning) — the Cauchy-Schwarz
+    bound's norms must use the grad-safe form so fine-tuning through the
+    model never sees NaN (regression: benchmark/delta_coherence.py training
+    diverged to NaN through this path)."""
+    q, _, _ = _qkv(2, 64, 8, h=4, d=32, seed=5)
+    zeros = jnp.zeros((2, 8, 4, 32), jnp.float32)
+
+    def loss(kv):
+        k, v = kv
+        return jnp.mean(sdpa(q, k, v) ** 2)
+
+    gk, gv = jax.grad(loss)((zeros, zeros))
+    assert np.isfinite(np.asarray(gk)).all()
+    assert np.isfinite(np.asarray(gv)).all()
