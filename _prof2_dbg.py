@@ -60,6 +60,50 @@ def _unheads(x):
     return x.reshape(b, s, hh * dh)
 
 
+def _plumb(q, k, v):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s, hh, dh = q.shape
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+
+    def kern(q_ref, k_ref, v_ref, o_ref):
+        o_ref[0, 0] = q_ref[0, 0] + k_ref[0, 0] + v_ref[0, 0]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(b, hh, 1, 1),
+        in_specs=[pl.BlockSpec((1, 1, s, dh), lambda b, h, qi, ki: (b, h, qi, 0))] * 3,
+        out_specs=pl.BlockSpec((1, 1, s, dh), lambda b, h, qi, ki: (b, h, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hh, s, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 3 + ("arbitrary",),
+        ),
+    )(qt, kt, vt)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _splash(q, k, v):
+    """jax.experimental splash-attention head-to-head (VERDICT r3 #1).
+
+    Splash applies no softmax scale internally — fold it into q."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+
+    b, s, hh, dh = q.shape
+    mask = sm.MultiHeadMask([sm.FullMask((s, s)) for _ in range(hh)])
+    kernel = sk.make_splash_mha_single_device(mask=mask)
+    qt = jnp.transpose((q * dh**-0.5).astype(q.dtype), (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    out = jax.vmap(kernel)(qt, kt, vt)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
 def make_fwd(self_attn=True, cross=True, ffn=True, modulate=True,
              cross_impl="auto", self_kw=None):
     """28-block forward as a scan; text/mod inputs generated in-jit."""
@@ -78,7 +122,14 @@ def make_fwd(self_attn=True, cross=True, ffn=True, modulate=True,
             qkv = cm.linear(p["attn_qkv"], xn)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             if self_attn:
-                if self_kw == "transpose_probe":
+                if self_kw == "splash_probe":
+                    o = _splash(_heads(q), _heads(k), _heads(v))
+                elif self_kw == "plumb_probe":
+                    # everything flash costs in-model EXCEPT the S^2 math:
+                    # same (B,S,H,D)->(B,H,S,D) transposes, same BlockSpecs,
+                    # a kernel that reads q/k/v blocks and writes one out
+                    o = _plumb(_heads(q), _heads(k), _heads(v))
+                elif self_kw == "transpose_probe":
                     # cost of the kernel-layout round trip alone:
                     # (B,S,H,D) -> (B,H,S,D) -> back, barriers stop fusion
                     qt = jnp.transpose(_heads(q), (0, 2, 1, 3))
@@ -165,6 +216,16 @@ variants = [
     ("self_hp4", {"self_kw": {"heads_per": 4}}),
     ("self_hp2_bq512", {"self_kw": {"heads_per": 2, "block_q": 512}}),
     ("self_hp4_bq256", {"self_kw": {"heads_per": 4, "block_q": 256}}),
+    ("self_plumb", {"self_kw": "plumb_probe"}),
+    ("self_splash", {"self_kw": "splash_probe"}),
+    # round 4: attack the S^2 VPU chain (scale, max, sub, exp, astype)
+    ("self_singleoff", {"self_kw": {"single_block": False}}),
+    ("self_singleon", {"self_kw": {"single_block": True}}),
+    ("self_fold", {"self_kw": {"fold_scale": True}}),
+    ("self_sbf16", {"self_kw": {"score_bf16": True}}),
+    ("self_fold_sbf16", {"self_kw": {"fold_scale": True, "score_bf16": True}}),
+    ("self_fold_sbf16_bq512",
+     {"self_kw": {"fold_scale": True, "score_bf16": True, "block_q": 512}}),
 ]
 if len(sys.argv) > 1:
     variants = [v for v in variants if v[0] in sys.argv[1:]]

@@ -63,28 +63,39 @@ def _flash_kernel(
     fuse_sum: bool = False,
     window: Optional[int] = None,
     band_nb: int = 0,
+    score_bf16: bool = False,
+    single_block: bool = False,
 ):
     ki = pl.program_id(3)  # kv block index; band-relative when window is set
 
-    @pl.when(ki == 0)
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+    if not single_block:
+
+        @pl.when(ki == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0, 0, :, :]  # (Bq, D)
     k = k_ref[0, 0, :, :]  # (Bk, D)
     v = v_ref[0, 0, :, :]
 
-    s = (
-        jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        * scale
-    )  # (Bq, Bk) fp32
+    # the S^2-sized elementwise chain (scale, max, sub, exp, astype) is the
+    # kernel's VPU bottleneck at small head dims (d=72: the MXU matmuls are
+    # tiny relative to the score block).  score_bf16 computes the whole chain
+    # in bf16 — logits carry 8 mantissa bits, same order as the bf16 matmul
+    # noise the model already has; lse/l stay fp32 (l comes from the fp32
+    # AV accumulation, m is re-widened) so the ring merge keeps fp32 quality.
+    score_t = jnp.bfloat16 if score_bf16 else jnp.float32
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,  # Mosaic matmul acc must be 32-bit
+    )  # (Bq, Bk)
+    if scale != 1.0:  # scale == 1.0 when the wrapper folded it into q
+        s = s * scale
+    s = s.astype(score_t)  # one narrowing pass buys bf16 max/sub/exp below
 
     if window is not None:
         qi = pl.program_id(2)
@@ -113,10 +124,45 @@ def _flash_kernel(
         last_block = kv_blocks - 1
 
     d = v.shape[1]
-    m_prev = m_scr[:, :1]  # (Bq, 1)
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    if single_block:
+        # one KV block covers the whole (unwindowed) sequence — e.g. PixArt
+        # S=1024 at block_k=1024: plain softmax with no online-rescale
+        # machinery, no scratch init/read/accumulate passes at all
+        m_new = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m_new)
+        if fuse_sum:
+            ones = jnp.ones((v.shape[0], 8), v.dtype)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype),
+                jnp.concatenate([v, ones], axis=1),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l_new = pv[:, d : d + 1]
+            acc = pv[:, :d]
+        else:
+            l_new = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            acc = jax.lax.dot_general(
+                p.astype(v.dtype),
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        l_safe = jnp.where(l_new == 0.0, 1.0, l_new)
+        o_ref[0, 0, :, :] = (acc / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0, :, :] = jnp.broadcast_to(
+            m_new.astype(jnp.float32) + jnp.log(l_safe), lse_ref.shape[2:]
+        )
+        return
+
+    m_prev = m_scr[:, :1]  # (Bq, 1) fp32
+    m_new = jnp.maximum(
+        m_prev, jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
+    )
     alpha = jnp.exp(m_prev - m_new)
-    if exp_bf16:
+    if score_bf16:
+        p = jnp.exp(s - m_new.astype(jnp.bfloat16))
+    elif exp_bf16:
         # the S^2 exp is the kernel's VPU bottleneck at small head dims;
         # bf16 exp halves it (s - m <= 0 so exp is in [0, 1], bf16 rel err
         # ~0.4% - below the bf16 matmul noise the model already carries)
@@ -268,7 +314,7 @@ def _flash_kernel_heads(
     jax.jit,
     static_argnames=(
         "scale", "block_q", "block_k", "interpret", "exp_bf16", "heads_per",
-        "window", "fuse_sum",
+        "window", "fuse_sum", "fold_scale", "score_bf16", "single_block",
     ),
 )
 def flash_attn_with_lse(
@@ -284,6 +330,9 @@ def flash_attn_with_lse(
     heads_per: int = 1,
     window: Optional[int] = None,
     fuse_sum: Optional[bool] = None,
+    fold_scale: bool = False,
+    score_bf16: bool = False,
+    single_block: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Flash attention.  Same contract as ``attn_with_lse`` (non-causal).
 
@@ -309,6 +358,23 @@ def flash_attn_with_lse(
     stack, B2 S1024): 19.395 -> 18.832 ms/fwd (-2.9%).  l then sums the
     SAME bf16-rounded p the AV matmul consumes — self-consistent
     normalisation, within bf16 noise of the unfused path.
+
+    fold_scale: multiply q by ``scale`` in the wrapper (one S*d pass) instead
+    of scaling the (Sq, Sk) score block in-kernel (an S^2 VPU pass).  One
+    extra bf16 rounding on q; opt-in pending quality checks at each call
+    site.
+
+    score_bf16: compute the whole S^2 elementwise softmax chain (QK^T
+    accumulation target, mask, max, subtract, exp) in bf16 — at small head
+    dims (d=72) the VPU chain, not the MXU, bounds the kernel, and bf16
+    halves every pass.  l and lse stay fp32 (l accumulates in the fp32 AV
+    matmul; m is re-widened), so ring merges keep fp32 quality.  Strictly
+    stronger than exp_bf16 (which only narrows the exp input).
+
+    single_block (auto when one KV block covers the sequence and no window):
+    plain-softmax specialization — drops the scratch init/read/rescale
+    passes of online softmax.  Numerically identical to the general path
+    (m_prev = -inf makes alpha = 0 exactly), hence safe to auto-enable.
 
     block_q=None picks a measured-on-v5e default: kv blocks of 1024 (the
     fp32 score block stays ~1-4 MB in VMEM); block_q 1024 for short
@@ -363,6 +429,9 @@ def flash_attn_with_lse(
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
+    if fold_scale and scale != 1.0:
+        qt = (qt * scale).astype(qt.dtype)
+        scale = 1.0
     if sq_p != sq:
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
     if sk_p != sk:
@@ -370,6 +439,9 @@ def flash_attn_with_lse(
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, sk_p - sk), (0, 0)))
 
     kv_blocks = sk_p // block_k
+    if single_block is None:
+        single_block = True
+    single_block = single_block and kv_blocks == 1 and window is None
 
     use_lens = kv_lens is not None
     if use_lens:
@@ -404,6 +476,7 @@ def flash_attn_with_lse(
             fuse_sum=fuse_sum,
             window=window,
             band_nb=band_nb,
+            score_bf16=score_bf16,
         )
         grid = (b, h, sq_p // block_q, band_nb)
         in_specs = [
@@ -445,6 +518,8 @@ def flash_attn_with_lse(
         return out, lse
 
     hp = heads_per if h % max(heads_per, 1) == 0 else 1
+    if score_bf16:
+        hp = 1  # head-batched kernel keeps the proven fp32-score path
     if hp > 1:
         kernel = functools.partial(
             _flash_kernel_heads,
@@ -482,6 +557,8 @@ def flash_attn_with_lse(
             use_lens=use_lens,
             exp_bf16=exp_bf16,
             fuse_sum=fuse_sum,
+            score_bf16=score_bf16,
+            single_block=single_block,
         )
         grid = (b, h, sq_p // block_q, kv_blocks)
         in_specs = [
