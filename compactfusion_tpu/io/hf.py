@@ -128,6 +128,28 @@ def _embedder(state, prefix, dtype):
     }
 
 
+class _OverlayState:
+    """Read-through view of a state dict with a few overriding entries.
+
+    Converters that re-drive another converter (HunyuanVideo -> FLUX) use
+    this instead of copying the dict so key reads stay visible on the
+    underlying mapping (and nothing is duplicated)."""
+
+    def __init__(self, base, extra):
+        self._base, self._extra = base, extra
+
+    def __getitem__(self, k):
+        if k in self._extra:
+            return self._extra[k]
+        return self._base[k]
+
+    def __contains__(self, k):
+        return k in self._extra or k in self._base
+
+    def get(self, k, default=None):
+        return self[k] if k in self else default
+
+
 # ---------------------------------------------------------------------------
 # T5 encoder (google/t5-v1_1-xxl naming)
 # ---------------------------------------------------------------------------
@@ -345,23 +367,27 @@ def convert_hunyuanvideo(state: Dict[str, np.ndarray], cfg) -> Any:
     linear over the (t, h, w, c) patch vector, and ``context_embedder.*`` is
     the HunyuanVideoTokenRefiner."""
     dt = cfg.dtype
-    # strip the refiner tensors so convert_flux sees a FLUX-shaped dict;
-    # synthesise a placeholder context_embedder it expects, then drop it
-    flux_state = {
-        k: v for k, v in state.items() if not k.startswith("context_embedder")
-    }
-    flux_state["context_embedder.weight"] = np.zeros(
-        (cfg.dim, cfg.text_dim), np.float32
-    )
-    flux_state["context_embedder.bias"] = np.zeros((cfg.dim,), np.float32)
     # x_embedder: Conv3d (O, I, 1, p, p) -> (p*p*I, O) linear
     w = state["x_embedder.proj.weight"]
     o, i_, kt, kh, kw = w.shape
     # conv flatten order is (I, kt, kh, kw); our patch vector is
     # (kt, kh, kw, I) raster — reorder
     wr = np.transpose(w, (0, 2, 3, 4, 1)).reshape(o, kt * kh * kw * i_)
-    flux_state["x_embedder.weight"] = wr
-    flux_state["x_embedder.bias"] = state["x_embedder.proj.bias"]
+    # overlay (NOT a copy): convert_flux reads specific keys only, so a
+    # delegating view keeps reads visible to the caller's state object
+    # (tests/io/test_real_keymaps.py tracks key consumption through it) and
+    # shadows x_embedder + a placeholder context_embedder it expects
+    flux_state = _OverlayState(
+        state,
+        {
+            "context_embedder.weight": np.zeros(
+                (cfg.dim, cfg.text_dim), np.float32
+            ),
+            "context_embedder.bias": np.zeros((cfg.dim,), np.float32),
+            "x_embedder.weight": wr,
+            "x_embedder.bias": state["x_embedder.proj.bias"],
+        },
+    )
     params = convert_flux(flux_state, cfg)
     del params["context_embedder"]
 
@@ -519,8 +545,22 @@ def convert_hunyuandit(state: Dict[str, np.ndarray], cfg) -> Any:
             },
         }
         if with_skip:
-            out["skip_norm"] = _norm(state, f"{p}.skip_norm", dt)
-            out["skip_proj"] = _lin(state, f"{p}.skip_linear", dt)
+            if f"{p}.skip_linear.weight" in state:
+                out["skip_norm"] = _norm(state, f"{p}.skip_norm", dt)
+                out["skip_proj"] = _lin(state, f"{p}.skip_linear", dt)
+            else:
+                # global block depth//2 (up slot 0): the checkpoint has
+                # skip params only for layer > depth//2 — 19 of 40 blocks
+                # (hunyuan_transformer_2d.py:176-196); slot 0's are dead
+                # zeros, masked off in the forward (models/hunyuandit.py
+                # _up_body)
+                d = state[f"{p}.attn1.to_q.weight"].shape[0]
+                out["skip_norm"] = {
+                    "g": jnp.zeros((2 * d,), dt), "b": jnp.zeros((2 * d,), dt)
+                }
+                out["skip_proj"] = {
+                    "w": jnp.zeros((2 * d, d), dt), "b": jnp.zeros((d,), dt)
+                }
         return out
 
     half = cfg.depth // 2
@@ -655,7 +695,7 @@ def convert_cogvideox(state: Dict[str, np.ndarray], cfg) -> Any:
     else:
         patch_embed = _patch_conv_as_linear(state, "patch_embed.proj", dt)
         proj_out = _lin(state, "proj_out", dt)
-    return {
+    out = {
         "patch_embed": patch_embed,
         "text_proj": _lin(state, "patch_embed.text_proj", dt),
         "t_embed": _embedder(state, "time_embedding", dt),
@@ -665,6 +705,10 @@ def convert_cogvideox(state: Dict[str, np.ndarray], cfg) -> Any:
         "norm_out_norm": _norm(state, "norm_out.norm", dt),
         "proj_out": proj_out,
     }
+    if getattr(cfg, "patch_t", 1) > 1:
+        # 1.5: the ofs conditioning branch (constant 2.0 at inference)
+        out["ofs_embed"] = _embedder(state, "ofs_embedding", dt)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -119,6 +119,16 @@ def init_cogvideox(key, cfg: CogVideoXConfig):
         "t_embed": cm.init_timestep_embedder(
             ks[3], d, cfg.time_embed_dim, dtype=dt
         ),
+        **(
+            {
+                # 1.5: ofs branch — Timesteps(512) -> TimestepEmbedding(512)
+                "ofs_embed": cm.init_timestep_embedder(
+                    ks[6], cfg.time_embed_dim, cfg.time_embed_dim, dtype=dt
+                )
+            }
+            if cfg.patch_t > 1
+            else {}
+        ),
         "blocks": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *blocks),
         "norm_final": cm.init_layernorm(d, dtype=dt),
         "norm_out_mod": cm.init_linear(
@@ -175,6 +185,15 @@ def cogvideox_forward(
         vid = vid + pos_embed.astype(cfg.dtype)[None]
     txt = cm.linear(params["text_proj"], txt)
     temb = cm.timestep_embedder(params["t_embed"], t, cfg.dim)
+    if "ofs_embed" in params:
+        # CogVideoX 1.5: the ofs conditioning branch (diffusers
+        # CogVideoXTransformer3DModel ofs_proj/ofs_embedding; the T2V
+        # pipeline feeds the constant 2.0 — pipeline_cogvideox.py ofs_emb
+        # fill_value) adds a second timestep-style embedding to temb
+        ofs = jnp.full(t.shape, 2.0, jnp.float32)
+        temb = temb + cm.timestep_embedder(
+            params["ofs_embed"], ofs, cfg.time_embed_dim
+        )
 
     def _mod6(p, temb):
         out = cm.linear(p, cm.silu(temb))

@@ -250,11 +250,11 @@ def unpatchify(x: jax.Array, patch: int, hp: int, wp: int, channels: int) -> jax
 # ---------------------------------------------------------------------------
 
 
-def init_ffn(key, dim: int, hidden: int, dtype=jnp.bfloat16):
+def init_ffn(key, dim: int, hidden: int, bias: bool = True, dtype=jnp.bfloat16):
     k1, k2 = jax.random.split(key)
     return {
-        "fc1": init_linear(k1, dim, hidden, dtype=dtype),
-        "fc2": init_linear(k2, hidden, dim, dtype=dtype),
+        "fc1": init_linear(k1, dim, hidden, bias=bias, dtype=dtype),
+        "fc2": init_linear(k2, hidden, dim, bias=bias, dtype=dtype),
     }
 
 

@@ -273,17 +273,33 @@ def _down_body(temb, text, cfg, rope, attn, kv_lens, tp_axis):
 
 
 def _up_body(temb, text, cfg, rope, attn, kv_lens, tp_axis):
-    """Scan body over up blocks consuming skips (see :func:`_down_body`)."""
+    """Scan body over up blocks consuming skips (see :func:`_down_body`).
+
+    xs carries a per-slot ``use_skip`` flag: the checkpoint has skip
+    channels only for blocks ``layer > depth // 2`` — 19 of 40, NOT a
+    symmetric half (diffusers HunyuanDiT2DModel; the reference's copy pops
+    at ``hunyuan_transformer_2d.py:179`` and pushes at ``:195``).  Up slot 0
+    (global block depth/2) is therefore a plain block whose skip params are
+    dead zeros, and the LAST down block's activation is never consumed."""
     body = _block_factory(temb, text, cfg, rope, attn, kv_lens, tp_axis)
 
     def up(carry, xs):
-        p, state, skip = xs
+        p, state, skip, use_skip = xs
         cat = jnp.concatenate([carry, skip], axis=-1)
-        x = cm.linear(p["skip_proj"], cm.layernorm(p["skip_norm"], cat))
+        mixed = cm.linear(p["skip_proj"], cm.layernorm(p["skip_norm"], cat))
+        x = jnp.where(use_skip, mixed, carry)
         x, state = body(p, x, state)
         return x, state
 
     return up
+
+
+def up_skip_mask(n_local: int, offset=0) -> jnp.ndarray:
+    """(n_local,) bool: which up slots consume a skip (global slot > 0).
+
+    ``offset`` is the global up-slot index of local slot 0 (stage offset
+    under PP sharding; may be a traced scalar)."""
+    return (offset + jnp.arange(n_local)) > 0
 
 
 def hunyuandit_down_scan(
@@ -298,12 +314,17 @@ def hunyuandit_down_scan(
 
 def hunyuandit_up_scan(
     blocks, x, skips, temb, text, cfg, *, rope, attn=SingleDeviceAttn(),
-    attn_state=(), kv_lens=None, tp_axis=None,
+    attn_state=(), kv_lens=None, tp_axis=None, skip_mask=None,
 ):
     """Scan the (stacked) up blocks consuming skips (already in consumption
-    order): -> (x, new_state)."""
+    order): -> (x, new_state).  ``skip_mask`` defaults to the single-stage
+    mask (slot 0 = the skip-less global block depth/2)."""
     up = _up_body(temb, text, cfg, rope, attn, kv_lens, tp_axis)
-    x, new_state = jax.lax.scan(up, x, (blocks, attn_state, skips))
+    if skip_mask is None:
+        skip_mask = up_skip_mask(
+            jax.tree_util.tree_leaves(blocks)[0].shape[0]
+        )
+    x, new_state = jax.lax.scan(up, x, (blocks, attn_state, skips, skip_mask))
     return x, new_state
 
 
@@ -386,11 +407,16 @@ def hunyuandit_forward(
         skips_mirror = jnp.flip(
             jax.lax.ppermute(my_skips, AXIS_PP, mirror), axis=0
         )
+        # stage s holds up slots [s*l_loc, (s+1)*l_loc) (layer-axis sharding
+        # like down_blocks), so the skip-less global up slot 0 sits on
+        # stage 0's chunk
+        stage = jax.lax.axis_index(AXIS_PP)
+        up_mask = up_skip_mask(l_loc, offset=stage * l_loc)
 
         def up_stage(h, st):
             attn_st, skips = st
             h2, new_attn = jax.lax.scan(
-                up, h, (params["up_blocks"], attn_st, skips)
+                up, h, (params["up_blocks"], attn_st, skips, up_mask)
             )
             return h2, (new_attn, skips)
 
@@ -432,7 +458,8 @@ def hunyuandit_forward(
             x, st = jax.lax.scan(
                 make_up(seg_a), x,
                 (seg_blocks, seg_st,
-                 jax.lax.slice_in_dim(skips_rev, l0, l0 + n_l)),
+                 jax.lax.slice_in_dim(skips_rev, l0, l0 + n_l),
+                 up_skip_mask(n_l, offset=l0)),
             )
             states.append(st)
             l0 += n_l
@@ -445,9 +472,14 @@ def hunyuandit_forward(
             down, x, (params["down_blocks"], attn_state_down)
         )
         # mirror order: up block k consumes the skip of down block (half-1-k)
+        # (slot 0's "skip" — the LAST down block's activation — is masked
+        # off: the real model never consumes it, see _up_body)
         skips_rev = jnp.flip(skips, axis=0)
+        half_up = jax.tree_util.tree_leaves(params["up_blocks"])[0].shape[0]
         x, state_up = jax.lax.scan(
-            up, x, (params["up_blocks"], attn_state_up, skips_rev)
+            up, x,
+            (params["up_blocks"], attn_state_up, skips_rev,
+             up_skip_mask(half_up)),
         )
 
     return hunyuandit_head(params, x, temb, cfg), state_down, state_up

@@ -33,7 +33,12 @@ from compactfusion_tpu.ops.attention import sdpa
 @dataclasses.dataclass(frozen=True)
 class LatteConfig:
     dim: int = 1152
-    num_pairs: int = 14  # spatial+temporal block pairs (depth 28)
+    #: spatial+temporal block pairs.  Latte-1 (diffusers num_layers=28)
+    #: ships 28 spatial AND 28 temporal blocks, interleaved pairwise in the
+    #: forward — so num_pairs == diffusers num_layers (28), NOT half of it
+    #: (verified against the official checkpoint key inventory,
+    #: tests/io/test_real_keymaps.py).
+    num_pairs: int = 28
     heads: int = 16
     patch: int = 2
     in_channels: int = 4

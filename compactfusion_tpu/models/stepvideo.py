@@ -129,7 +129,9 @@ def _init_block(key, cfg: StepVideoConfig):
         "cross_k_norm": cm.init_rmsnorm(hd, dt),
         "cross_out": _init_headout(ks[4], cfg),
         "norm2": cm.init_layernorm(d, dtype=dt),
-        "ffn": cm.init_ffn(ks[5], d, cfg.ffn_mult * d, dtype=dt),
+        # FeedForward(bias=False) — the checkpoint ships no FFN biases
+        # (reference blocks.py:162-178 via ff_bias=False)
+        "ffn": cm.init_ffn(ks[5], d, cfg.ffn_mult * d, bias=False, dtype=dt),
     }
 
 
@@ -160,9 +162,10 @@ def stepvideo_param_specs(cfg: StepVideoConfig) -> Any:
     emb = {"fc1": lin, "fc2": lin}
     qkv = {"w": P(None, None, None, AXIS_TP, None), "b": P(None, None, AXIS_TP, None)}
     headout = {"w": P(None, AXIS_TP, None, None), "b": P()}
+    # bias-free FFN (the checkpoint ships no FFN biases, ff_bias=False)
     ffn = {
-        "fc1": {"w": P(None, None, AXIS_TP), "b": P(None, AXIS_TP)},
-        "fc2": {"w": P(None, AXIS_TP, None), "b": P()},
+        "fc1": {"w": P(None, None, AXIS_TP)},
+        "fc2": {"w": P(None, AXIS_TP, None)},
     }
     return {
         "patch_embed": lin,
@@ -244,9 +247,10 @@ def stepvideo_forward(
                 table[:, i][:, None] for i in range(6)
             ]
 
-            # reference block (blocks.py:253-290): affine norm1, modulate,
+            # reference block (blocks.py:253-290): affine norm1 (eps 1e-5,
+            # the nn.LayerNorm default the vendored block keeps), modulate,
             # RoPE'd qk-normed self attention, gated residual
-            xn = cm.layernorm(p["norm1"], x) * (1 + sc_a) + sh_a
+            xn = cm.layernorm(p["norm1"], x, eps=1e-5) * (1 + sc_a) + sh_a
             q, k, v = _qkv_proj(p["qkv"], xn)
             q = cm.rmsnorm(p["q_norm"], q)
             k = cm.rmsnorm(p["k_norm"], k)
@@ -263,7 +267,7 @@ def stepvideo_forward(
             o = sdpa(q, kt, vt)
             x = x + _head_out(p["cross_out"], o, tp_axis)
 
-            xn = cm.layernorm(p["norm2"], x) * (1 + sc_m) + sh_m
+            xn = cm.layernorm(p["norm2"], x, eps=1e-5) * (1 + sc_m) + sh_m
             x = x + g_m * cm.ffn(p["ffn"], xn, tp_axis=tp_axis)
             return x, state
 

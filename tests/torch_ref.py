@@ -144,19 +144,19 @@ class PatchEmbed(nn.Module):
 class FeedForward(nn.Module):
     """diffusers FeedForward(activation_fn='gelu-approximate')."""
 
-    def __init__(self, dim: int, mult: int = 4):
+    def __init__(self, dim: int, mult: int = 4, bias: bool = True):
         super().__init__()
 
         class GELUProj(nn.Module):
             def __init__(self):
                 super().__init__()
-                self.proj = nn.Linear(dim, mult * dim)
+                self.proj = nn.Linear(dim, mult * dim, bias=bias)
 
             def forward(self, x):
                 return F.gelu(self.proj(x), approximate="tanh")
 
         self.net = nn.ModuleList(
-            [GELUProj(), nn.Identity(), nn.Linear(mult * dim, dim)]
+            [GELUProj(), nn.Identity(), nn.Linear(mult * dim, dim, bias=bias)]
         )
 
     def forward(self, x):
@@ -1090,10 +1090,13 @@ class HunyuanDiTRef(nn.Module):
         self.text_embedding_padding = nn.Parameter(
             torch.randn(text_len + text_len_t5, text_dim) * 0.02
         )
+        # skip channels only for layer > depth//2 — 19 of 40, not a
+        # symmetric half (diffusers HunyuanDiT2DModel; the reference's copy
+        # pops at hunyuan_transformer_2d.py:179, pushes at :195)
         half = depth // 2
         self.blocks = nn.ModuleList(
             [
-                _HunyuanBlock(dim, heads, text_dim, ffn_hidden, i >= half)
+                _HunyuanBlock(dim, heads, text_dim, ffn_hidden, i > half)
                 for i in range(depth)
             ]
         )
@@ -1114,11 +1117,10 @@ class HunyuanDiTRef(nn.Module):
         half = len(self.blocks) // 2
         skips = []
         for i, blk in enumerate(self.blocks):
-            if i < half:
-                x = blk(x, text, temb, rope)
+            skip = skips.pop() if i > half else None
+            x = blk(x, text, temb, rope, skip=skip)
+            if i < half - 1:
                 skips.append(x)
-            else:
-                x = blk(x, text, temb, rope, skip=skips[len(self.blocks) - 1 - i])
         x = self.norm_out(x, temb)
         return self.proj_out(x)
 
@@ -1261,8 +1263,23 @@ class CogVideoXRef(nn.Module):
                 shift, scale = self.linear(F.silu(temb)).chunk(2, dim=1)
                 return self.norm(x) * (1 + scale[:, None]) + shift[:, None]
 
+        class OfsEmb(nn.Module):
+            # CogVideoX 1.5 ofs branch: Timesteps(time_embed_dim) ->
+            # TimestepEmbedding(time_embed_dim, time_embed_dim); the T2V
+            # pipeline feeds the constant 2.0
+            def __init__(self):
+                super().__init__()
+                self.linear_1 = nn.Linear(time_embed_dim, time_embed_dim)
+                self.linear_2 = nn.Linear(time_embed_dim, time_embed_dim)
+
+            def forward(self, ofs):
+                e = timesteps_proj(ofs, time_embed_dim)
+                return self.linear_2(F.silu(self.linear_1(e)))
+
         self.patch_embed = PatchEmbedCog()
         self.time_embedding = TimeEmb()
+        if patch_t > 1:
+            self.ofs_embedding = OfsEmb()
         self.transformer_blocks = nn.ModuleList(
             [_CogBlock(time_embed_dim, dim, heads) for _ in range(depth)]
         )
@@ -1275,6 +1292,9 @@ class CogVideoXRef(nn.Module):
     def forward(self, video_tokens, text, t, vid_ids):
         vid, txt = self.patch_embed(video_tokens, text)
         temb = self.time_embedding(t)
+        if hasattr(self, "ofs_embedding"):
+            ofs = torch.full_like(t, 2.0)
+            temb = temb + self.ofs_embedding(ofs)
         rope = flux_rope(vid_ids, self.axes_dim)
         for blk in self.transformer_blocks:
             vid, txt = blk(vid, txt, temb, rope)
@@ -1453,11 +1473,13 @@ class StepVideoBlockRef(nn.Module):
                 ).transpose(1, 2).reshape(b, sq, d)
                 return s.wo(o)
 
-        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        # eps 1e-5 (the vendored block keeps nn.LayerNorm's default,
+        # blocks.py:242-246) and bias-free FFN (ff_bias=False)
+        self.norm1 = nn.LayerNorm(dim, eps=1e-5)
         self.attn1 = SelfAttn()
-        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-5)
         self.attn2 = CrossAttn()
-        self.ff = FeedForward(dim)
+        self.ff = FeedForward(dim, bias=False)
         self.scale_shift_table = nn.Parameter(torch.randn(6, dim) / dim**0.5)
 
     def forward(self, q, kv, timestep, mesh):
