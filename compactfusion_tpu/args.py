@@ -77,7 +77,10 @@ class xFuserArgs:
     ray_world_size: int = 1
     dit_parallel_size: int = 0
     use_onediff: bool = False
+    #: reference flag name; v5e has no fp8, so BOTH flags mean int8 weight
+    #: quantization of the T5 encoder here (text_encoders.quantize_t5_int8)
     use_fp8_t5_encoder: bool = False
+    use_int8_t5_encoder: bool = False
     enable_model_cpu_offload: bool = False
     enable_sequential_cpu_offload: bool = False
     # parallel
@@ -141,6 +144,7 @@ class xFuserArgs:
             "use_ray",
             "use_onediff",
             "use_fp8_t5_encoder",
+            "use_int8_t5_encoder",
             "enable_model_cpu_offload",
             "enable_sequential_cpu_offload",
         ):
@@ -267,6 +271,7 @@ class xFuserArgs:
                 use_fast_attn=self.use_fast_attn,
                 enable_tiling=self.enable_tiling,
                 enable_slicing=self.enable_slicing,
+                quantize_t5=self.use_fp8_t5_encoder or self.use_int8_t5_encoder,
             ),
             parallel_config=parallel,
             fast_attn_config=FastAttnConfig(

@@ -82,6 +82,58 @@ def init_t5(key, cfg: T5Config):
     }
 
 
+def quantize_t5_int8(params):
+    """Per-output-channel symmetric int8 weight quantization of every T5
+    linear (and per-row for the embedding table).
+
+    The reference gates ``--use_fp8_t5_encoder`` on an optimum-quanto CUDA
+    capability probe (``xfuser/envs.py:52-120``, ``config/args.py``); v5e
+    has no fp8, so the TPU-honest equivalent is int8: T5-XXL drops from
+    ~9.1 GB bf16 to ~4.6 GB — over a quarter of a 16 GB chip back — and
+    ``t5_encode`` dequantizes one layer at a time inside its scan, so peak
+    HBM is int8-model + one bf16 block.  Compute stays bf16 on the MXU.
+    """
+
+    def quant(w):
+        w32 = jnp.asarray(w, jnp.float32)
+        # reduce over the INPUT axis (second-to-last) so the scale is
+        # per-output-channel for both unstacked (in, out) and layer-stacked
+        # (L, in, out) matrices
+        scale = jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 127.0
+        scale = jnp.where(scale == 0.0, 1.0, scale)
+        q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+        return {"w_q": q, "scale": scale}
+
+    def walk(p):
+        if isinstance(p, dict):
+            if "w" in p and getattr(p["w"], "ndim", 0) >= 2:
+                out = quant(p["w"])
+                if "b" in p:
+                    out["b"] = p["b"]
+                return out
+            return {k: walk(v) for k, v in p.items()}
+        return p
+
+    out = {k: walk(v) for k, v in params.items() if k != "embed"}
+    emb32 = jnp.asarray(params["embed"], jnp.float32)
+    esc = jnp.max(jnp.abs(emb32), axis=1, keepdims=True) / 127.0
+    esc = jnp.where(esc == 0.0, 1.0, esc)
+    out["embed_q"] = jnp.clip(jnp.round(emb32 / esc), -127, 127).astype(jnp.int8)
+    out["embed_scale"] = esc
+    return out
+
+
+def _lin_mq(p, x):
+    """``cm.linear`` that transparently dequantizes ``quantize_t5_int8``
+    weights (int8 * f32 channel scale -> bf16, fused by XLA into the matmul
+    operand read)."""
+    if "w_q" in p:
+        w = (p["w_q"].astype(jnp.float32) * p["scale"]).astype(x.dtype)
+        y = x @ w
+        return y + p["b"].astype(y.dtype) if "b" in p else y
+    return cm.linear(p, x)
+
+
 def _t5_rel_buckets(rel_pos, num_buckets, max_distance):
     """Bidirectional relative position bucketing (HF T5 semantics)."""
     num_buckets //= 2
@@ -101,10 +153,19 @@ def _t5_rel_buckets(rel_pos, num_buckets, max_distance):
 def t5_encode(
     params, token_ids: jax.Array, cfg: T5Config, mask: Optional[jax.Array] = None
 ) -> jax.Array:
-    """(B, S) int32 -> (B, S, d_model) encoder states."""
+    """(B, S) int32 -> (B, S, d_model) encoder states.
+
+    Works on both plain and :func:`quantize_t5_int8` parameter trees (the
+    latter dequantizes one layer at a time inside the scan)."""
     b, s = token_ids.shape
     h = cfg.num_heads
-    x = params["embed"][token_ids]
+    if "embed_q" in params:
+        x = (
+            params["embed_q"][token_ids].astype(jnp.float32)
+            * params["embed_scale"][token_ids]
+        ).astype(cfg.dtype)
+    else:
+        x = params["embed"][token_ids]
 
     pos = jnp.arange(s)
     rel = pos[None, :] - pos[:, None]  # (S, S) key - query
@@ -116,20 +177,20 @@ def t5_encode(
 
     def block(x, p):
         xn = cm.rmsnorm(p["ln1"], x)
-        q = cm.linear(p["q"], xn).reshape(b, s, h, cfg.d_kv)
-        k = cm.linear(p["k"], xn).reshape(b, s, h, cfg.d_kv)
-        v = cm.linear(p["v"], xn).reshape(b, s, h, cfg.d_kv)
+        q = _lin_mq(p["q"], xn).reshape(b, s, h, cfg.d_kv)
+        k = _lin_mq(p["k"], xn).reshape(b, s, h, cfg.d_kv)
+        v = _lin_mq(p["v"], xn).reshape(b, s, h, cfg.d_kv)
         # T5 uses unscaled dot product (scale folded into init)
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
         ) + bias
         probs = jax.nn.softmax(scores, axis=-1)
         o = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
-        x = x + cm.linear(p["o"], o.reshape(b, s, h * cfg.d_kv).astype(x.dtype))
+        x = x + _lin_mq(p["o"], o.reshape(b, s, h * cfg.d_kv).astype(x.dtype))
 
         xn = cm.rmsnorm(p["ln2"], x)
-        ff = cm.gelu(cm.linear(p["wi_0"], xn)) * cm.linear(p["wi_1"], xn)
-        x = x + cm.linear(p["wo"], ff)
+        ff = cm.gelu(_lin_mq(p["wi_0"], xn)) * _lin_mq(p["wi_1"], xn)
+        x = x + _lin_mq(p["wo"], ff)
         return x, None
 
     x, _ = jax.lax.scan(block, x, params["blocks"])

@@ -782,6 +782,19 @@ class xDiTParallel:
     def _build_prompt_encoder(self, checkpoint: Optional[str]):
         from compactfusion_tpu.models.prompt import PromptEncoder
 
+        enc = self._make_prompt_encoder(checkpoint)
+        if self.engine_config.runtime_config.quantize_t5 and enc.t5 is not None:
+            # --use_fp8_t5_encoder / --use_int8_t5_encoder: int8 weight
+            # quantization (v5e has no fp8) — T5-XXL ~9.1 -> ~4.6 GB HBM
+            from compactfusion_tpu.models.text_encoders import quantize_t5_int8
+
+            enc.t5.params = quantize_t5_int8(enc.t5.params)
+            logger.info("T5 encoder weights quantized to int8")
+        return enc
+
+    def _make_prompt_encoder(self, checkpoint: Optional[str]):
+        from compactfusion_tpu.models.prompt import PromptEncoder
+
         mcfg = self.pipeline_config.model
         if checkpoint and any(
             os.path.isdir(os.path.join(checkpoint, d))
