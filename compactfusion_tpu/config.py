@@ -207,6 +207,11 @@ class RuntimeConfig:
     #: VAE decode memory knobs (reference --enable_tiling/--enable_slicing)
     enable_tiling: bool = False
     enable_slicing: bool = False
+    #: int8 weight-quantize the T5 text encoder (the reference's
+    #: ``--use_fp8_t5_encoder`` via optimum-quanto, args.py + envs.py:52-120;
+    #: v5e has no fp8, so the TPU-honest equivalent is int8 — T5-XXL drops
+    #: ~9.1 -> ~4.6 GB of HBM; see models/text_encoders.quantize_t5_int8)
+    quantize_t5: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -275,6 +280,79 @@ def resolve_compress_schedule(
     if compress_func is None:
         return tuple(cfg.type_at(0, s) for s in range(num_steps))
     return tuple(compress_func(0, s) for s in range(num_steps))
+
+
+def validate_parallel_geometry(
+    parallel: ParallelConfig,
+    *,
+    heads: int,
+    tokens: int,
+    depth: Optional[int] = None,
+    num_pipeline_patch: int = 1,
+    patch_pp_min_factor: int = 1,
+    tp_shards_heads: bool = False,
+    family: str = "model",
+) -> None:
+    """Reject degree/geometry factorizations up front with readable errors.
+
+    The reference validates these at config time
+    (``xfuser/config/config.py:187-234``); without this the first symptom is
+    a raw XLA error deep inside jit (e.g. ``all_to_all split_axis ... not
+    divisible``).  Called by every pipeline config's ``__post_init__``.
+
+    heads: attention heads; the Ulysses all-to-all scatters this axis (and
+    Step-Video TP additionally shards it column-wise: tp_shards_heads).
+    tokens: image/video latent tokens; sharded over ring x ulysses, and over
+    num_pipeline_patch first when patch-PP is on.
+    depth: transformer blocks per PP-splittable stack (HunyuanDiT passes its
+    depth/2 halves); must split evenly across pp stages.
+    patch_pp_min_factor: families whose async patch-PP needs a deeper
+    virtual pipeline pass 2 (FLUX/HunyuanDiT: M >= 2*pp).
+    """
+    u, r, pp = parallel.ulysses_degree, parallel.ring_degree, parallel.pp_degree
+    head_shards = u * (parallel.tp_degree if tp_shards_heads else 1)
+    if heads % head_shards != 0:
+        detail = (
+            f"ulysses_degree ({u}) * tp_degree ({parallel.tp_degree})"
+            if tp_shards_heads
+            else f"ulysses_degree ({u})"
+        )
+        raise ValueError(
+            f"{family}: attention heads ({heads}) must be divisible by "
+            f"{detail} — the Ulysses all-to-all scatters whole heads"
+        )
+    sp = u * r
+    m = max(num_pipeline_patch, 1)
+    if pp > 1 and m > 1:
+        if tokens % m != 0:
+            raise ValueError(
+                f"{family}: latent tokens ({tokens}) must be divisible by "
+                f"num_pipeline_patch ({m})"
+            )
+        if (tokens // m) % sp != 0:
+            raise ValueError(
+                f"{family}: tokens per pipeline patch ({tokens}//{m} = "
+                f"{tokens // m}) must be divisible by sp_degree "
+                f"(ring {r} x ulysses {u} = {sp})"
+            )
+        if m < patch_pp_min_factor * pp:
+            raise ValueError(
+                f"{family}: async patch-PP needs num_pipeline_patch >= "
+                f"{patch_pp_min_factor}*pp_degree "
+                f"({patch_pp_min_factor}*{pp} = {patch_pp_min_factor * pp}, "
+                f"got {m}) to keep the virtual pipeline full"
+            )
+    elif tokens % sp != 0:
+        raise ValueError(
+            f"{family}: latent tokens ({tokens}) must be divisible by "
+            f"sp_degree (ring {r} x ulysses {u} = {sp}) — pick an image/"
+            f"video size whose token count splits evenly"
+        )
+    if depth is not None and depth % pp != 0:
+        raise ValueError(
+            f"{family}: transformer depth ({depth}) must split evenly over "
+            f"pp_degree ({pp})"
+        )
 
 
 def validate_against_device_count(parallel: ParallelConfig, n_devices: int) -> None:

@@ -23,6 +23,7 @@ from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
     ParallelConfig,
+    validate_parallel_geometry,
 )
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -82,6 +83,13 @@ class CogVideoXPipelineConfig:
     @property
     def do_cfg(self) -> bool:
         return self.guidance_scale > 1.0
+
+    def __post_init__(self):
+        validate_parallel_geometry(
+            self.parallel, heads=self.model.heads, tokens=self.tokens,
+            depth=self.model.depth,
+            family=type(self).__name__.removesuffix("PipelineConfig").lower(),
+        )
 
 
 def _attn_impl(cfg: CogVideoXPipelineConfig, method: Optional[CompressType]):

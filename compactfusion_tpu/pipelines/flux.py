@@ -26,6 +26,7 @@ from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
     ParallelConfig,
+    validate_parallel_geometry,
 )
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -75,6 +76,16 @@ class FluxPipelineConfig:
     def tokens(self) -> int:
         hp, wp = self.grid
         return hp * wp
+
+    def __post_init__(self):
+        # depth=None: FLUX pads both block families to divide pp stages
+        # (pad_flux_for_pp); M >= 2*pp keeps the 2*PS-deep virtual pipeline
+        # of the patch-PP sampler full
+        validate_parallel_geometry(
+            self.parallel, heads=self.model.heads, tokens=self.tokens,
+            num_pipeline_patch=self.num_pipeline_patch,
+            patch_pp_min_factor=2, family="flux",
+        )
 
 
 def _attn_impl(cfg: FluxPipelineConfig, method: Optional[CompressType]):

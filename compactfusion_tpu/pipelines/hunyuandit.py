@@ -21,6 +21,7 @@ from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
     ParallelConfig,
+    validate_parallel_geometry,
 )
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -74,6 +75,21 @@ class HunyuanDiTPipelineConfig:
     @property
     def do_cfg(self) -> bool:
         return self.guidance_scale > 1.0
+
+    def __post_init__(self):
+        if self.model.depth % 2 != 0:
+            raise ValueError(
+                "hunyuandit: depth must be even (depth/2 down + depth/2 up "
+                "mirror halves with long skips)"
+            )
+        # each mirror half splits over pp independently (the skip channel
+        # pairs stage i with stage pp-1-i)
+        validate_parallel_geometry(
+            self.parallel, heads=self.model.heads, tokens=self.tokens,
+            depth=self.model.depth // 2,
+            num_pipeline_patch=self.num_pipeline_patch,
+            patch_pp_min_factor=2, family="hunyuandit",
+        )
 
 
 def _attn_impl(cfg, method):

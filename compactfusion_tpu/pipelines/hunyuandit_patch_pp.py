@@ -33,6 +33,7 @@ from compactfusion_tpu.models.hunyuandit import (
     hunyuandit_forward,
     hunyuandit_head,
     hunyuandit_up_scan,
+    up_skip_mask,
 )
 from compactfusion_tpu.parallel.mesh import AXIS_PP, AXIS_TP
 from compactfusion_tpu.parallel.tp import model_param_specs
@@ -212,6 +213,9 @@ def build_hunyuandit_patch_pp_sample_fn(cfg, mesh: Mesh, params_tree):
                 params["up_blocks"], uh_in, skips_me, tembB, text, mcfg,
                 rope=ropeB, attn=attn, attn_state=kv_uB, kv_lens=kv_lens,
                 tp_axis=tp,
+                # up chunk `my` holds global up slots [my*L_loc, ...); slot
+                # 0 (on stage 0) is the skip-less global block depth/2
+                skip_mask=up_skip_mask(L_loc, offset=my * L_loc),
             )
             kv_u = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(validB, new, old), kv_u_new, kv_u

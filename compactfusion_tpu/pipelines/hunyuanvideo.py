@@ -22,6 +22,7 @@ from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
     ParallelConfig,
+    validate_parallel_geometry,
 )
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -66,6 +67,14 @@ class HunyuanVideoPipelineConfig:
     def tokens(self) -> int:
         f, hp, wp = self.grid
         return f * hp * wp
+
+    def __post_init__(self):
+        # depth=None: the FLUX-shaped double/single block families are
+        # padded to divide pp stages like flux.py does
+        validate_parallel_geometry(
+            self.parallel, heads=self.model.heads, tokens=self.tokens,
+            family="hunyuanvideo",
+        )
 
 
 def _attn_impl(cfg, method):

@@ -17,7 +17,11 @@ from jax import lax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
-from compactfusion_tpu.config import CompactConfig, ParallelConfig
+from compactfusion_tpu.config import (
+    CompactConfig,
+    ParallelConfig,
+    validate_parallel_geometry,
+)
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.latte import LatteConfig, latte_forward
 from compactfusion_tpu.parallel.mesh import AXIS_RING, AXIS_TP, AXIS_ULYSSES
@@ -56,6 +60,16 @@ class LattePipelineConfig:
     @property
     def do_cfg(self) -> bool:
         return self.guidance_scale > 1.0
+
+    def __post_init__(self):
+        sp = self.parallel.sp_degree
+        if self.num_frames % sp != 0:
+            raise ValueError(
+                f"latte: num_frames ({self.num_frames}) must be divisible "
+                f"by sp_degree (ring {self.parallel.ring_degree} x ulysses "
+                f"{self.parallel.ulysses_degree} = {sp}) — Latte shards "
+                f"frames, not flat tokens, so spatial attention stays local"
+            )
 
 
 def build_sample_fn(cfg: LattePipelineConfig, mesh: Mesh):

@@ -20,7 +20,12 @@ from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from compactfusion_tpu.cache.accel import CacheAccelConfig, init_cache_state
-from compactfusion_tpu.config import CompactConfig, CompressType, ParallelConfig
+from compactfusion_tpu.config import (
+    CompactConfig,
+    CompressType,
+    ParallelConfig,
+    validate_parallel_geometry,
+)
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
     CompactUSPAttn,
@@ -83,6 +88,13 @@ class PixArtPipelineConfig:
     @property
     def do_cfg(self) -> bool:
         return self.guidance_scale > 1.0
+
+    def __post_init__(self):
+        validate_parallel_geometry(
+            self.parallel, heads=self.model.heads, tokens=self.tokens,
+            depth=self.model.depth,
+            num_pipeline_patch=self.num_pipeline_patch, family="pixart",
+        )
 
 
 def _attn_impl(cfg: PixArtPipelineConfig, method: Optional[CompressType]):

@@ -22,6 +22,7 @@ from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
     ParallelConfig,
+    validate_parallel_geometry,
 )
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -69,6 +70,13 @@ class SD3PipelineConfig:
     @property
     def do_cfg(self) -> bool:
         return self.guidance_scale > 1.0
+
+    def __post_init__(self):
+        validate_parallel_geometry(
+            self.parallel, heads=self.model.heads, tokens=self.tokens,
+            depth=self.model.depth,
+            num_pipeline_patch=self.num_pipeline_patch, family="sd3",
+        )
 
 
 def _attn_impl(cfg: SD3PipelineConfig, method: Optional[CompressType]):

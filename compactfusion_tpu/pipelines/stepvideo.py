@@ -25,6 +25,7 @@ from compactfusion_tpu.config import (
     CompactConfig,
     CompressType,
     ParallelConfig,
+    validate_parallel_geometry,
 )
 from compactfusion_tpu.models import common as cm
 from compactfusion_tpu.models.attn_impl import (
@@ -77,6 +78,14 @@ class StepVideoPipelineConfig:
     @property
     def do_cfg(self) -> bool:
         return self.guidance_scale > 1.0
+
+    def __post_init__(self):
+        # Step-Video TP shards attention heads column-wise on top of the
+        # Ulysses scatter (stepvideo_param_specs)
+        validate_parallel_geometry(
+            self.parallel, heads=self.model.heads, tokens=self.tokens,
+            depth=self.model.depth, tp_shards_heads=True, family="stepvideo",
+        )
 
 
 def _attn_impl(cfg: StepVideoPipelineConfig, method: Optional[CompressType]):
