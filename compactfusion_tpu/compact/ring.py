@@ -123,7 +123,7 @@ def _fused_compact_ring(
         codec=codec,
         awl_k=awl_k,
         interpret=(
-            pltpu.InterpretParams(dma_execution_mode="eager")
+            pltpu.InterpretParams(dma_execution_mode=interpret)
             if interpret
             else False
         ),
@@ -198,7 +198,14 @@ def compact_ring_attention(
         and d % 8 == 0
         and state.k.delta_base is None
     ):
-        interp = fused == "interpret"
+        # "interpret" -> eager-DMA emulation; "interpret:on_wait" -> the
+        # ordering-hostile schedule (every DMA deferred to its wait point) —
+        # the only available stress for the RDMA/barrier logic without
+        # multi-chip hardware
+        interp = (
+            fused.split(":", 1)[1] if isinstance(fused, str) and ":" in fused
+            else ("eager" if fused == "interpret" else None)
+        )
         if interp or jax.default_backend() == "tpu":
             out, state = _fused_compact_ring(
                 q, k, v, state, cfg, axis_name, ring_size, scale,

@@ -83,7 +83,12 @@ def ring_attention(
         return out
 
     if fused and not causal:
-        interp = fused == "interpret"
+        # "interpret" -> eager-DMA emulation; "interpret:on_wait" -> the
+        # ordering-hostile deferred-DMA schedule (see compact/ring.py)
+        interp = (
+            fused.split(":", 1)[1] if isinstance(fused, str) and ":" in fused
+            else ("eager" if fused == "interpret" else None)
+        )
         if interp or jax.default_backend() == "tpu":
             return _fused_ring(
                 q, k, v, axis_name, ring_size, scale,
@@ -129,7 +134,7 @@ def _fused_ring(
         mesh_axes=ambient_mesh_axes(axis_name, ring_size),
         scale=scale,
         interpret=(
-            pltpu.InterpretParams(dma_execution_mode="eager")
+            pltpu.InterpretParams(dma_execution_mode=interpret)
             if interpret
             else False
         ),

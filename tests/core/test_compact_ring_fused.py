@@ -197,6 +197,133 @@ def test_fused_flag_through_compact_usp_with_joint(method):
     assert rel_err(st_fused.k.base, st_ref.k.base) < 1e-6
 
 
+@pytest.mark.parametrize(
+    "ring,h,steps",
+    [(4, 2, 3), (8, 1, 2)],  # interpret cost ~ ring^2 * h * steps
+)
+@pytest.mark.parametrize("codec,comp_rank", [("binary", -1), ("lowrank", 2)])
+def test_fused_compact_ring_hostile_dma(ring, h, steps, codec, comp_rank):
+    """RDMA/barrier hardening (VERDICT r3 #4): ``on_wait`` interpret mode
+    defers every DMA to its wait point — the most ordering-hostile schedule
+    the emulator offers — with larger rings, multi-step EF, and an
+    off-default geometry (s_local=48, one 48-row block per shard, d=24:
+    grid edges that differ from every other test).  The fused kernel must
+    still track the ppermute compact ring step for step.
+
+    Real multi-chip hardware is unavailable (single-chip tunnel), so hostile
+    interpret scheduling is the only available stress for the double-buffer
+    and barrier logic in ``ops/ring_flash_pallas.py``.  Shapes are kept
+    lean: the interpreter executes every grid cell in Python, so cost
+    scales with ring^2 * heads * steps * (s_local/block)^2."""
+    b, d = 1, 24
+    s_local = 48
+    s = s_local * ring
+    n, c = b * s_local, h * d
+    if ring > len(jax.devices()):
+        pytest.skip("needs more emulated devices")
+    mesh = _mesh(ring)
+    method = {
+        "binary": CompressType.BINARY, "lowrank": CompressType.LOW_RANK
+    }[codec]
+    cfg = CompactConfig(
+        enabled=True, compress_type=method, comp_rank=comp_rank,
+        residual=1, error_feedback=True, warmup_steps=0, fastpath=False,
+    )
+    spec = P(None, "ring", None, None)
+    state_spec = P("ring")
+
+    def ref_body(q, k, v, state):
+        state = jax.tree_util.tree_map(lambda a: a[0], state)
+        out, new_state = compact_ring_attention(
+            q, k, v, state, cfg=cfg, method=method,
+            axis_name="ring", ring_size=ring,
+        )
+        return out, jax.tree_util.tree_map(lambda a: a[None], new_state)
+
+    ref_fn = jax.jit(jax.shard_map(
+        ref_body, mesh=mesh, in_specs=(spec, spec, spec, state_spec),
+        out_specs=(spec, state_spec), check_vma=False,
+    ))
+
+    def fused_body(q, k, v, kb, vb):
+        out, lse, kb2, vb2 = compact_binary_ring_flash(
+            q, k, v, kb[0], vb[0],
+            axis_name="ring", ring_size=ring, mesh_axes=(("ring", ring),),
+            comp_rank=comp_rank, block_q=48, block_k=48, codec=codec,
+            interpret=pltpu.InterpretParams(dma_execution_mode="on_wait"),
+        )
+        return out, kb2[None], vb2[None]
+
+    fused_fn = jax.jit(jax.shard_map(
+        fused_body, mesh=mesh,
+        in_specs=(spec, spec, spec, state_spec, state_spec),
+        out_specs=(spec, state_spec, state_spec), check_vma=False,
+    ))
+
+    def stack(x):
+        return jnp.broadcast_to(x[None], (ring,) + x.shape)
+
+    ref_state = jax.tree_util.tree_map(
+        stack, init_ring_state(ring, n, c, jnp.float32, 1)
+    )
+    kb = stack(jnp.zeros((ring, n, c), jnp.float32))
+    vb = stack(jnp.zeros((ring, n, c), jnp.float32))
+
+    for step, (q, k, v) in enumerate(_drift(steps, b, s, h, d, seed=11)):
+        ref_out, ref_state = ref_fn(q, k, v, ref_state)
+        out, kb, vb = fused_fn(q, k, v, kb, vb)
+        assert rel_err(out, ref_out) < 5e-5, step
+        assert rel_err(kb, ref_state.k.base) < 1e-6, step
+        assert rel_err(vb, ref_state.v.base) < 1e-6, step
+        for dev in range(1, ring):
+            np.testing.assert_array_equal(
+                np.asarray(kb)[dev], np.asarray(kb)[0]
+            )
+
+
+def test_fused_uncompressed_ring_hostile_dma():
+    """Same hostile schedule for the UNCOMPRESSED fused RDMA ring
+    (``ring_flash_attn_with_lse``) at ring=8 — vs the lossless ppermute
+    ring."""
+    from compactfusion_tpu.ops.ring_flash_pallas import ring_flash_attn_with_lse
+    from compactfusion_tpu.parallel.ring import ring_attention
+
+    ring = 8
+    if ring > len(jax.devices()):
+        pytest.skip("needs more emulated devices")
+    b, h, d = 1, 1, 16
+    s_local = 48
+    s = s_local * ring
+    mesh = _mesh(ring)
+    spec = P(None, "ring", None, None)
+
+    def fused_body(q, k, v):
+        out, _ = ring_flash_attn_with_lse(
+            q, k, v, axis_name="ring", ring_size=ring,
+            mesh_axes=(("ring", ring),), block_q=48, block_k=48,
+            interpret=pltpu.InterpretParams(dma_execution_mode="on_wait"),
+        )
+        return out
+
+    def ref_body(q, k, v):
+        return ring_attention(q, k, v, axis_name="ring", ring_size=ring)
+
+    fused_fn = jax.jit(jax.shard_map(
+        fused_body, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+        check_vma=False,
+    ))
+    ref_fn = jax.jit(jax.shard_map(
+        ref_body, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+        check_vma=False,
+    ))
+    rng = np.random.default_rng(7)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        for _ in range(3)
+    )
+    assert rel_err(fused_fn(q, k, v), ref_fn(q, k, v)) < 5e-5
+
+
 def test_fused_compact_ring_converges_with_ef():
     """Error feedback through the fused kernel: compressed output error vs
     exact attention must shrink over a drifting sequence."""
