@@ -56,6 +56,9 @@ def main():
     p.add_argument("--classes", type=int, default=8)
     p.add_argument("--steps", type=int, default=20, help="denoise steps")
     p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--ring", type=int, default=4,
+                   help="emulated ring degree (SimRingAttn); must be >=2 so "
+                        "codec error actually reaches the attention output")
     p.add_argument("--codecs", default="binary,low-rank,low-rank-awl")
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--smoke", action="store_true", help="tiny CI run")
@@ -64,6 +67,12 @@ def main():
         args.train_steps, args.chunk, args.batch, args.steps = 40, 20, 8, 6
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # the axon plugin force-appends itself to jax_platforms; the env var
+        # alone does NOT keep a smoke run off the (single-tenant) TPU
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import optax
 
@@ -239,7 +248,32 @@ def main():
     }
     for label, prm in models.items():
         lossless = run(prm, CompactConfig())
-        entry = {"codecs": {}}
+
+        # model-level spectra come from ONE dedicated identity-codec run:
+        # base == previous step's raw K exactly, so "k-delta" is the true
+        # step-to-step delta spectrum — independent of any lossy codec's
+        # EF-base trajectory (and of --codecs order)
+        StatsLogger.reset()
+        run(prm, CompactConfig(
+            enabled=True,
+            compress_type=CompressType.IDENTITY,
+            warmup_steps=args.warmup,
+            residual=1,
+            error_feedback=True,
+            fastpath=False,
+            simulate_ring=args.ring,
+            log_stats=True,
+        ))
+        spectra = StatsLogger.instance().dump_eigenvalues(
+            "/dev/null", depth=mcfg.depth
+        )
+        entry = {
+            "codecs": {},
+            "activation_top2_energy": round(
+                top2_energy(spectra["k-activation"]), 4
+            ),
+            "delta_top2_energy": round(top2_energy(spectra["k-delta"]), 4),
+        }
         for name in args.codecs.split(","):
             StatsLogger.reset()
             compact = CompactConfig(
@@ -249,12 +283,13 @@ def main():
                 comp_rank=2 if "rank" in name else -1,
                 residual=1,
                 error_feedback=True,
+                fastpath=False,  # emulation path uses the jnp codecs
+                simulate_ring=args.ring,
                 log_stats=True,
             )
             lat = run(prm, compact)
             log = StatsLogger.instance()
             errs = log.dump_err_vs_steps("/dev/null", depth=mcfg.depth)
-            spectra = log.dump_eigenvalues("/dev/null", depth=mcfg.depth)
             krel = [m["rel_err"] for m in errs.get("k", [])]
             entry["codecs"][name] = {
                 "k_rel_err_mean": round(float(np.mean(krel)), 6),
@@ -263,32 +298,32 @@ def main():
                     rel_err(lat, lossless), 6
                 ),
             }
-            entry["activation_top2_energy"] = round(
-                top2_energy(spectra["k-activation"]), 4
-            )
-            entry["delta_top2_energy"] = round(
-                top2_energy(spectra["k-delta"]), 4
-            )
             print(label, name, entry["codecs"][name],
                   "delta_top2", entry["delta_top2_energy"], flush=True)
         report[label] = entry
 
-    b = report["random"]["codecs"].get("binary", {})
-    lr_rand = report["random"]["codecs"].get("low-rank", {})
-    lr_tr = report["trained"]["codecs"].get("low-rank", {})
+    def _ratio(codecs, num_name, den_name="binary"):
+        num = codecs.get(num_name)
+        den = codecs.get(den_name)
+        if not num or not den:
+            return None
+        return round(
+            num["latent_rel_err_vs_lossless"]
+            / max(den["latent_rel_err_vs_lossless"], 1e-12),
+            3,
+        )
+
     report["summary"] = {
         "delta_top2_random": report["random"]["delta_top2_energy"],
         "delta_top2_trained": report["trained"]["delta_top2_energy"],
-        "lowrank_vs_binary_latent_err_random": (
-            round(lr_rand["latent_rel_err_vs_lossless"]
-                  / max(b.get("latent_rel_err_vs_lossless", 1e-12), 1e-12), 3)
-            if lr_rand and b else None
+        "lowrank_vs_binary_latent_err_random": _ratio(
+            report["random"]["codecs"], "low-rank"
         ),
-        "lowrank_vs_binary_latent_err_trained": (
-            round(lr_tr["latent_rel_err_vs_lossless"]
-                  / max(report["trained"]["codecs"]["binary"]
-                        ["latent_rel_err_vs_lossless"], 1e-12), 3)
-            if lr_tr else None
+        "lowrank_vs_binary_latent_err_trained": _ratio(
+            report["trained"]["codecs"], "low-rank"
+        ),
+        "awl_vs_lowrank_latent_err_trained": _ratio(
+            report["trained"]["codecs"], "low-rank-awl", "low-rank"
         ),
     }
     out_path = os.path.join(
@@ -302,10 +337,18 @@ def main():
 
 
 if __name__ == "__main__":
+    created_flag = False
     if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-        open(_BUSY_FLAG, "w").close()
+        # O_EXCL: if another process holds the (single-tenant) chip, bail
+        # instead of silently deadlocking beside it — and never delete a
+        # flag someone else created
+        try:
+            os.close(os.open(_BUSY_FLAG, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            created_flag = True
+        except FileExistsError:
+            sys.exit(f"{_BUSY_FLAG} exists: another TPU job is running")
     try:
         main()
     finally:
-        if os.path.exists(_BUSY_FLAG):
+        if created_flag:
             os.remove(_BUSY_FLAG)

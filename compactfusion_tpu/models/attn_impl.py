@@ -264,6 +264,24 @@ class SimRingAttn:
         recon_k, recon_v = [], []
         for j in range(R):
             k_st, v_st = _slot(state.k, j), _slot(state.v, j)
+            if (
+                self.cfg.log_stats
+                and not self.cfg.quantized_cache
+                and self.method != CompressType.WARMUP
+                and self.cfg.residual >= 1
+            ):
+                # same taps as the real ring (compact/ring.py) so the
+                # single-device emulation feeds the spectrum tooling;
+                # IDENTITY is included here (unlike the wire path) because
+                # identity+EF makes "k-delta" the TRUE step delta — the
+                # codec-independent spectrum the coherence study needs
+                from compactfusion_tpu.compact import stats
+
+                k_nc_f = as_nc(k_chunks[j]).astype(jnp.float32)
+                stats.log_spectrum_inside_jit("k-activation", k_nc_f, rank=j)
+                stats.log_spectrum_inside_jit(
+                    "k-delta", k_nc_f - k_st.base.astype(jnp.float32), rank=j
+                )
             awl = None
             if self.method == CompressType.LOW_RANK_AWL:
                 awl = codecs.awl_row_scale(as_nc(v_chunks[j]))
@@ -279,6 +297,29 @@ class SimRingAttn:
             rv, _ = ef_decompress(pv, v_st, self.cfg, self.method, update_cache=False)
             recon_k.append(rk.reshape(b, sc, h, d).astype(k.dtype))
             recon_v.append(rv.reshape(b, sc, h, d).astype(v.dtype))
+            if (
+                self.cfg.log_stats
+                and not self.cfg.quantized_cache
+                and self.method
+                not in (CompressType.WARMUP, CompressType.IDENTITY)
+                and self.cfg.residual == 1
+                and self.cfg.error_feedback
+            ):
+                # per-step codec error vs the post-EF base — same tap and
+                # keys as the wire ring (compact/ring.py), so
+                # dump_err_vs_steps works on the single-device emulation
+                from compactfusion_tpu.compact import stats
+
+                stats.log_inside_jit(
+                    "k", -1,
+                    stats.compression_metrics(as_nc(k_chunks[j]), k_new.base),
+                    ordered=True, rank=j,
+                )
+                stats.log_inside_jit(
+                    "v", -1,
+                    stats.compression_metrics(as_nc(v_chunks[j]), v_new.base),
+                    ordered=True, rank=j,
+                )
             state = type(state)(
                 k=_set_slot(state.k, j, k_new), v=_set_slot(state.v, j, v_new)
             )
