@@ -25,8 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import base64
 import io
 import json
+import queue
 import threading
 import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -39,48 +41,122 @@ logger = init_logger(__name__)
 
 
 class Engine:
-    def __init__(self, args: xFuserArgs):
+    """Queued, dp-batched serving (reference: a pool of Ray actors each
+    holding one GPU, ``entrypoints/launch.py:44-57``).
+
+    The compiled pipeline has a STATIC batch of ``B = len(--prompt)`` images
+    per call (sharded over the dp mesh axis when dp_degree > 1).  Instead of
+    one-request-at-a-time behind a lock, a single worker thread owns the
+    mesh and drains a FIFO queue: up to B concurrent requests are packed
+    into the slots of ONE pipeline call (short batching window after the
+    first request), so N clients share a step loop instead of waiting N
+    full generations.  Unfilled slots repeat the last request's prompt and
+    are discarded.
+
+    Per-request ``seed`` is honored exactly when a batch carries one
+    distinct seed (always true for solo batches); with several distinct
+    seeds in one packed batch the first wins (slots share the jitted
+    program's noise key) and the response notes it.
+    """
+
+    def __init__(self, args: xFuserArgs, serve_batch: int = 0):
+        import dataclasses
+
         self.args = args
         engine_config, input_config = args.create_config()
+        if serve_batch and serve_batch != len(input_config.prompt):
+            # replicate the launch prompt out to the requested serving batch
+            reps = -(-serve_batch // len(input_config.prompt))
+            input_config = dataclasses.replace(
+                input_config,
+                prompt=(tuple(input_config.prompt) * reps)[:serve_batch],
+            )
         self.runner = xDiTParallel(engine_config, input_config)
-        # ThreadingHTTPServer handles each request on its own thread, but
-        # generate() mutates runner.input_config and the chip is single-
-        # tenant anyway — serialize requests or concurrent POSTs could swap
-        # prompts mid-flight
-        self._lock = threading.Lock()
         #: pristine launch-time request config (per-request overrides must
         #: not mutate server state)
         self._base_input = self.runner.input_config
+        self.batch_size = len(self._base_input.prompt)
+        self.batch_window_s = 0.05
+        self._queue: "queue.Queue" = queue.Queue()
+        self._counter = 0
+        self.stats = {"requests": 0, "batches": 0, "max_packed": 0}
+        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         # warmup compile (prepare_run forces device execution — a bare
         # dispatch returns immediately under the axon tunnel)
         self.runner.prepare_run()
+        self._worker.start()
 
     def generate(self, request: dict) -> dict:
-        with self._lock:
-            return self._generate(request)
+        fut: Future = Future()
+        self._queue.put((request, fut))
+        out, latency, shared_seed = fut.result()
+        return self._format(out, request, latency, shared_seed)
 
-    def _generate(self, request: dict) -> dict:
+    # --- worker side -------------------------------------------------------
+
+    def _serve_loop(self):
+        while True:
+            first = self._queue.get()
+            if first is None:  # shutdown sentinel (tests)
+                return
+            batch = [first]
+            deadline = time.time() + self.batch_window_s
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # noqa: BLE001
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _run_batch(self, batch):
         import dataclasses
 
-        # request overrides apply to THIS request only: derive from the
-        # pristine launch-time config and restore it afterwards, or one
-        # client's prompt/seed would leak into every later request
+        import jax
+
         inp = self._base_input
-        # only fields that take effect at request time on the compiled
-        # pipeline; size/steps/frames are baked into the jitted program at
-        # startup (change them by relaunching) — unlike the reference's
-        # eager pipelines, silently accepting them would do nothing
-        runtime_fields = {"prompt", "negative_prompt", "seed"}
-        overrides = {k: v for k, v in request.items() if k in runtime_fields}
-        ignored = sorted(
-            k
-            for k in request
-            if k in {f.name for f in dataclasses.fields(inp)}
-            and k not in runtime_fields
-        )
-        for k in ("prompt", "negative_prompt"):
-            if isinstance(overrides.get(k), str):
-                overrides[k] = (overrides[k],)
+        B = self.batch_size
+        prompts, negatives = list(inp.prompt), None
+        for i, (req, _) in enumerate(batch):
+            p = req.get("prompt")
+            if isinstance(p, (list, tuple)):
+                p = p[0] if p else None
+            if isinstance(p, str):
+                prompts[i] = p
+            n = req.get("negative_prompt")
+            if isinstance(n, (list, tuple)):
+                n = n[0] if n else None
+            if isinstance(n, str):
+                if negatives is None:
+                    negatives = list(inp.negative_prompt) * (
+                        B if len(inp.negative_prompt) == 1 else 1
+                    )
+                negatives[i] = n
+        for i in range(len(batch), B):  # pad: repeat the last real slot
+            prompts[i] = prompts[len(batch) - 1]
+
+        seeds = {
+            req["seed"] for req, _ in batch
+            if isinstance(req.get("seed"), int)
+        }
+        if seeds:
+            seed = sorted(seeds)[0]
+        else:
+            # fresh noise per batch without clients having to pass seeds
+            self._counter += 1
+            seed = inp.seed + self._counter
+        shared_seed = len(seeds) > 1
+
+        overrides = {"prompt": tuple(prompts), "seed": seed}
+        if negatives is not None:
+            overrides["negative_prompt"] = tuple(negatives)
         self.runner.input_config = dataclasses.replace(inp, **overrides)
         try:
             t0 = time.time()
@@ -88,6 +164,34 @@ class Engine:
             latency = time.time() - t0
         finally:
             self.runner.input_config = self._base_input
+        self.stats["requests"] += len(batch)
+        self.stats["batches"] += 1
+        self.stats["max_packed"] = max(self.stats["max_packed"], len(batch))
+        for i, (_, fut) in enumerate(batch):
+            fut.set_result((out[i : i + 1], latency, shared_seed))
+
+    def close(self):
+        self._queue.put(None)
+        self._worker.join(timeout=5)
+
+    # --- response formatting (HTTP thread side) ----------------------------
+
+    def _format(self, out, request: dict, latency, shared_seed) -> dict:
+        import dataclasses
+
+        inp = self._base_input
+        runtime_fields = {"prompt", "negative_prompt", "seed"}
+        # size/steps/frames are baked into the jitted program at startup
+        # (change them by relaunching) — unlike the reference's eager
+        # pipelines, silently accepting them would do nothing
+        ignored = sorted(
+            k
+            for k in request
+            if k in {f.name for f in dataclasses.fields(inp)}
+            and k not in runtime_fields
+        )
+        if shared_seed:
+            ignored.append("seed (batched with a different seed)")
         if out.ndim == 4 and out.shape[-1] == 3:
             # (B, H, W, 3) in [0, 1] -> base64 PNG per image (reference
             # contract: entrypoints/launch.py:165-214 returns png bytes)
@@ -158,6 +262,12 @@ def make_handler(engine: Engine):
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._send(
+                    200,
+                    dict(engine.stats, batch_size=engine.batch_size,
+                         queued=engine._queue.qsize()),
+                )
             else:
                 self._send(404, {"error": "not found"})
 
@@ -190,9 +300,15 @@ def main():
     xFuserArgs.add_cli_args(parser)
     parser.add_argument("--host", type=str, default="0.0.0.0")
     parser.add_argument("--port", type=int, default=6000)
+    parser.add_argument(
+        "--serve_batch", type=int, default=0,
+        help="images per pipeline call (queued requests are packed into "
+        "these slots; sharded over the dp axis when dp_degree > 1). "
+        "Default: len(--prompt).",
+    )
     ns = parser.parse_args()
     args = xFuserArgs.from_cli_args(ns)
-    engine = Engine(args)
+    engine = Engine(args, serve_batch=ns.serve_batch)
     server = ThreadingHTTPServer((ns.host, ns.port), make_handler(engine))
     logger.info("serving on %s:%d", ns.host, ns.port)
     server.serve_forever()

@@ -199,6 +199,67 @@ def test_http_service(tiny_runner):
             assert img.format == "PNG" and img.size == (16, 16)
     finally:
         server.shutdown()
+        engine.close()
+
+
+def test_http_service_concurrent_batching(tiny_runner):
+    """Overlapping POSTs are queued and packed into the dp batch of ONE
+    pipeline call (VERDICT r3 #9; reference serves concurrency via a Ray
+    actor pool, entrypoints/launch.py:44-57).  serve_batch=4 -> with 8
+    clients in flight at least one call must pack >= 2 requests, every
+    client gets its own slot's image, and distinct prompts give distinct
+    pixels."""
+    from http.server import ThreadingHTTPServer
+
+    from entrypoints.launch import Engine, make_handler
+
+    parser = FlexibleArgumentParser()
+    xFuserArgs.add_cli_args(parser)
+    args = xFuserArgs.from_cli_args(
+        parser.parse_args(
+            ["--model", "pixart-tiny", "--height", "64", "--width", "64",
+             "--num_inference_steps", "2", "--max_sequence_length", "8",
+             "--prompt", "x"]
+        )
+    )
+    engine = Engine(args, serve_batch=4)
+    assert engine.batch_size == 4
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    results = {}
+
+    def post(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": f"prompt number {i}", "seed": 3}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            results[i] = json.load(r)
+
+    try:
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert len(results) == 8
+        assert all(len(p["images"]) == 1 for p in results.values())
+        assert engine.stats["requests"] == 8
+        assert engine.stats["max_packed"] >= 2
+        assert engine.stats["batches"] < 8  # strictly fewer calls than clients
+        # distinct prompts in one packed batch -> distinct slot outputs
+        import base64 as b64
+
+        blobs = {p["images"][0] for p in results.values()}
+        assert len(blobs) > 1
+        for p in results.values():
+            assert b64.b64decode(p["images"][0])[:4] == b"\x89PNG"
+    finally:
+        server.shutdown()
+        engine.close()
 
 
 # ---------------------------------------------------------------------------
