@@ -42,6 +42,63 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _entry_barrier(ids_ref):
+    """Kernel-ENTRY barrier with both ring neighbors (first grid cell only).
+
+    A step-0 RDMA may not land in a neighbor that has not entered the
+    kernel yet — its comm scratch is not allocated until launch (on
+    silicon: a write into unowned VMEM; in interpret mode: the KeyError
+    this barrier was added to fix).  The collective barrier semaphore is
+    the ONE semaphore that is safe to signal before the peer has entered
+    (it is allocated per collective_id, outside kernel lifetime), so it is
+    reserved exclusively for this: exactly one signal per neighbor per
+    launch, consumed by exactly one wait(2).
+    """
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=ids_ref[1],
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=ids_ref[2],
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        pltpu.semaphore_wait(barrier, 2)
+
+
+def _neighbor_fence(ids_ref, fence_sem):
+    """Fence with BOTH ring neighbors on per-neighbor counting semaphores.
+
+    fence_sem is a REGULAR (2,) scratch semaphore: slot 0 counts signals
+    from the prev neighbor, slot 1 from the next.  Waiting each slot
+    separately is what makes this a real pairwise fence — a single shared
+    counter (the old get_barrier_semaphore protocol) lets wait(2) be
+    satisfied by TWO signals from the same fast neighbor, so a device
+    could run a full ring step ahead of its slow neighbor and overwrite a
+    double-buffer slot still being read (and, at kernel end, exit while
+    that neighbor still had an in-flight RDMA into its scratch — caught by
+    the hostile-interpret dryrun as a ~1-in-3 shared-memory KeyError).
+    Regular semaphores are safe here because the entry barrier guarantees
+    every neighbor is inside the kernel, and the per-neighbor counts
+    guarantee every signal is consumed before its target exits.
+    """
+    # I am my prev neighbor's NEXT (their slot 1) and my next's PREV (0)
+    pltpu.semaphore_signal(
+        fence_sem.at[1], inc=1, device_id=ids_ref[1],
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    pltpu.semaphore_signal(
+        fence_sem.at[0], inc=1, device_id=ids_ref[2],
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    pltpu.semaphore_wait(fence_sem.at[0], 1)
+    pltpu.semaphore_wait(fence_sem.at[1], 1)
+
+
 def _ring_kernel(
     ids_ref,  # scalar prefetch: [send_to, prev, nxt] flattened logical ids
     q_ref,  # (1, 1, Sq, D) VMEM
@@ -55,6 +112,7 @@ def _ring_kernel(
     acc_scr,  # VMEM (Sq, D) fp32
     send_sem,  # DMA (2,)
     recv_sem,  # DMA (2,)
+    fence_sem,  # REGULAR (2,): per-neighbor step/trailing fences
     *,
     scale: float,
     ring_size: int,
@@ -66,6 +124,9 @@ def _ring_kernel(
     sk = k_ref.shape[2]
     n_qb = sq // block_q
     n_kb = sk // block_k
+
+    if ring_size > 1:
+        _entry_barrier(ids_ref)
 
     m_scr[:] = jnp.full_like(m_scr, NEG_INF)
     l_scr[:] = jnp.zeros_like(l_scr)
@@ -154,16 +215,7 @@ def _ring_kernel(
                 _rdma(slot, nxt).wait()
                 # slot-reuse safety: neighbors must have finished reading the
                 # slot our NEXT send will overwrite (they did, this step)
-                barrier = pltpu.get_barrier_semaphore()
-                pltpu.semaphore_signal(
-                    barrier, inc=1, device_id=ids_ref[1],
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
-                )
-                pltpu.semaphore_signal(
-                    barrier, inc=1, device_id=ids_ref[2],
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
-                )
-                pltpu.semaphore_wait(barrier, 2)
+                _neighbor_fence(ids_ref, fence_sem)
 
         return 0
 
@@ -179,16 +231,7 @@ def _ring_kernel(
         # output corruption on silicon; invisible in interpret mode where
         # DMAs are eager).  Two-sided NCCL isend/irecv gives the reference
         # this ordering for free; one-sided RDMA needs the explicit barrier.
-        barrier = pltpu.get_barrier_semaphore()
-        pltpu.semaphore_signal(
-            barrier, inc=1, device_id=ids_ref[1],
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
-        )
-        pltpu.semaphore_signal(
-            barrier, inc=1, device_id=ids_ref[2],
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
-        )
-        pltpu.semaphore_wait(barrier, 2)
+        _neighbor_fence(ids_ref, fence_sem)
 
     l_final = l_scr[:, :1]
     l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
@@ -320,6 +363,7 @@ def ring_flash_attn_with_lse(
                 pltpu.VMEM((sq_p, d), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.REGULAR((2,)),
             ],
         ),
         out_shape=[
@@ -393,7 +437,7 @@ def _cring_kernel(
             uk_ref, uv_ref, vk_ref, vv_ref, kbase_ref, vbase_ref,
             o_ref, lse_ref, kbase_out, vbase_out,
             uk_buf, uv_buf, vk_buf, vv_buf,
-            m_scr, l_scr, acc_scr, send_sems, recv_sems,
+            m_scr, l_scr, acc_scr, send_sems, recv_sems, fence_sem,
         ) = refs
         pk_ref = pv_ref = pk_buf = pv_buf = None
     else:
@@ -402,7 +446,7 @@ def _cring_kernel(
             uk_ref, uv_ref, vk_ref, vv_ref, kbase_ref, vbase_ref,
             o_ref, lse_ref, kbase_out, vbase_out,
             pk_buf, pv_buf, uk_buf, uv_buf, vk_buf, vv_buf,
-            m_scr, l_scr, acc_scr, send_sems, recv_sems,
+            m_scr, l_scr, acc_scr, send_sems, recv_sems, fence_sem,
         ) = refs
 
     sq = q_ref.shape[2]
@@ -412,6 +456,9 @@ def _cring_kernel(
     n_kb = sk // block_k
     my = ids_ref[3]  # this device's ring coordinate (host-computed)
     hi = pl.program_id(1)  # head grid coordinate (h iterates fastest)
+
+    if ring_size > 1:
+        _entry_barrier(ids_ref)
 
     m_scr[:] = jnp.full_like(m_scr, NEG_INF)
     l_scr[:] = jnp.zeros_like(l_scr)
@@ -567,30 +614,12 @@ def _cring_kernel(
                 for j, buf in enumerate(u_bufs):
                     _rdma(buf, s, s + 1, n_cell + j, slot, nxt).wait()
 
-            barrier = pltpu.get_barrier_semaphore()
-            pltpu.semaphore_signal(
-                barrier, inc=1, device_id=ids_ref[1],
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
-            )
-            pltpu.semaphore_signal(
-                barrier, inc=1, device_id=ids_ref[2],
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
-            )
-            pltpu.semaphore_wait(barrier, 2)
+            _neighbor_fence(ids_ref, fence_sem)
 
     if ring_size > 1:
         # trailing fence: the next grid cell's step-0 RDMA writes slot 1,
         # which the neighbor reads on its final step when ring_size is even
-        barrier = pltpu.get_barrier_semaphore()
-        pltpu.semaphore_signal(
-            barrier, inc=1, device_id=ids_ref[1],
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
-        )
-        pltpu.semaphore_signal(
-            barrier, inc=1, device_id=ids_ref[2],
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
-        )
-        pltpu.semaphore_wait(barrier, 2)
+        _neighbor_fence(ids_ref, fence_sem)
 
     l_final = l_scr[:, :1]
     l_safe = jnp.where(l_final == 0.0, 1.0, l_final)
@@ -862,6 +891,7 @@ def compact_binary_ring_flash(
                 pltpu.VMEM((sq, d), jnp.float32),
                 pltpu.SemaphoreType.DMA((n_bufs, 2)),
                 pltpu.SemaphoreType.DMA((n_bufs, 2)),
+                pltpu.SemaphoreType.REGULAR((2,)),
             ],
         ),
         out_shape=[
