@@ -119,9 +119,34 @@ def make_fwd(self_attn=True, cross=True, ffn=True, modulate=True,
                 xn = cm.layernorm({}, x) * (1 + sc_a) + sh_a
             else:
                 xn = x
-            qkv = cm.linear(p["attn_qkv"], xn)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            if self_attn:
+            if self_attn and self_kw == "bhsd_io":
+                # kernel-layout I/O: qkv is produced straight into
+                # (B,H,S,Dh) by einsum (XLA can fuse the relayout into the
+                # matmul epilogue) and attn_out consumes (B,H,S,Dh) directly
+                # — measures whether the explicit transpose copies around
+                # the pallas call are removable
+                dh = d // h
+                w3 = p["attn_qkv"]["w"].reshape(d, 3, h, dh)
+                b3 = p["attn_qkv"]["b"].reshape(3, h, dh)
+                qkv3 = (
+                    jnp.einsum("bsd,dthc->tbhsc", xn, w3)
+                    + b3[:, None, :, None, :]
+                ).astype(jnp.bfloat16)
+                o, _ = flash_attn_with_lse(
+                    qkv3[0], qkv3[1], qkv3[2], bhsd_io=True
+                )
+                wo = p["attn_out"]["w"].reshape(h, dh, d)
+                attn_o = (
+                    jnp.einsum("bhsc,hcd->bsd", o, wo) + p["attn_out"]["b"]
+                ).astype(jnp.bfloat16)
+                x = x + g_a * attn_o
+                q = None  # signal: attention already applied
+            else:
+                qkv = cm.linear(p["attn_qkv"], xn)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            if self_attn and self_kw == "bhsd_io":
+                pass  # attention + residual already applied above
+            elif self_attn:
                 if self_kw == "splash_probe":
                     o = _splash(_heads(q), _heads(k), _heads(v))
                 elif self_kw == "plumb_probe":
@@ -143,7 +168,8 @@ def make_fwd(self_attn=True, cross=True, ffn=True, modulate=True,
                     o = sdpa(_heads(q), _heads(k), _heads(v))
             else:
                 o = _heads(q)
-            x = x + g_a * cm.linear(p["attn_out"], _unheads(o))
+            if not (self_attn and self_kw == "bhsd_io"):
+                x = x + g_a * cm.linear(p["attn_out"], _unheads(o))
             if cross:
                 q = cm.linear(p["cross_q"], x)
                 kv = cm.linear(p["cross_kv"], text_d)
@@ -218,6 +244,7 @@ variants = [
     ("self_hp4_bq256", {"self_kw": {"heads_per": 4, "block_q": 256}}),
     ("self_plumb", {"self_kw": "plumb_probe"}),
     ("self_splash", {"self_kw": "splash_probe"}),
+    ("self_bhsd_io", {"self_kw": "bhsd_io"}),
     # round 4: attack the S^2 VPU chain (scale, max, sub, exp, astype)
     ("self_singleoff", {"self_kw": {"single_block": False}}),
     ("self_singleon", {"self_kw": {"single_block": True}}),

@@ -94,6 +94,29 @@ def build(parts):
     return run
 
 
+def build_real():
+    """The PRODUCTION kernel (flash_attn_with_lse, auto single_block +
+    fuse_sum, includes the (B,S,H,D)->(B,H,S,D) transposes and the LSE
+    output) in the same dispatch-immune harness, for a floor-vs-real
+    comparison against the doctored variants above."""
+    from compactfusion_tpu.ops.flash_pallas import flash_attn_with_lse
+
+    @jax.jit
+    def run(key, n):
+        q = jax.random.normal(key, (B, S, H, D), jnp.bfloat16)
+        k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, H, D), jnp.bfloat16)
+        v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, H, D), jnp.bfloat16)
+
+        def body(i, x):
+            o, _ = flash_attn_with_lse(q + x[0, 0, 0, 0] * 0, k, v)
+            return o
+
+        x = jax.lax.fori_loop(0, n, body, q)
+        return jnp.sum(x.astype(jnp.float32))
+
+    return run
+
+
 ALL = ("qk", "scale", "max", "exp", "av")
 variants = [
     ("full", ALL),
@@ -104,6 +127,7 @@ variants = [
     ("no_qk", ("scale", "max", "exp", "av")),
     ("no_av", ("qk", "scale", "max", "exp")),
     ("matmuls_only", ("qk", "av")),
+    ("real", None),  # production flash_attn_with_lse (see build_real)
 ]
 if len(sys.argv) > 1:
     variants = [v for v in variants if v[0] in sys.argv[1:]]
@@ -111,7 +135,7 @@ if len(sys.argv) > 1:
 REPS = 3
 key = jax.random.PRNGKey(0)
 for name, parts in variants:
-    run = build(parts)
+    run = build_real() if name == "real" else build(parts)
     for n in (N_LO, N_HI):
         float(np.asarray(run(key, n)))  # compile
     t_lo, t_hi = [], []
