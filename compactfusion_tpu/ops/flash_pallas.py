@@ -315,6 +315,7 @@ def _flash_kernel_heads(
     static_argnames=(
         "scale", "block_q", "block_k", "interpret", "exp_bf16", "heads_per",
         "window", "fuse_sum", "fold_scale", "score_bf16", "single_block",
+        "bhsd_io",
     ),
 )
 def flash_attn_with_lse(
@@ -333,6 +334,7 @@ def flash_attn_with_lse(
     fold_scale: bool = False,
     score_bf16: bool = False,
     single_block: Optional[bool] = None,
+    bhsd_io: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Flash attention.  Same contract as ``attn_with_lse`` (non-causal).
 
@@ -384,8 +386,15 @@ def flash_attn_with_lse(
     competes with neighbouring fusions for VMEM/DMA; at B1·H24·S4608·d128
     512/1024 is 9% faster than 1024/1024 both isolated and in-model.
     """
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
+    if bhsd_io:
+        # caller supplies/consumes the KERNEL layout (B, H, S, D) directly —
+        # lets XLA fuse the relayout into the producing/consuming matmuls
+        # instead of paying explicit copy passes around the pallas call
+        b, h, sq, d = q.shape
+        sk = k.shape[2]
+    else:
+        b, sq, h, d = q.shape
+        sk = k.shape[1]
     if scale is None:
         scale = d**-0.5
     if block_q is None:
@@ -426,9 +435,12 @@ def flash_attn_with_lse(
     sk_p = _round_up(sk, block_k)
 
     # (B, S, H, D) -> (B, H, S, D) kernel layout
-    qt = jnp.transpose(q, (0, 2, 1, 3))
-    kt = jnp.transpose(k, (0, 2, 1, 3))
-    vt = jnp.transpose(v, (0, 2, 1, 3))
+    if bhsd_io:
+        qt, kt, vt = q, k, v
+    else:
+        qt = jnp.transpose(q, (0, 2, 1, 3))
+        kt = jnp.transpose(k, (0, 2, 1, 3))
+        vt = jnp.transpose(v, (0, 2, 1, 3))
     if fold_scale and scale != 1.0:
         qt = (qt * scale).astype(qt.dtype)
         scale = 1.0
@@ -513,7 +525,9 @@ def flash_attn_with_lse(
             ),
             interpret=interpret,
         )(lens, qt, kt, vt)
-        out = jnp.transpose(out[:, :, :sq, :], (0, 2, 1, 3))
+        out = out[:, :, :sq, :]
+        if not bhsd_io:
+            out = jnp.transpose(out, (0, 2, 1, 3))
         lse = lse8[:, :, :sq, 0]
         return out, lse
 
@@ -595,7 +609,9 @@ def flash_attn_with_lse(
         interpret=interpret,
     )(lens, qt, kt, vt)
 
-    out = jnp.transpose(out[:, :, :sq, :], (0, 2, 1, 3))
+    out = out[:, :, :sq, :]
+    if not bhsd_io:
+        out = jnp.transpose(out, (0, 2, 1, 3))
     lse = lse8[:, :, :sq, 0]
     return out, lse
 

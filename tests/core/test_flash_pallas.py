@@ -125,3 +125,21 @@ def test_flash_fuse_sum_on_off(window):
         ref_o, ref_l = attn_with_lse(q, k, v, impl="xla")
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_o), atol=2e-4)
         np.testing.assert_allclose(np.asarray(lse_f), np.asarray(ref_l), atol=2e-4)
+
+
+@pytest.mark.parametrize("single_block", [False, True])
+def test_flash_bhsd_io_layout(single_block):
+    """bhsd_io=True takes/returns the kernel (B, H, S, D) layout directly;
+    must match the default (B, S, H, D) path exactly (same kernel, no
+    relayout error), including the single_block fastpath."""
+    sk = 256 if single_block else 512
+    q, k, v = _qkv(1, 256, sk, h=2, d=64, seed=7)
+    kw = dict(block_q=128, block_k=256, interpret=True,
+              single_block=single_block)
+    ref_o, ref_l = flash_attn_with_lse(q, k, v, **kw)
+    qt, kt, vt = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
+    out, lse = flash_attn_with_lse(qt, kt, vt, bhsd_io=True, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.transpose(out, (0, 2, 1, 3))), np.asarray(ref_o)
+    )
+    np.testing.assert_array_equal(np.asarray(lse), np.asarray(ref_l))
