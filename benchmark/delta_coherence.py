@@ -62,6 +62,10 @@ def main():
     p.add_argument("--codecs", default="binary,low-rank,low-rank-awl")
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--smoke", action="store_true", help="tiny CI run")
+    p.add_argument("--params-cache", default="/tmp/delta_coh_params.pkl",
+                   help="pickle of trained params; skips training when "
+                        "present (the axon tunnel can drop mid-eval — the "
+                        "16-min train phase should not rerun on retry)")
     args = p.parse_args()
     if args.smoke:
         args.train_steps, args.chunk, args.batch, args.steps = 40, 20, 8, 6
@@ -187,19 +191,38 @@ def main():
         return params, opt_state, losses.mean(), losses[-10:].mean()
 
     params0 = init_pixart(jax.random.PRNGKey(0), mcfg)
-    params, opt_state = params0, opt.init(params0)
-    losses = []
-    t0 = time.time()
-    for i in range(args.train_steps // args.chunk):
-        params, opt_state, lmean, ltail = train_chunk(
-            params, opt_state, jax.random.PRNGKey(1000 + i)
-        )
-        losses.append(float(lmean))
-        print(
-            f"chunk {i}: mean {float(lmean):.4f} tail {float(ltail):.4f} "
-            f"({time.time() - t0:.0f}s)",
-            flush=True,
-        )
+    cache = None if args.smoke else args.params_cache
+    if cache and os.path.exists(cache):
+        import pickle
+
+        with open(cache, "rb") as f:
+            blob = pickle.load(f)
+        params = jax.tree.map(jnp.asarray, blob["params"])
+        losses = blob["losses"]
+        print(f"loaded trained params from {cache} (skipping training)",
+              flush=True)
+    else:
+        params, opt_state = params0, opt.init(params0)
+        losses = []
+        t0 = time.time()
+        for i in range(args.train_steps // args.chunk):
+            params, opt_state, lmean, ltail = train_chunk(
+                params, opt_state, jax.random.PRNGKey(1000 + i)
+            )
+            losses.append(float(lmean))
+            print(
+                f"chunk {i}: mean {float(lmean):.4f} tail {float(ltail):.4f} "
+                f"({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+        if cache:
+            import pickle
+
+            with open(cache, "wb") as f:
+                pickle.dump(
+                    {"params": jax.tree.map(np.asarray, params),
+                     "losses": losses}, f,
+                )
 
     # --- eval: spectra + codec errors, random vs trained ----------------
     par = ParallelConfig()
