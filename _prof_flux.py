@@ -226,7 +226,7 @@ def make_runner(n, family, **kw):
     make_params = (
         make_double_params if family == "double" else make_single_params
     )
-    hp = wp = 32  # 1024px / 16 vae / 2 patch
+    hp = wp = 64  # 1024px -> 128 latent (vae /8) -> 64x64 patch-2 tokens
     pos_img = flux_image_positions(hp, wp)
     cos_i, sin_i = cm.rope_frequencies(pos_img, (16, 56, 56))
     pos_txt = jnp.stack(

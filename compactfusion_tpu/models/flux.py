@@ -280,6 +280,40 @@ def flux_single_scan(
     cos_t, sin_t = txt_rope
     s_txt = txt.shape[1]
 
+    if type(attn) is SingleDeviceAttn and not jax.tree_util.tree_leaves(
+        attn_state
+    ):
+        # Single-device fastpath: keep the (txt|img) stream CONCATENATED as
+        # the scan carry (one concat before the scan, one split after)
+        # instead of re-splitting and re-concatenating the full stream every
+        # block just to fit the joint-tensor strategy call shape, and rotate
+        # q/k with a fused rope table (rope is positionwise, so
+        # concat∘rope == rope∘concat exactly).  Measured on v5e at FLUX-1024
+        # shapes (_prof_flux.py s_full vs s_fused_carry).  Parallel
+        # strategies keep the split path — the img/txt distinction is what
+        # they shard/compress.
+        cos_f = jnp.concatenate([cos_t, cos_i], axis=0)
+        sin_f = jnp.concatenate([sin_t, sin_i], axis=0)
+
+        def fused_block(x, p):
+            sh, sc, g = _mod(p["mod"], temb, 3)
+            xn = cm.layernorm({}, x) * (1 + sc) + sh
+            q, k, v = [
+                _heads(y, h) for y in jnp.split(cm.linear(p["qkv"], xn), 3, -1)
+            ]
+            q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k)
+            q = cm.apply_rope(q, cos_f, sin_f)
+            k = cm.apply_rope(k, cos_f, sin_f)
+            o, _ = attn(q, k, v, ())
+            y = cm.linear(p["out_attn"], _unheads(o)) + cm.ffn(
+                p["mlp"], xn, tp_axis=tp_axis
+            )
+            return x + g * y, None
+
+        x = jnp.concatenate([txt, img], axis=1)
+        x, _ = jax.lax.scan(fused_block, x, blocks)
+        return x[:, s_txt:], x[:, :s_txt], attn_state
+
     def make_block(attn):
       def single_block(carry, xs):
         img, txt = carry

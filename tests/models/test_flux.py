@@ -166,6 +166,42 @@ def test_flux_fbcache(tiny):
     assert err < 0.3, f"FBCache FLUX diverged: {err}"
 
 
+def test_flux_single_scan_fused_matches_generic(tiny):
+    """The fused-stream single-block fastpath (concat once, fused rope
+    table) must match the generic joint-tensor path exactly."""
+    from compactfusion_tpu.models.attn_impl import SingleDeviceAttn
+    from compactfusion_tpu.models.flux import flux_single_scan
+
+    class _GenericGate(SingleDeviceAttn):
+        # subclass defeats the exact-type fastpath gate -> generic path
+        pass
+
+    mcfg, params = tiny
+    b, s_img, s_txt = 2, 16, 8
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.standard_normal((b, s_img, mcfg.dim)), mcfg.dtype)
+    txt = jnp.asarray(rng.standard_normal((b, s_txt, mcfg.dim)), mcfg.dtype)
+    temb = jnp.asarray(rng.standard_normal((b, mcfg.dim)), mcfg.dtype)
+    img_rope = cm.rope_frequencies(flux_image_positions(4, 4), mcfg.axes_dim)
+    txt_rope = cm.rope_frequencies(
+        jnp.zeros((s_txt, 3), jnp.int32), mcfg.axes_dim
+    )
+
+    def run(attn):
+        i, t, _ = jax.jit(
+            lambda p: flux_single_scan(
+                p["single_blocks"], img, txt, temb, mcfg,
+                img_rope=img_rope, txt_rope=txt_rope, attn=attn,
+            )
+        )(params)
+        return i, t
+
+    i_fast, t_fast = run(SingleDeviceAttn())
+    i_ref, t_ref = run(_GenericGate())
+    assert rel_err(i_fast, i_ref) < 1e-6
+    assert rel_err(t_fast, t_ref) < 1e-6
+
+
 def test_flux_tp_matches_single_device(tiny):
     """TP over double-block FFNs AND single-block MLPs (split proj_out)."""
     mcfg, params = tiny
