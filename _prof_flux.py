@@ -100,8 +100,20 @@ def _unheads(x):
     return x.reshape(b, s, hh * dh)
 
 
+def _rope_half(x, cos_f, sin_f):
+    """Rotate-half (NeoX) rope: pair (i, i+D/2) instead of (2i, 2i+1).
+    Score-equivalent to interleaved rope after permuting Wq/Wk columns; the
+    half-swap is one 64-lane rotation instead of a stride-2 interleave."""
+    x32 = x.astype(jnp.float32)
+    d2 = x.shape[-1] // 2
+    rot = jnp.concatenate([-x32[..., d2:], x32[..., :d2]], axis=-1)
+    c = cos_f[None, :, None, :]
+    s = sin_f[None, :, None, :]
+    return (x32 * c + rot * s).astype(x.dtype)
+
+
 def make_double_fwd(attn=True, ffn=True, rope=True, qknorm=True,
-                    modulate=True, attn_kw=None):
+                    modulate=True, rope_impl="interleave", attn_kw=None):
     attn_kw = dict(attn_kw or {})
 
     def fwd(params, img, txt, temb, ropes):
@@ -133,12 +145,39 @@ def make_double_fwd(attn=True, ffn=True, rope=True, qknorm=True,
                 _heads(x)
                 for x in jnp.split(cm.linear(p["txt_qkv"], txt_n), 3, -1)
             ]
-            if qknorm:
-                iq, ik = cm.rmsnorm({"g": p["qg"]}, iq), cm.rmsnorm({"g": p["kg"]}, ik)
-                tq, tk = cm.rmsnorm({"g": p["qg"]}, tq), cm.rmsnorm({"g": p["kg"]}, tk)
-            if rope:
-                iq, ik = cm.apply_rope(iq, cos_i, sin_i), cm.apply_rope(ik, cos_i, sin_i)
-                tq, tk = cm.apply_rope(tq, cos_t, sin_t), cm.apply_rope(tk, cos_t, sin_t)
+            if rope_impl == "fused_half":
+                # ONE f32 round trip: rmsnorm + rotate-half rope fused
+                def nr(x, g, c, s):
+                    x32 = x.astype(jnp.float32)
+                    y = x32 * jax.lax.rsqrt(
+                        jnp.mean(x32 * x32, axis=-1, keepdims=True) + 1e-6
+                    ) * g.astype(jnp.float32)
+                    d2 = y.shape[-1] // 2
+                    rot = jnp.concatenate([-y[..., d2:], y[..., :d2]], -1)
+                    return (
+                        y * c[None, :, None, :] + rot * s[None, :, None, :]
+                    ).astype(x.dtype)
+
+                ch_i = jnp.concatenate([cos_i, cos_i], -1)
+                sh_i = jnp.concatenate([sin_i, sin_i], -1)
+                ch_t = jnp.concatenate([cos_t, cos_t], -1)
+                sh_t = jnp.concatenate([sin_t, sin_t], -1)
+                iq, ik = nr(iq, p["qg"], ch_i, sh_i), nr(ik, p["kg"], ch_i, sh_i)
+                tq, tk = nr(tq, p["qg"], ch_t, sh_t), nr(tk, p["kg"], ch_t, sh_t)
+            else:
+                if qknorm:
+                    iq, ik = cm.rmsnorm({"g": p["qg"]}, iq), cm.rmsnorm({"g": p["kg"]}, ik)
+                    tq, tk = cm.rmsnorm({"g": p["qg"]}, tq), cm.rmsnorm({"g": p["kg"]}, tk)
+                if rope and rope_impl == "half":
+                    ch_i = jnp.concatenate([cos_i, cos_i], -1)
+                    sh_i = jnp.concatenate([sin_i, sin_i], -1)
+                    ch_t = jnp.concatenate([cos_t, cos_t], -1)
+                    sh_t = jnp.concatenate([sin_t, sin_t], -1)
+                    iq, ik = _rope_half(iq, ch_i, sh_i), _rope_half(ik, ch_i, sh_i)
+                    tq, tk = _rope_half(tq, ch_t, sh_t), _rope_half(tk, ch_t, sh_t)
+                elif rope:
+                    iq, ik = cm.apply_rope(iq, cos_i, sin_i), cm.apply_rope(ik, cos_i, sin_i)
+                    tq, tk = cm.apply_rope(tq, cos_t, sin_t), cm.apply_rope(tk, cos_t, sin_t)
             q = jnp.concatenate([tq, iq], axis=1)
             k = jnp.concatenate([tk, ik], axis=1)
             v = jnp.concatenate([tv, iv], axis=1)
@@ -268,6 +307,12 @@ variants = [
     ("no_rope", "double", {"rope": False}),
     ("no_qknorm", "double", {"qknorm": False}),
     ("no_mod", "double", {"modulate": False}),
+    # rope layout: score-equivalent rotate-half (after a Wq/Wk column
+    # permutation) replaces the stride-2 pair interleave with one 64-lane
+    # rotation; fused_half additionally merges qk-norm + rope into one f32
+    # round trip (timing-representative; checksum differs from full)
+    ("rope_half", "double", {"rope_impl": "half"}),
+    ("fused_norm_rope", "double", {"rope_impl": "fused_half"}),
     # K padding: sk=4608 with block_k=1024 pads to 5120 (11% wasted attn
     # FLOPs in masked-out blocks); 768 divides 4608 exactly
     ("attn_bk768", "double", {"attn_kw": {"block_k": 768}}),

@@ -75,6 +75,48 @@ def _fused_qkv(state, q, k, v, dtype):
     return p
 
 
+def _half_rope_qkv(p, heads):
+    """Permute the q and k output columns of a fused qkv linear, per head,
+    from the checkpoint's interleaved-pair rope layout to the rotate-half
+    layout the FLUX-family scans run (``models/common.apply_rope_half``;
+    new[j] = old[2j], new[D/2+j] = old[2j+1]).  Attention scores are
+    invariant to a head-dim permutation applied to both q and k, so model
+    outputs are unchanged — only the lane layout of the rope pass is."""
+    from compactfusion_tpu.models.common import rope_half_perm
+
+    d3 = p["w"].shape[-1]
+    dh = d3 // 3 // heads
+    perm = rope_half_perm(dh)
+
+    def pq(a):
+        shp = a.shape
+        ar = a.reshape(*shp[:-1], 3, heads, dh)
+        qk = ar[..., :2, :, :][..., perm]
+        return jnp.concatenate([qk, ar[..., 2:, :, :]], axis=-3).reshape(shp)
+
+    out = {"w": pq(p["w"])}
+    if "b" in p:
+        out["b"] = pq(p["b"])
+    return out
+
+
+def _half_rope_rms(p):
+    """Matching permutation for per-head-dim qk-norm gains (rmsnorm's
+    mean-square is permutation-invariant, the gain vector just relabels)."""
+    from compactfusion_tpu.models.common import rope_half_perm
+
+    return {"g": p["g"][..., rope_half_perm(p["g"].shape[-1])]}
+
+
+def _half_rope_norm(p):
+    """Same for LayerNorm qk-norms (CogVideoX family): mean and variance
+    over the head dim are permutation-invariant; gain AND bias relabel."""
+    from compactfusion_tpu.models.common import rope_half_perm
+
+    perm = rope_half_perm(p["g"].shape[-1])
+    return {"g": p["g"][..., perm], "b": p["b"][..., perm]}
+
+
 def _fused_kv(state, k, v, dtype):
     w = np.concatenate([state[f"{k}.weight"].T, state[f"{v}.weight"].T], axis=1)
     p = {"w": jnp.asarray(w, dtype)}
@@ -281,20 +323,20 @@ def convert_flux(state: Dict[str, np.ndarray], cfg) -> Any:
             {
                 "img_mod": _lin(state, f"{p}.norm1.linear", dt),
                 "txt_mod": _lin(state, f"{p}.norm1_context.linear", dt),
-                "img_qkv": _fused_qkv(
+                "img_qkv": _half_rope_qkv(_fused_qkv(
                     state, f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v", dt
-                ),
-                "txt_qkv": _fused_qkv(
+                ), cfg.heads),
+                "txt_qkv": _half_rope_qkv(_fused_qkv(
                     state,
                     f"{p}.attn.add_q_proj",
                     f"{p}.attn.add_k_proj",
                     f"{p}.attn.add_v_proj",
                     dt,
-                ),
-                "img_q_norm": _rms(state, f"{p}.attn.norm_q", dt),
-                "img_k_norm": _rms(state, f"{p}.attn.norm_k", dt),
-                "txt_q_norm": _rms(state, f"{p}.attn.norm_added_q", dt),
-                "txt_k_norm": _rms(state, f"{p}.attn.norm_added_k", dt),
+                ), cfg.heads),
+                "img_q_norm": _half_rope_rms(_rms(state, f"{p}.attn.norm_q", dt)),
+                "img_k_norm": _half_rope_rms(_rms(state, f"{p}.attn.norm_k", dt)),
+                "txt_q_norm": _half_rope_rms(_rms(state, f"{p}.attn.norm_added_q", dt)),
+                "txt_k_norm": _half_rope_rms(_rms(state, f"{p}.attn.norm_added_k", dt)),
                 "img_out": _lin(state, f"{p}.attn.to_out.0", dt),
                 "txt_out": _lin(state, f"{p}.attn.to_add_out", dt),
                 "img_ffn": {
@@ -313,11 +355,11 @@ def convert_flux(state: Dict[str, np.ndarray], cfg) -> Any:
         singles.append(
             {
                 "mod": _lin(state, f"{p}.norm.linear", dt),
-                "qkv": _fused_qkv(
+                "qkv": _half_rope_qkv(_fused_qkv(
                     state, f"{p}.attn.to_q", f"{p}.attn.to_k", f"{p}.attn.to_v", dt
-                ),
-                "q_norm": _rms(state, f"{p}.attn.norm_q", dt),
-                "k_norm": _rms(state, f"{p}.attn.norm_k", dt),
+                ), cfg.heads),
+                "q_norm": _half_rope_rms(_rms(state, f"{p}.attn.norm_q", dt)),
+                "k_norm": _half_rope_rms(_rms(state, f"{p}.attn.norm_k", dt)),
                 "mlp": {
                     "fc1": _lin(state, f"{p}.proj_mlp", dt),
                     # proj_out rows [d:] act on the gelu(mlp) half
@@ -661,12 +703,12 @@ def convert_cogvideox(state: Dict[str, np.ndarray], cfg) -> Any:
                 "norm1": _norm(state, f"{p}.norm1.norm", dt),
                 "mod_ff": _lin(state, f"{p}.norm2.linear", dt),
                 "norm2": _norm(state, f"{p}.norm2.norm", dt),
-                "qkv": _fused_qkv(
+                "qkv": _half_rope_qkv(_fused_qkv(
                     state, f"{p}.attn1.to_q", f"{p}.attn1.to_k",
                     f"{p}.attn1.to_v", dt,
-                ),
-                "q_norm": _norm(state, f"{p}.attn1.norm_q", dt),
-                "k_norm": _norm(state, f"{p}.attn1.norm_k", dt),
+                ), cfg.heads),
+                "q_norm": _half_rope_norm(_norm(state, f"{p}.attn1.norm_q", dt)),
+                "k_norm": _half_rope_norm(_norm(state, f"{p}.attn1.norm_k", dt)),
                 "attn_out": _lin(state, f"{p}.attn1.to_out.0", dt),
                 "ffn": {
                     "fc1": _lin(state, f"{p}.ff.net.0.proj", dt),

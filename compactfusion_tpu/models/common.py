@@ -223,6 +223,48 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.reshape(x.shape).astype(x.dtype)
 
 
+def rope_half_tables(
+    cos: jax.Array, sin: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Duplicate (S, D/2) tables to the (S, D) form ``apply_rope_half`` eats.
+
+    Build these OUTSIDE the block scan so the concat is done once, not per
+    layer.
+    """
+    return (
+        jnp.concatenate([cos, cos], axis=-1),
+        jnp.concatenate([sin, sin], axis=-1),
+    )
+
+
+def apply_rope_half(x: jax.Array, cos_f: jax.Array, sin_f: jax.Array) -> jax.Array:
+    """Rotate-half (NeoX-layout) rope on (B, S, H, D): dim pairs (i, i+D/2).
+
+    Score-equivalent to :func:`apply_rope` once the producing Wq/Wk columns
+    (and qk-norm gains) are permuted per head by :func:`rope_half_perm` —
+    attention is invariant to a head-dim permutation applied to BOTH q and
+    k, and rmsnorm's mean-square is permutation-invariant.  The payoff is
+    layout: the half-swap is one D/2-lane rotation, where the interleaved
+    form needs a stride-2 lane shuffle that Mosaic/XLA lowers expensively —
+    measured 10.887 -> 10.362 ms per FLUX-1024 double block on v5e
+    (_prof_flux.py rope_half; docs/PERF.md).
+    """
+    x32 = x.astype(jnp.float32)
+    d2 = x.shape[-1] // 2
+    rot = jnp.concatenate([-x32[..., d2:], x32[..., :d2]], axis=-1)
+    c = cos_f[None, :, None, :]
+    s = sin_f[None, :, None, :]
+    return (x32 * c + rot * s).astype(x.dtype)
+
+
+def rope_half_perm(dh: int):
+    """Head-dim permutation taking interleaved-pair rope channels to the
+    rotate-half layout: new[j] = old[2j], new[D/2 + j] = old[2j + 1]."""
+    import numpy as np
+
+    return np.concatenate([np.arange(0, dh, 2), np.arange(1, dh, 2)])
+
+
 # ---------------------------------------------------------------------------
 # patchify / unpatchify
 # ---------------------------------------------------------------------------

@@ -132,6 +132,11 @@ def consisid_forward(
     txt = cm.linear(params["text_proj"], txt)
     temb = cm.timestep_embedder(params["t_embed"], t, cfg.dim)
 
+    if video_rope is not None:
+        # params are in the rotate-half rope layout (converter permutes the
+        # interleaved checkpoint Wq/Wk; models/common.apply_rope_half)
+        cos_v, sin_v = cm.rope_half_tables(*video_rope)
+
     def _mod6(p, temb):
         out = cm.linear(p, cm.silu(temb))
         return jnp.split(out[:, None, :], 6, axis=-1)
@@ -154,9 +159,8 @@ def consisid_forward(
             tq = cm.layernorm(p["q_norm"], tq, eps=1e-6)
             tk = cm.layernorm(p["k_norm"], tk, eps=1e-6)
             if video_rope is not None:
-                cos_v, sin_v = video_rope
-                vq = cm.apply_rope(vq, cos_v, sin_v)
-                vk = cm.apply_rope(vk, cos_v, sin_v)
+                vq = cm.apply_rope_half(vq, cos_v, sin_v)
+                vk = cm.apply_rope_half(vk, cos_v, sin_v)
             o, state = attn(vq, vk, vv, state, joint_q=tq, joint_k=tk, joint_v=tv)
             s_txt = txt.shape[1]
             txt_o, vid_o = o[:, :s_txt], o[:, s_txt:]

@@ -231,8 +231,10 @@ def flux_double_scan(
     compiled per contiguous segment with its own state pytree.
     """
     h = cfg.heads
-    cos_i, sin_i = img_rope
-    cos_t, sin_t = txt_rope
+    # FLUX params live in the rotate-half rope layout (converters permute
+    # the interleaved checkpoint Wq/Wk, models/common.apply_rope_half)
+    cos_i, sin_i = cm.rope_half_tables(*img_rope)
+    cos_t, sin_t = cm.rope_half_tables(*txt_rope)
 
     def make_block(attn):
       def double_block(carry, xs):
@@ -248,8 +250,8 @@ def flux_double_scan(
         tq, tk, tv = [_heads(x, h) for x in jnp.split(cm.linear(p["txt_qkv"], txt_n), 3, -1)]
         iq, ik = _qk_norm(p["img_q_norm"], p["img_k_norm"], iq, ik)
         tq, tk = _qk_norm(p["txt_q_norm"], p["txt_k_norm"], tq, tk)
-        iq, ik = cm.apply_rope(iq, cos_i, sin_i), cm.apply_rope(ik, cos_i, sin_i)
-        tq, tk = cm.apply_rope(tq, cos_t, sin_t), cm.apply_rope(tk, cos_t, sin_t)
+        iq, ik = cm.apply_rope_half(iq, cos_i, sin_i), cm.apply_rope_half(ik, cos_i, sin_i)
+        tq, tk = cm.apply_rope_half(tq, cos_t, sin_t), cm.apply_rope_half(tk, cos_t, sin_t)
 
         o, state = attn(iq, ik, iv, state, joint_q=tq, joint_k=tk, joint_v=tv)
         s_txt = txt.shape[1]
@@ -276,8 +278,8 @@ def flux_single_scan(
     """Scan the (stacked) single blocks on the fused stream:
     -> (img, txt, new_state)."""
     h = cfg.heads
-    cos_i, sin_i = img_rope
-    cos_t, sin_t = txt_rope
+    cos_i, sin_i = cm.rope_half_tables(*img_rope)
+    cos_t, sin_t = cm.rope_half_tables(*txt_rope)
     s_txt = txt.shape[1]
 
     if type(attn) is SingleDeviceAttn and not jax.tree_util.tree_leaves(
@@ -302,8 +304,8 @@ def flux_single_scan(
                 _heads(y, h) for y in jnp.split(cm.linear(p["qkv"], xn), 3, -1)
             ]
             q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k)
-            q = cm.apply_rope(q, cos_f, sin_f)
-            k = cm.apply_rope(k, cos_f, sin_f)
+            q = cm.apply_rope_half(q, cos_f, sin_f)
+            k = cm.apply_rope_half(k, cos_f, sin_f)
             o, _ = attn(q, k, v, ())
             y = cm.linear(p["out_attn"], _unheads(o)) + cm.ffn(
                 p["mlp"], xn, tp_axis=tp_axis
@@ -327,8 +329,8 @@ def flux_single_scan(
         tq, iq = q[:, :s_txt], q[:, s_txt:]
         tk, ik = k[:, :s_txt], k[:, s_txt:]
         tv, iv = v[:, :s_txt], v[:, s_txt:]
-        iq, ik = cm.apply_rope(iq, cos_i, sin_i), cm.apply_rope(ik, cos_i, sin_i)
-        tq, tk = cm.apply_rope(tq, cos_t, sin_t), cm.apply_rope(tk, cos_t, sin_t)
+        iq, ik = cm.apply_rope_half(iq, cos_i, sin_i), cm.apply_rope_half(ik, cos_i, sin_i)
+        tq, tk = cm.apply_rope_half(tq, cos_t, sin_t), cm.apply_rope_half(tk, cos_t, sin_t)
         o, state = attn(iq, ik, iv, state, joint_q=tq, joint_k=tk, joint_v=tv)
         attn_out = _unheads(o)
         # y = [attn_out, gelu(mlp)] @ proj_out, with the mlp half running as
