@@ -1,0 +1,149 @@
+"""Measured FULL-DEPTH FLUX (19 double + 38 single blocks) forward at
+1024px on ONE v5e chip, via weights-only int8 (VERDICT r4 missing #3 /
+next #2).
+
+FLUX.1 is 11.9B block params: 23.8 GB bf16 (exceeds one v5e's 16 GB HBM —
+all previous numbers were reduced-depth extrapolations, BENCH_FLUX.json),
+but 11.9 GB int8 + one dequantized bf16 block inside the scan fits.  The
+int8 machinery is ``cm.quantize_params_int8`` + transparent dequant in
+``cm.linear`` (parity-tested in tests/models/test_flux.py::
+test_flux_int8_weights_match_bf16); the reference runs full FLUX across
+GPUs instead (``docs/performance/flux.md:26-34``).
+
+Timing-equivalence note: params are generated DIRECTLY in int8 on device
+(random bits + constant scale) because a real checkpoint quantization would
+need the 24 GB bf16 tree first; MXU/HBM timing is weight-value-independent.
+
+Usage: python benchmark/flux_full_int8.py  (writes BENCH_FLUX_FULL.json and
+prints one JSON line; serialize with other chip jobs).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_int8_flux_params(key, cfg):
+    """int8 param tree with the exact structure of
+    ``cm.quantize_params_int8(init_flux(key, cfg), keys=block_stacks)``,
+    generated leaf-by-leaf on device (peak HBM = final tree, not 2x)."""
+    import jax
+    import jax.numpy as jnp
+
+    from compactfusion_tpu.models import common as cm
+    from compactfusion_tpu.models.flux import init_flux
+
+    shapes = jax.eval_shape(
+        lambda k: cm.quantize_params_int8(
+            init_flux(k, cfg), keys=("double_blocks", "single_blocks")
+        ),
+        key,
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    def gen_leaf(k, leaf):
+        if leaf.dtype == jnp.int8:
+            return jax.random.randint(k, leaf.shape, -127, 128, jnp.int32).astype(
+                jnp.int8
+            )
+        if leaf.dtype == jnp.float32 and leaf.shape[-2:-1] == (1,):
+            # per-output-channel scales: realistic magnitude (0.02/127)
+            return jnp.full(leaf.shape, 0.02 / 127.0, jnp.float32)
+        return (
+            jax.random.normal(k, leaf.shape, jnp.float32) * 0.02
+        ).astype(leaf.dtype)
+
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for k, leaf in zip(keys, leaves):
+        out.append(jax.jit(gen_leaf, static_argnums=())(k, leaf))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from compactfusion_tpu.utils import jax_cache
+
+    jax_cache.enable()
+
+    from compactfusion_tpu.models import common as cm
+    from compactfusion_tpu.models.flux import (
+        FluxConfig,
+        flux_forward,
+        flux_image_positions,
+    )
+
+    cfg = FluxConfig(guidance_embeds=False)  # schnell geometry, full depth
+    params = build_int8_flux_params(jax.random.PRNGKey(0), cfg)
+    n_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(params)
+    )
+
+    b, s_txt, hp, wp = 1, 512, 64, 64  # 1024px -> 64x64 packed latent tokens
+    img0 = jnp.zeros((b, hp * wp, cfg.in_channels), cfg.dtype)
+    txt = jnp.zeros((b, s_txt, cfg.text_dim), cfg.dtype)
+    pooled = jnp.zeros((b, cfg.pooled_dim), jnp.float32)
+    t = jnp.full((b,), 500.0, jnp.float32)
+    img_rope = cm.rope_frequencies(flux_image_positions(hp, wp), cfg.axes_dim)
+    txt_rope = cm.rope_frequencies(jnp.zeros((s_txt, 3), jnp.int32), cfg.axes_dim)
+    steps = 4
+
+    @jax.jit
+    def loop(params, img):
+        def body(carry, _):
+            out, _, _ = flux_forward(
+                params, carry, txt, pooled, t, None, cfg,
+                img_rope=img_rope, txt_rope=txt_rope,
+            )
+            return out.astype(carry.dtype), None
+
+        out, _ = jax.lax.scan(body, img, None, length=steps)
+        return jnp.sum(out)
+
+    t0 = time.perf_counter()
+    _ = np.asarray(loop(params, img0))  # compile+run
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(loop(params, img0))
+        times.append(time.perf_counter() - t0)
+    fwd_ms = min(times) / steps * 1e3
+
+    # MFU: 2 * active_params * tokens matmul FLOPs + attention
+    s_img = hp * wp
+    s_full = s_img + s_txt
+    block_flops = 2 * 11.86e9 * s_full  # param matmuls (text rides all blocks)
+    attn_flops = (19 + 38) * 4 * b * s_full * s_full * cfg.dim * 2  # qk+av, 2x causal-free
+    mfu = (block_flops + attn_flops) / (fwd_ms / 1e3) / 197e12 * 100
+
+    out = {
+        "device": jax.devices()[0].device_kind,
+        "depth": {"double": cfg.double_layers, "single": cfg.single_layers},
+        "shape": {"img_tokens": s_img, "txt_tokens": s_txt, "px": 1024},
+        "weights_gb_int8": round(n_bytes / 1e9, 2),
+        "measured_full_depth_fwd_ms": round(fwd_ms, 1),
+        "schnell_4step_s_per_image_1chip": round(4 * fwd_ms / 1e3, 3),
+        "model_forward_mfu_pct": round(mfu, 1),
+        "compile_plus_first_run_s": round(compile_s, 1),
+        "note": "full 57-block FLUX measured on one v5e via weights-only "
+        "int8 (bf16 MXU compute); retires the depth-sweep extrapolation "
+        "in BENCH_FLUX.json (was 575.4 ms est)",
+    }
+    with open(os.path.join(REPO, "BENCH_FLUX_FULL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

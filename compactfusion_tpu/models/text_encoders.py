@@ -92,29 +92,12 @@ def quantize_t5_int8(params):
     ~9.1 GB bf16 to ~4.6 GB — over a quarter of a 16 GB chip back — and
     ``t5_encode`` dequantizes one layer at a time inside its scan, so peak
     HBM is int8-model + one bf16 block.  Compute stays bf16 on the MXU.
+    Linears share :func:`cm.quantize_params_int8`; the embedding table gets
+    a per-row scale here.
     """
-
-    def quant(w):
-        w32 = jnp.asarray(w, jnp.float32)
-        # reduce over the INPUT axis (second-to-last) so the scale is
-        # per-output-channel for both unstacked (in, out) and layer-stacked
-        # (L, in, out) matrices
-        scale = jnp.max(jnp.abs(w32), axis=-2, keepdims=True) / 127.0
-        scale = jnp.where(scale == 0.0, 1.0, scale)
-        q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
-        return {"w_q": q, "scale": scale}
-
-    def walk(p):
-        if isinstance(p, dict):
-            if "w" in p and getattr(p["w"], "ndim", 0) >= 2:
-                out = quant(p["w"])
-                if "b" in p:
-                    out["b"] = p["b"]
-                return out
-            return {k: walk(v) for k, v in p.items()}
-        return p
-
-    out = {k: walk(v) for k, v in params.items() if k != "embed"}
+    out = cm.quantize_params_int8(
+        {k: v for k, v in params.items() if k != "embed"}
+    )
     emb32 = jnp.asarray(params["embed"], jnp.float32)
     esc = jnp.max(jnp.abs(emb32), axis=1, keepdims=True) / 127.0
     esc = jnp.where(esc == 0.0, 1.0, esc)
@@ -124,13 +107,7 @@ def quantize_t5_int8(params):
 
 
 def _lin_mq(p, x):
-    """``cm.linear`` that transparently dequantizes ``quantize_t5_int8``
-    weights (int8 * f32 channel scale -> bf16, fused by XLA into the matmul
-    operand read)."""
-    if "w_q" in p:
-        w = (p["w_q"].astype(jnp.float32) * p["scale"]).astype(x.dtype)
-        y = x @ w
-        return y + p["b"].astype(y.dtype) if "b" in p else y
+    """``cm.linear`` (which transparently dequantizes int8 weights)."""
     return cm.linear(p, x)
 
 

@@ -329,3 +329,60 @@ def test_flux_sync_pipefusion_exact(tiny):
         txt, pooled, key, decode=False
     )
     assert rel_err(out, ref) < 1e-5
+
+
+def test_flux_int8_weights_match_bf16(tiny):
+    """Weights-only int8 (VERDICT r4 #2: full-depth FLUX on one v5e rides
+    cm.quantize_params_int8 over the block stacks): quantized forward must
+    track the bf16 forward within per-channel-scale rounding error."""
+    mcfg, params = tiny
+    b, s_img, s_txt = 2, 16, 8
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(
+        rng.standard_normal((b, s_img, mcfg.in_channels)), mcfg.dtype
+    )
+    txt = jnp.asarray(rng.standard_normal((b, s_txt, mcfg.text_dim)), mcfg.dtype)
+    pooled = jnp.asarray(rng.standard_normal((b, mcfg.pooled_dim)), jnp.float32)
+    t = jnp.full((b,), 500.0)
+    g = jnp.full((b,), 3500.0)
+    img_rope = cm.rope_frequencies(flux_image_positions(4, 4), mcfg.axes_dim)
+    txt_rope = cm.rope_frequencies(
+        jnp.zeros((s_txt, 3), jnp.int32), mcfg.axes_dim
+    )
+
+    fwd = jax.jit(
+        lambda p, i: flux_forward(
+            p, i, txt, pooled, t, g, mcfg, img_rope=img_rope, txt_rope=txt_rope
+        )[0]
+    )
+    ref = fwd(params, img)
+    qparams = cm.quantize_params_int8(
+        params, keys=("double_blocks", "single_blocks")
+    )
+    # only the block stacks are quantized; embedders/head stay bf16
+    assert "w_q" in qparams["double_blocks"]["img_qkv"]
+    assert "w_q" not in str(type(qparams["x_embedder"].get("w_q", None)))
+    assert qparams["x_embedder"]["w"].dtype == mcfg.dtype
+    out = fwd(qparams, img)
+    err = rel_err(out, ref)
+    # int8 per-channel rounding: small but nonzero (bf16 fwd is not exactly
+    # reproduced); spiced params keep the signal path live
+    assert 1e-4 < err < 0.05, err
+
+
+def test_quantize_params_int8_fullquant_t5_shares_walker():
+    """keys=None quantizes every >=2D linear in the tree."""
+    p = {
+        "a": {"w": jnp.ones((8, 16), jnp.bfloat16), "b": jnp.zeros(16)},
+        "vec": {"w": jnp.ones((16,), jnp.bfloat16)},
+    }
+    q = cm.quantize_params_int8(p)
+    assert set(q["a"]) == {"w_q", "scale", "b"}
+    assert q["a"]["w_q"].dtype == jnp.int8
+    assert q["vec"]["w"].shape == (16,)  # 1D untouched
+    x = jnp.ones((2, 8), jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(cm.linear(q["a"], x), np.float32),
+        np.asarray(cm.linear(p["a"], x), np.float32),
+        rtol=1e-2,
+    )
