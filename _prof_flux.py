@@ -114,6 +114,11 @@ def _rope_half(x, cos_f, sin_f):
 
 def make_double_fwd(attn=True, ffn=True, rope=True, qknorm=True,
                     modulate=True, rope_impl="interleave", attn_kw=None):
+    # fused_half fuses qk-norm INTO the rope pass, so it cannot compose with
+    # the no_qknorm / no_rope ablations (it would silently measure both on)
+    assert rope_impl != "fused_half" or (rope and qknorm), (
+        "rope_impl='fused_half' requires rope=True and qknorm=True"
+    )
     attn_kw = dict(attn_kw or {})
 
     def fwd(params, img, txt, temb, ropes):

@@ -106,8 +106,34 @@ def _guard_chip(busy_wait_s: int = 6300, probe_timeout_s: int = 180) -> None:
     _emit_stale_or_die(f"device backend unreachable (probe {last_err} x3)")
 
 
+def _flux_full_depth_ms():
+    """Measured FULL-depth (19+38 block) int8 FLUX forward, in a SUBPROCESS
+    so the 12 GB param tree is freed before the PixArt run and an OOM can't
+    kill the whole bench (the chip is single-tenant: run before the parent
+    initializes the backend)."""
+    out_path = os.path.join(os.path.dirname(_LAST_GOOD), "BENCH_FLUX_FULL.json")
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmark", "flux_full_int8.py"
+    )
+    try:
+        subprocess.run(
+            [sys.executable, script],
+            timeout=2400,
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        with open(out_path) as f:
+            full = json.load(f)
+        return full["measured_full_depth_fwd_ms"]
+    except Exception as e:  # noqa: BLE001 - any failure → extrapolation only
+        print(f"bench: full-depth FLUX skipped ({e})", file=sys.stderr)
+        return None
+
+
 def main():
     _guard_chip()
+    flux_full_ms = _flux_full_depth_ms()
 
     import jax
     import jax.numpy as jnp
@@ -192,6 +218,9 @@ def main():
             "flux_extrapolated_schnell_4step_s_per_image_1chip": round(
                 4 * full_ms / 1e3, 3
             ),
+            # MEASURED full 57-block FLUX via int8 weights (None if the
+            # subprocess failed; see BENCH_FLUX_FULL.json for breakdown)
+            "flux_full_depth_1024px_fwd_ms_measured": flux_full_ms,
         }
     )
 

@@ -87,11 +87,15 @@ def main():
     overhead = ms_a - 4 * per_double - 8 * per_single
     full_fwd = overhead + 19 * per_double + 38 * per_single
 
-    # flops accounting at S_img=4096, S_txt=512 for MFU
+    # flops accounting at S_img=4096, S_txt=512 for MFU.  Per STREAM a
+    # double block is 18d^2 params (6d^2 AdaLN mod + 3d^2 qkv + d^2 out +
+    # 8d^2 ffn) and each stream only sees its own tokens; a single block is
+    # 15d^2 over the fused stream.  (Pre-r5 this dropped the mod matmuls
+    # and out-projections and reported ~0.72x the true MFU.)
     d = 3072
     s_all = 4096 + 512
-    double_flops = 2 * s_all * (4 * d * d + 2 * d * 4 * d) + 4 * s_all * s_all * d
-    single_flops = 2 * s_all * (d * d * 2 + 2 * d * 4 * d) + 4 * s_all * s_all * d
+    double_flops = 2 * s_all * (18 * d * d) + 4 * s_all * s_all * d
+    single_flops = 2 * s_all * (15 * d * d) + 4 * s_all * s_all * d
     full_flops = 19 * double_flops + 38 * single_flops
     mfu = full_flops / (full_fwd / 1e3) / 197e12
 

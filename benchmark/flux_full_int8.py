@@ -119,11 +119,23 @@ def main():
         times.append(time.perf_counter() - t0)
     fwd_ms = min(times) / steps * 1e3
 
-    # MFU: 2 * active_params * tokens matmul FLOPs + attention
+    # MFU: matmul FLOPs = 2 * params * tokens-that-ride-them.  In double
+    # blocks each stream (img/txt) only sees its own tokens; in single
+    # blocks every param sees the fused stream.
     s_img = hp * wp
     s_full = s_img + s_txt
-    block_flops = 2 * 11.86e9 * s_full  # param matmuls (text rides all blocks)
-    attn_flops = (19 + 38) * 4 * b * s_full * s_full * cfg.dim * 2  # qk+av, 2x causal-free
+    d = cfg.dim
+    dbl_stream_params = (  # one stream's half of a double block
+        d * 6 * d + d * 3 * d + d * d + 2 * d * cfg.mlp_ratio * d
+    )
+    sgl_params = d * 3 * d + d * 3 * d + 2 * d * cfg.mlp_ratio * d + d * d
+    block_flops = 2 * b * (
+        cfg.double_layers * dbl_stream_params * (s_img + s_txt)
+        + cfg.single_layers * sgl_params * s_full
+    )
+    attn_flops = (
+        (cfg.double_layers + cfg.single_layers) * 4 * b * s_full * s_full * d
+    )
     mfu = (block_flops + attn_flops) / (fwd_ms / 1e3) / 197e12 * 100
 
     out = {

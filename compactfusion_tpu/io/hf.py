@@ -24,6 +24,8 @@ from typing import Any, Dict
 import jax.numpy as jnp
 import numpy as np
 
+from compactfusion_tpu.models.common import rope_half_perm
+
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     """Load one file or every ``*.safetensors`` shard in a directory."""
@@ -82,8 +84,6 @@ def _half_rope_qkv(p, heads):
     new[j] = old[2j], new[D/2+j] = old[2j+1]).  Attention scores are
     invariant to a head-dim permutation applied to both q and k, so model
     outputs are unchanged — only the lane layout of the rope pass is."""
-    from compactfusion_tpu.models.common import rope_half_perm
-
     d3 = p["w"].shape[-1]
     dh = d3 // 3 // heads
     perm = rope_half_perm(dh)
@@ -103,16 +103,12 @@ def _half_rope_qkv(p, heads):
 def _half_rope_rms(p):
     """Matching permutation for per-head-dim qk-norm gains (rmsnorm's
     mean-square is permutation-invariant, the gain vector just relabels)."""
-    from compactfusion_tpu.models.common import rope_half_perm
-
     return {"g": p["g"][..., rope_half_perm(p["g"].shape[-1])]}
 
 
 def _half_rope_norm(p):
     """Same for LayerNorm qk-norms (CogVideoX family): mean and variance
     over the head dim are permutation-invariant; gain AND bias relabel."""
-    from compactfusion_tpu.models.common import rope_half_perm
-
     perm = rope_half_perm(p["g"].shape[-1])
     return {"g": p["g"][..., perm], "b": p["b"][..., perm]}
 

@@ -282,6 +282,27 @@ def flux_single_scan(
     cos_t, sin_t = cm.rope_half_tables(*txt_rope)
     s_txt = txt.shape[1]
 
+    # Shared single-block math (ADVICE r4: keep the fused fastpath and the
+    # generic strategy path on ONE implementation so a norm/proj tweak can't
+    # silently drift them; test_flux_single_scan_fused_matches_generic pins
+    # the equivalence).
+    def qkv_and_norm(p, x):
+        sh, sc, g = _mod(p["mod"], temb, 3)
+        xn = cm.layernorm({}, x) * (1 + sc) + sh
+        q, k, v = [
+            _heads(y, h) for y in jnp.split(cm.linear(p["qkv"], xn), 3, -1)
+        ]
+        q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k)
+        return xn, q, k, v, g
+
+    def out_proj(p, attn_out, xn, x, g):
+        # y = [attn_out, gelu(mlp)] @ proj_out, with the mlp half running as
+        # a TP-shardable GELU FFN and the attn half replicated
+        y = cm.linear(p["out_attn"], attn_out) + cm.ffn(
+            p["mlp"], xn, tp_axis=tp_axis
+        )
+        return x + g * y
+
     if type(attn) is SingleDeviceAttn and not jax.tree_util.tree_leaves(
         attn_state
     ):
@@ -298,19 +319,11 @@ def flux_single_scan(
         sin_f = jnp.concatenate([sin_t, sin_i], axis=0)
 
         def fused_block(x, p):
-            sh, sc, g = _mod(p["mod"], temb, 3)
-            xn = cm.layernorm({}, x) * (1 + sc) + sh
-            q, k, v = [
-                _heads(y, h) for y in jnp.split(cm.linear(p["qkv"], xn), 3, -1)
-            ]
-            q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k)
+            xn, q, k, v, g = qkv_and_norm(p, x)
             q = cm.apply_rope_half(q, cos_f, sin_f)
             k = cm.apply_rope_half(k, cos_f, sin_f)
             o, _ = attn(q, k, v, ())
-            y = cm.linear(p["out_attn"], _unheads(o)) + cm.ffn(
-                p["mlp"], xn, tp_axis=tp_axis
-            )
-            return x + g * y, None
+            return out_proj(p, _unheads(o), xn, x, g), None
 
         x = jnp.concatenate([txt, img], axis=1)
         x, _ = jax.lax.scan(fused_block, x, blocks)
@@ -320,11 +333,8 @@ def flux_single_scan(
       def single_block(carry, xs):
         img, txt = carry
         p, state = xs
-        sh, sc, g = _mod(p["mod"], temb, 3)
         x = jnp.concatenate([txt, img], axis=1)
-        xn = cm.layernorm({}, x) * (1 + sc) + sh
-        q, k, v = [_heads(y, h) for y in jnp.split(cm.linear(p["qkv"], xn), 3, -1)]
-        q, k = _qk_norm(p["q_norm"], p["k_norm"], q, k)
+        xn, q, k, v, g = qkv_and_norm(p, x)
         # joint (text) rows are the first s_txt tokens of the fused stream
         tq, iq = q[:, :s_txt], q[:, s_txt:]
         tk, ik = k[:, :s_txt], k[:, s_txt:]
@@ -332,13 +342,7 @@ def flux_single_scan(
         iq, ik = cm.apply_rope_half(iq, cos_i, sin_i), cm.apply_rope_half(ik, cos_i, sin_i)
         tq, tk = cm.apply_rope_half(tq, cos_t, sin_t), cm.apply_rope_half(tk, cos_t, sin_t)
         o, state = attn(iq, ik, iv, state, joint_q=tq, joint_k=tk, joint_v=tv)
-        attn_out = _unheads(o)
-        # y = [attn_out, gelu(mlp)] @ proj_out, with the mlp half running as
-        # a TP-shardable GELU FFN and the attn half replicated
-        y = cm.linear(p["out_attn"], attn_out) + cm.ffn(
-            p["mlp"], xn, tp_axis=tp_axis
-        )
-        x = x + g * y
+        x = out_proj(p, _unheads(o), xn, x, g)
         return (x[:, s_txt:], x[:, :s_txt]), state
 
       return single_block
