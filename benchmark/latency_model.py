@@ -6,21 +6,32 @@ show compression winning exactly when the link is slow.  Multi-chip TPU
 hardware is not attached in this environment, so this script produces the
 HONEST analog: an ANALYTICAL roofline combining
 
-  * MEASURED single-chip compute (``BENCH_FLUX.json``: per-block forward
-    times at real 1024px shapes, 59.8% model-forward MFU on v5e), and
+  * MEASURED single-chip compute (``BENCH_FLUX_FULL.json``: full-depth
+    57-block FLUX forward 561.5 ms at 1024px on v5e, 85.2% MFU — measured,
+    not extrapolated, since r5), and
   * EXACT per-device wire volume from static payload shapes
     (``benchmark/bytes_per_step.ring_bytes_per_step`` — the same accounting
     behind ``BYTES_NORTHSTAR.json``),
 
-under a simple execution model: per denoise step,
+under three execution models per denoise step (VERDICT r4 next #4 asked
+for a measured/structural overlap treatment, video shapes, and multi-slice):
 
-    t_step = max(t_compute, overlap * t_comm) + (1 - overlap) * t_comm
+  * ``no_overlap``:   t = t_compute + t_comm           (worst case)
+  * ``full_overlap``: t = max(t_compute, t_comm)       (unreachable ideal)
+  * ``pipelined``:    the fused ring kernel's ACTUAL structure
+    (``ops/ring_flash_pallas.py``: hop h+1's RDMA is issued before hop h's
+    flash partial) — per layer per hop the exposed wire time is
+    max(0, t_comm_hop - t_flash_hop), everything else hides under the
+    flash partial.  This is the defensible operating model.
 
-with t_comm = ring bytes / link bandwidth (each device sends and receives
-its payload every hop; hops pipeline, so the serialized wire time is the
-per-device byte volume over the per-link bandwidth).  ``overlap`` models
-how much of the transfer hides under the flash partials (XLA scheduler /
-the fused ring kernel); both 0 (worst case) and 1 (perfect) are reported.
+Scenarios: FLUX-1024 / FLUX-2048 (image), HunyuanVideo 720p 129f and
+CogVideoX 49f 720x480 (video, where attention grows quadratically in S and
+hides comm even uncompressed on fast links).
+
+Links: v5e ICI ring (50 GB/s one direction), DCN 25 GB/s — which is ALSO
+the effective speed of ANY ring with >=1 inter-slice hop, because the ring
+rotation is lockstep and every step is gated by its slowest edge — and the
+paper's throttled-Ethernet points (2 / 0.5 GB/s).
 
 EVERY number here is a model prediction, not a measurement — the JSON says
 so.  Measured inputs are cited inline.
@@ -34,88 +45,142 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# ---- measured single-chip inputs (BENCH_FLUX.json, v5e) -------------------
-FWD_MS_1CHIP = 575.4  # full-depth FLUX-1024 forward, measured per-block
-STEPS = 28
+STEPS_IMAGE = 28
+STEPS_VIDEO = 50
+WARMUP = 4  # warmup steps ship RAW bf16 payloads (CompactConfig default)
+
+# ---- measured single-chip anchors (v5e) -----------------------------------
+# BENCH_FLUX_FULL.json: 94.2 TFLOP/fwd in 561.5 ms -> 167.7 TFLOP/s effective
+# over the FLUX-1024 matmul+attention mix (85.2% of 197 peak).
+MATMUL_RATE = 170e12  # dense matmul effective rate (FFN measured 86% MFU)
+ATTN_RATE = 110e12  # flash-kernel rate at head_dim 128 (FLUX kernel-parts)
 
 # ---- link bandwidths (GB/s, per direction per device) ---------------------
 LINKS = {
-    # v5e ICI: 4 links x ~50 GB/s each direction per chip (public v5e
-    # spec: 1600 Gbps aggregate).  The ring implementations send each hop
-    # to ONE neighbor in one direction (ppermute rotation / the fused RDMA
-    # kernel), so the effective SEND bandwidth is a single link — counting
-    # the receive-side link would halve predicted ICI comm time for
-    # traffic no code path splits into counter-rotating half-rings
+    # v5e ICI: the ring sends each hop to ONE neighbor in one direction
+    # (ppermute rotation / the fused RDMA kernel) => one link's 50 GB/s
     "ici_v5e_ring": 50.0,
-    # DCN between slices/hosts (~200 Gbps NICs)
-    "dcn_25GBps": 25.0,
-    # the paper's bandwidth-constrained point (latency_eth.csv: 2000 MB/s)
+    # DCN between slices (~200 Gbps NICs).  ALSO the effective per-hop rate
+    # of a MULTI-SLICE ring (e.g. 2x v5e-8): rotation is lockstep, so every
+    # hop waits on the slowest edge — the DCN crossing
+    "dcn_25GBps_or_multislice_ring": 25.0,
+    # the paper's bandwidth-constrained points (latency_eth.csv)
     "eth_2GBps": 2.0,
-    # heavily constrained multi-datacenter style link
     "wan_0.5GBps": 0.5,
 }
 
+# ---- scenario geometry -----------------------------------------------------
+# matmul TFLOPs are 2 * active-params * tokens with per-family structure
+# (FLUX double blocks: each stream sees only its own tokens).
+_D_FLUX = 3072
 
-def model(ring: int = 8):
-    from benchmark.bytes_per_step import ring_bytes_per_step
 
-    # compute shrinks ~linearly with sequence sharding (attention's
-    # quadratic term is subdominant at FLUX-1024; measured FFN-dominated)
-    t_compute = FWD_MS_1CHIP / ring / 1e3  # s per step per device
+def _flux_flops(s_img, s_txt):
+    d = _D_FLUX
+    dbl_stream = d * 6 * d + d * 3 * d + d * d + 2 * d * 4 * d  # 18d^2
+    sgl = 15 * d * d
+    s = s_img + s_txt
+    matmul = 2.0 * (19 * dbl_stream * s + 38 * sgl * s)
+    attn = 57 * 4.0 * s * s * d
+    return matmul, attn
 
-    configs = [
-        ("uncompressed-ring", dict(compact_type="none")),
-        ("compact-1bit", dict(compact_type="binary")),
-        ("compact-low-rank-r2", dict(compact_type="low-rank", comp_rank=2)),
-    ]
-    warmup = 4  # warmup steps ship RAW bf16 payloads (CompactConfig default)
-    out = {"model": "FLUX-1024, 28 steps, ring-%d" % ring,
-           "inputs": {
-               "fwd_ms_1chip_measured": FWD_MS_1CHIP,
-               "t_compute_per_step_s": round(t_compute, 4),
-               "source": "BENCH_FLUX.json (59.8% MFU, v5e) + exact payload shapes",
-           },
-           "note": "ANALYTICAL PREDICTION, not a measurement",
-           "reference_measured_eth_2GBps": {
-               "ring_s": 44.41, "compact_1bit_s": 13.89, "speedup": 3.2,
-               "source": "compact_plot/latency_data/latency_eth.csv (8 GPUs)",
-               "comment": "same direction; larger predicted ratios here "
-                          "because the v5e compute term is smaller",
-           },
+
+def _generic_flops(params, layers, d, s):
+    return 2.0 * params * s, layers * 4.0 * s * s * d
+
+
+SCENARIOS = {
+    # name: bytes_model, ring tokens source, steps, flops, layers, c(=heads*hd)
+    "flux_1024": dict(
+        bytes_model="flux", height=1024, width=1024, frames=1,
+        steps=STEPS_IMAGE, s_txt=512, layers=57, d=_D_FLUX,
+        flops=lambda s_img: _flux_flops(s_img, 512),
+    ),
+    "flux_2048": dict(
+        bytes_model="flux", height=2048, width=2048, frames=1,
+        steps=STEPS_IMAGE, s_txt=512, layers=57, d=_D_FLUX,
+        flops=lambda s_img: _flux_flops(s_img, 512),
+    ),
+    "hunyuanvideo_720p_129f": dict(
+        bytes_model="hunyuanvideo", height=720, width=1280, frames=129,
+        steps=STEPS_VIDEO, s_txt=256, layers=60, d=3072,
+        flops=lambda s_img: _generic_flops(12.7e9, 60, 3072, s_img + 256),
+    ),
+    "cogvideox5b_49f_720x480": dict(
+        bytes_model="cogvideox", height=480, width=720, frames=49,
+        steps=STEPS_VIDEO, s_txt=226, layers=42, d=3072,
+        flops=lambda s_img: _generic_flops(5.0e9, 42, 3072, s_img + 226),
+    ),
+}
+
+CONFIGS = [
+    ("uncompressed-ring", dict(compact_type="none")),
+    ("compact-1bit", dict(compact_type="binary")),
+    ("compact-low-rank-r2", dict(compact_type="low-rank", comp_rank=2)),
+]
+
+
+def model_scenario(name, sc, ring=8):
+    from benchmark.bytes_per_step import MODELS, ring_bytes_per_step
+
+    m = MODELS[sc["bytes_model"]]
+    s_img = m["tokens"](sc["height"], sc["width"], sc["frames"])
+    matmul_fl, attn_fl = sc["flops"](s_img)
+    # sequence sharding: matmul scales 1/ring; attention (q local, all k
+    # via the ring) also 1/ring
+    t_compute = (matmul_fl / MATMUL_RATE + attn_fl / ATTN_RATE) / ring
+
+    # per-(layer, hop) flash partial that the fused kernel overlaps RDMA
+    # under: local q rows (s_img/ring + joint text) x one rotating k block
+    s_loc_q = s_img / ring + sc["s_txt"]
+    s_blk = s_img / ring
+    t_flash_hop = 4.0 * s_loc_q * s_blk * sc["d"] / ATTN_RATE
+
+    hops = ring - 1
+    out = {"tokens": s_img, "t_compute_per_step_s": round(t_compute, 4),
            "links": {}}
     for link, bw in LINKS.items():
         rows = []
-        base_e2e = None
-        for name, kw in configs:
+        base = None
+        for cfg_name, kw in CONFIGS:
             r = ring_bytes_per_step(
-                "flux", ring=ring, ulysses=1, height=1024, width=1024, **kw
+                sc["bytes_model"], ring=ring, ulysses=1,
+                height=sc["height"], width=sc["width"], frames=sc["frames"],
+                **kw,
             )
             bytes_dev = r["compressed_bytes_per_step_per_device"]
             raw_dev = r["raw_bytes_per_step_per_device"]
             t_comm = bytes_dev / (bw * 1e9)
             t_comm_raw = raw_dev / (bw * 1e9)
-            # warmup steps send RAW payloads — on slow links they dominate
-            # the compressed configs' e2e (bytes_per_step.py amortises the
-            # same way); uncompressed configs have bytes_dev == raw_dev
-            steady = STEPS - warmup
-            e2e0 = warmup * (t_compute + t_comm_raw) + steady * (
-                t_compute + t_comm
-            )
-            e2e1 = warmup * max(t_compute, t_comm_raw) + steady * max(
-                t_compute, t_comm
-            )
-            if base_e2e is None:
-                base_e2e = (e2e0, e2e1)
+            # per-hop wire time for the pipelined (fused-kernel) model
+            t_hop = bytes_dev / sc["layers"] / hops / (bw * 1e9)
+            t_hop_raw = raw_dev / sc["layers"] / hops / (bw * 1e9)
+            exposed = sc["layers"] * hops * max(0.0, t_hop - t_flash_hop)
+            exposed_raw = sc["layers"] * hops * max(0.0, t_hop_raw - t_flash_hop)
+
+            steps, wu = sc["steps"], WARMUP
+            e2e = {
+                "no_overlap": wu * (t_compute + t_comm_raw)
+                + (steps - wu) * (t_compute + t_comm),
+                "full_overlap": wu * max(t_compute, t_comm_raw)
+                + (steps - wu) * max(t_compute, t_comm),
+                "pipelined": wu * (t_compute + exposed_raw)
+                + (steps - wu) * (t_compute + exposed),
+            }
+            steady_pipelined = t_compute + exposed
+            if base is None:
+                base = dict(e2e)
+                base["steady"] = steady_pipelined
             rows.append({
-                "config": name,
+                "config": cfg_name,
                 "comm_s_per_step": round(t_comm, 4),
-                "e2e_s_no_overlap": round(e2e0, 2),
-                "e2e_s_full_overlap": round(e2e1, 2),
-                "speedup_vs_uncompressed_no_overlap": round(
-                    base_e2e[0] / e2e0, 2
-                ),
-                "speedup_vs_uncompressed_full_overlap": round(
-                    base_e2e[1] / e2e1, 2
+                **{f"e2e_s_{k}": round(v, 2) for k, v in e2e.items()},
+                **{
+                    f"speedup_{k}": round(base[k] / v, 2)
+                    for k, v in e2e.items()
+                },
+                "speedup_steady_state_pipelined": round(
+                    base["steady"] / steady_pipelined, 2
                 ),
             })
         out["links"][link] = rows
@@ -123,7 +188,50 @@ def model(ring: int = 8):
 
 
 def main():
-    report = model()
+    report = {
+        "note": "ANALYTICAL PREDICTION, not a measurement",
+        "inputs": {
+            "fwd_ms_1chip_measured": 561.5,
+            "source": "BENCH_FLUX_FULL.json (full-depth measured, 85.2% MFU)"
+            " + exact payload shapes (bytes_per_step.py)",
+            "matmul_rate_TFLOPs": MATMUL_RATE / 1e12,
+            "attn_rate_TFLOPs": ATTN_RATE / 1e12,
+            "overlap_model": "pipelined = fused ring kernel structure "
+            "(ops/ring_flash_pallas.py): per hop, RDMA of block h+1 hides "
+            "under the flash partial of block h; exposed wire time = "
+            "max(0, t_comm_hop - t_flash_hop)",
+        },
+        "reference_measured_anchors": {
+            "nvlink_ring_vs_compact1bit": {"ring_s": 10.89, "compact_s": 7.46,
+                                           "speedup": 1.46},
+            "eth2GBps_ring_vs_compact1bit": {"ring_s": 44.41,
+                                             "compact_s": 13.89,
+                                             "speedup": 3.2},
+            "source": "compact_plot/latency_data/latency_{nvlink,eth}.csv "
+            "(8 GPUs) — NOTE the reference itself gets only 1.46x on a FAST "
+            "link; its 1.8-3x wins are PCIe/Ethernet",
+        },
+        "north_star_verdict": (
+            "The >=1.8x-over-uncompressed-SP target (BASELINE.json) is a "
+            "CONSTRAINED-LINK story, exactly like the paper's: on a pure "
+            "single-slice v5e-8 ICI ring the pipelined model caps compact "
+            "gains at ~1.3-1.4x e2e (~1.4-1.5x steady-state) for FLUX-1024 "
+            "because the uncompressed ring already hides 30-50% of its wire "
+            "time under flash partials — consistent with the reference's "
+            "own 1.46x on NVLink.  >=1.8x holds wherever any ring hop "
+            "crosses DCN (multi-slice v5e, e.g. 2x v5e-8: the lockstep "
+            "rotation runs every hop at the 25 GB/s edge -> ~1.8-2.1x) and "
+            "grows to 3-10x at the paper's throttled-Ethernet points.  At "
+            "VIDEO scale (HunyuanVideo 129f) attention is so "
+            "compute-dominant that even the uncompressed ring is fully "
+            "hidden on ICI AND DCN — there compression buys wire bytes "
+            "(219x, BYTES_NORTHSTAR.json) and cross-DC feasibility, not "
+            "single-slice latency."
+        ),
+        "scenarios": {},
+    }
+    for name, sc in SCENARIOS.items():
+        report["scenarios"][name] = model_scenario(name, sc)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "LATENCY_MODEL.json",
