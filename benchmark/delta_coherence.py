@@ -42,6 +42,19 @@ import numpy as np
 _BUSY_FLAG = "/tmp/tpu_busy"
 
 
+def _wire_ratio(n, c, name, rank):
+    """bf16 raw bytes / compressed payload bytes for one (n, c) K block."""
+    import jax.numpy as jnp
+
+    from compactfusion_tpu.compact import codecs
+    from compactfusion_tpu.config import CompressType
+
+    payload = codecs.encode(
+        jnp.zeros((n, c), jnp.bfloat16), CompressType(name), rank=rank
+    )
+    return round(2.0 * n * c / codecs.payload_nbytes(payload), 1)
+
+
 def rel_err(a, b):
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
@@ -59,7 +72,15 @@ def main():
     p.add_argument("--ring", type=int, default=4,
                    help="emulated ring degree (SimRingAttn); must be >=2 so "
                         "codec error actually reaches the attention output")
-    p.add_argument("--codecs", default="binary,low-rank,low-rank-awl")
+    p.add_argument(
+        "--codecs",
+        default="binary,int2,low-rank:2,low-rank:4,low-rank:8,low-rank-awl:2",
+        help="comma list of codec[:rank] specs (rank sweep, VERDICT r4 #5)",
+    )
+    p.add_argument("--dim", type=int, default=192)
+    p.add_argument("--depth", type=int, default=6)
+    p.add_argument("--heads", type=int, default=6)
+    p.add_argument("--sample-size", type=int, default=32)
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--smoke", action="store_true", help="tiny CI run")
     p.add_argument("--params-cache", default="/tmp/delta_coh_params.pkl",
@@ -69,6 +90,7 @@ def main():
     args = p.parse_args()
     if args.smoke:
         args.train_steps, args.chunk, args.batch, args.steps = 40, 20, 8, 6
+        args.dim, args.depth, args.heads, args.sample_size = 128, 4, 4, 16
 
     import jax
 
@@ -106,11 +128,11 @@ def main():
     # fp32 end to end: training stability, and an eval floor well below the
     # codec errors under study
     mcfg = PixArtConfig(
-        dim=128,
-        depth=4,
-        heads=4,
+        dim=args.dim,
+        depth=args.depth,
+        heads=args.heads,
         text_dim=32,
-        sample_size=16,
+        sample_size=args.sample_size,
         dtype=jnp.float32,
     )
     lat_hw, ch, text_len = mcfg.sample_size, mcfg.in_channels, 8
@@ -297,13 +319,15 @@ def main():
             ),
             "delta_top2_energy": round(top2_energy(spectra["k-delta"]), 4),
         }
-        for name in args.codecs.split(","):
+        for spec in args.codecs.split(","):
+            name, _, rk = spec.partition(":")
+            rank = int(rk) if rk else (2 if "rank" in name else -1)
             StatsLogger.reset()
             compact = CompactConfig(
                 enabled=True,
                 compress_type=CompressType(name),
                 warmup_steps=args.warmup,
-                comp_rank=2 if "rank" in name else -1,
+                comp_rank=rank,
                 residual=1,
                 error_feedback=True,
                 fastpath=False,  # emulation path uses the jnp codecs
@@ -314,14 +338,23 @@ def main():
             log = StatsLogger.instance()
             errs = log.dump_err_vs_steps("/dev/null", depth=mcfg.depth)
             krel = [m["rel_err"] for m in errs.get("k", [])]
-            entry["codecs"][name] = {
+            entry["codecs"][spec] = {
                 "k_rel_err_mean": round(float(np.mean(krel)), 6),
                 "k_rel_err_last": round(float(krel[-1]), 6),
                 "latent_rel_err_vs_lossless": round(
                     rel_err(lat, lossless), 6
                 ),
+                "wire_ratio": _wire_ratio(
+                    hp * wp // args.ring, mcfg.dim, name, rank
+                ),
+                # the SAME codec/rank at the north-star shapes (FLUX-1024
+                # ring-8 K block: n=512, c=3072) — what the recommendation
+                # keys on; the study-scale ratio above is shape-limited
+                "wire_ratio_flux1024_ring8": _wire_ratio(
+                    512, 3072, name, rank
+                ),
             }
-            print(label, name, entry["codecs"][name],
+            print(label, spec, entry["codecs"][spec],
                   "delta_top2", entry["delta_top2_energy"], flush=True)
         report[label] = entry
 
@@ -339,15 +372,40 @@ def main():
     report["summary"] = {
         "delta_top2_random": report["random"]["delta_top2_energy"],
         "delta_top2_trained": report["trained"]["delta_top2_energy"],
-        "lowrank_vs_binary_latent_err_random": _ratio(
-            report["random"]["codecs"], "low-rank"
+        "lowrank_r2_vs_binary_latent_err_trained": _ratio(
+            report["trained"]["codecs"], "low-rank:2"
         ),
-        "lowrank_vs_binary_latent_err_trained": _ratio(
-            report["trained"]["codecs"], "low-rank"
+        "lowrank_r4_vs_binary_latent_err_trained": _ratio(
+            report["trained"]["codecs"], "low-rank:4"
+        ),
+        "lowrank_r8_vs_binary_latent_err_trained": _ratio(
+            report["trained"]["codecs"], "low-rank:8"
         ),
         "awl_vs_lowrank_latent_err_trained": _ratio(
-            report["trained"]["codecs"], "low-rank-awl", "low-rank"
+            report["trained"]["codecs"], "low-rank-awl:2", "low-rank:2"
         ),
+    }
+    # codec recommendation for the >=100x north star: the cheapest spec
+    # whose trained-model latent error holds the <1% LPIPS-proxy bound
+    # (latent rel err < 0.01 tracked ~>50 dB PSNR in QUALITY_REAL_SCALE)
+    trained = report["trained"]["codecs"]
+    ok = {k: v for k, v in trained.items()
+          if v["latent_rel_err_vs_lossless"] < 0.01}
+    best_100x = max(
+        (k for k, v in ok.items()
+         if v["wire_ratio_flux1024_ring8"] >= 100.0),
+        key=lambda k: ok[k]["wire_ratio_flux1024_ring8"],
+        default=None,
+    )
+    best_overall = (
+        max(ok, key=lambda k: ok[k]["wire_ratio_flux1024_ring8"])
+        if ok else None
+    )
+    report["summary"]["recommendation"] = {
+        "northstar_100x": best_100x,
+        "best_under_1pct_latent_err": best_overall,
+        "criterion": "latent_rel_err_vs_lossless < 0.01 on the TRAINED "
+        "model, max wire_ratio",
     }
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
