@@ -81,7 +81,7 @@ def main():
     p.add_argument("--depth", type=int, default=6)
     p.add_argument("--heads", type=int, default=6)
     p.add_argument("--sample-size", type=int, default=32)
-    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--smoke", action="store_true", help="tiny CI run")
     p.add_argument("--params-cache", default="/tmp/delta_coh_params.pkl",
                    help="pickle of trained params; skips training when "
@@ -196,7 +196,9 @@ def main():
         pred = out[..., : out.shape[-1] // 2]
         return jnp.mean((pred - cm.patchify(eps, mcfg.patch)) ** 2)
 
-    opt = optax.adam(args.lr)
+    # clip: the r5 larger study config (dim 192, depth 6) diverged to NaN
+    # mid-training at lr 2e-3 without it
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
 
     @jax.jit
     def train_chunk(params, opt_state, key):
@@ -237,6 +239,9 @@ def main():
                 f"({time.time() - t0:.0f}s)",
                 flush=True,
             )
+        assert np.isfinite(losses[-1]), (
+            f"training diverged (loss {losses[-1]}); not writing artifacts"
+        )
         if cache:
             import pickle
 
@@ -385,27 +390,26 @@ def main():
             report["trained"]["codecs"], "low-rank-awl:2", "low-rank:2"
         ),
     }
-    # codec recommendation for the >=100x north star: the cheapest spec
-    # whose trained-model latent error holds the <1% LPIPS-proxy bound
-    # (latent rel err < 0.01 tracked ~>50 dB PSNR in QUALITY_REAL_SCALE)
+    # codec recommendation for the >=100x north star: binary (1-bit) is
+    # the robust trained-model reference point (r4 finding), so pick the
+    # highest-ratio spec that matches it (within 5%) on the TRAINED model;
+    # absolute latent errors at this tiny trained scale run larger than at
+    # the 0.61B real-scale study (QUALITY_REAL_SCALE: ~0.5%), so a relative
+    # criterion is the transferable one.
     trained = report["trained"]["codecs"]
+    bin_err = trained["binary"]["latent_rel_err_vs_lossless"]
     ok = {k: v for k, v in trained.items()
-          if v["latent_rel_err_vs_lossless"] < 0.01}
+          if v["latent_rel_err_vs_lossless"] <= 1.05 * bin_err}
     best_100x = max(
         (k for k, v in ok.items()
          if v["wire_ratio_flux1024_ring8"] >= 100.0),
         key=lambda k: ok[k]["wire_ratio_flux1024_ring8"],
         default=None,
     )
-    best_overall = (
-        max(ok, key=lambda k: ok[k]["wire_ratio_flux1024_ring8"])
-        if ok else None
-    )
     report["summary"]["recommendation"] = {
         "northstar_100x": best_100x,
-        "best_under_1pct_latent_err": best_overall,
-        "criterion": "latent_rel_err_vs_lossless < 0.01 on the TRAINED "
-        "model, max wire_ratio",
+        "criterion": "trained-model latent err <= 1.05x binary's, max "
+        "FLUX-1024-ring-8 wire ratio",
     }
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -122,6 +122,7 @@ def _fused_compact_ring(
         scale=scale,
         codec=codec,
         awl_k=awl_k,
+        quantized=cfg.quantized_cache,
         interpret=(
             pltpu.InterpretParams(dma_execution_mode=interpret)
             if interpret
@@ -131,10 +132,17 @@ def _fused_compact_ring(
     if joint_k is not None and joint_strategy != "none":
         j_out, j_lse = attn_with_lse(q, joint_k, joint_v, scale=scale)
         out, lse = merge_out_lse(out, lse, j_out, j_lse)
-    new_state = CompactRingState(
-        k=EFState(base=kb.astype(state.k.base.dtype), delta_base=None),
-        v=EFState(base=vb.astype(state.v.base.dtype), delta_base=None),
-    )
+    if cfg.quantized_cache:
+        # kb/vb are Int8Payload triplets already in the cache dtypes
+        new_state = CompactRingState(
+            k=EFState(base=kb, delta_base=None),
+            v=EFState(base=vb, delta_base=None),
+        )
+    else:
+        new_state = CompactRingState(
+            k=EFState(base=kb.astype(state.k.base.dtype), delta_base=None),
+            v=EFState(base=vb.astype(state.v.base.dtype), delta_base=None),
+        )
     return out.astype(q.dtype), new_state
 
 
@@ -186,7 +194,11 @@ def compact_ring_attention(
         and cfg.residual == 1
         and cfg.error_feedback
         and not cfg.simulate
-        and not cfg.quantized_cache
+        # int8 EF caches ride the kernel at B == 1 (the kernel requantizes
+        # per (head, channel) over its token rows, which matches the jnp
+        # path's per-channel-over-N stats only for one batch row; CFG/dp
+        # parallel always present B == 1 per device)
+        and (not cfg.quantized_cache or b == 1)
         and not cfg.log_stats
         # the fused kernel has no collector taps — fall through to the
         # ppermute path so offline-analysis dumps stay complete

@@ -40,6 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# cache/wire dtype for int8-base scale rows — must match codecs.SCALE_DTYPE
+SCALE_DT = jnp.bfloat16
 
 
 def _entry_barrier(ids_ref):
@@ -423,31 +425,50 @@ def _cring_kernel(
     block_q: int,
     block_k: int,
     codec: str,
+    quantized: bool = False,
 ):
     # Ref layout depends on the codec: binary/int2 carry packed code planes
     # (pk/pv) alongside the scale factors; lowrank's payload IS the (u, v)
     # factor pair, so the packed planes (and their DMA channels) vanish.
-    #   inputs:  q, k, v, [pk, pv,] uk, uv, vk, vv, kbase, vbase
-    #   outputs: o, lse, kbase_out, vbase_out
+    #   inputs:  q, k, v, [pk, pv,] uk, uv, vk, vv, <bases>
+    #   outputs: o, lse, <bases out>
     #   scratch: [pk_buf, pv_buf,] uk_buf, uv_buf, vk_buf, vv_buf,
     #            m_scr, l_scr, acc_scr, send_sems, recv_sems
-    if codec == "lowrank":
-        (
-            q_ref, k_ref, v_ref,
-            uk_ref, uv_ref, vk_ref, vv_ref, kbase_ref, vbase_ref,
-            o_ref, lse_ref, kbase_out, vbase_out,
-            uk_buf, uv_buf, vk_buf, vv_buf,
-            m_scr, l_scr, acc_scr, send_sems, recv_sems, fence_sem,
-        ) = refs
-        pk_ref = pv_ref = pk_buf = pv_buf = None
+    # <bases> is (kbase, vbase) fp32 when raw, or the int8-quantized cache
+    # triplets (codes, scale, min) x (k, v) when ``quantized`` (reference
+    # ``quantized_cache``: int8 bases halve EF cache HBM — the kernel
+    # dequantizes on read and requantizes after each slot's EF update,
+    # matching codecs.encode_int8/decode_int8 semantics).
+    n_payload = 4 if codec == "lowrank" else 6
+    n_base = 6 if quantized else 2
+    q_ref, k_ref, v_ref = refs[0:3]
+    pos = 3
+    if codec != "lowrank":
+        pk_ref, pv_ref = refs[3:5]
+        pos = 5
     else:
-        (
-            q_ref, k_ref, v_ref, pk_ref, pv_ref,
-            uk_ref, uv_ref, vk_ref, vv_ref, kbase_ref, vbase_ref,
-            o_ref, lse_ref, kbase_out, vbase_out,
-            pk_buf, pv_buf, uk_buf, uv_buf, vk_buf, vv_buf,
-            m_scr, l_scr, acc_scr, send_sems, recv_sems, fence_sem,
-        ) = refs
+        pk_ref = pv_ref = None
+    uk_ref, uv_ref, vk_ref, vv_ref = refs[pos : pos + 4]
+    base_in = refs[pos + 4 : pos + 4 + n_base]
+    pos += 4 + n_base
+    o_ref, lse_ref = refs[pos : pos + 2]
+    base_out = refs[pos + 2 : pos + 2 + n_base]
+    pos += 2 + n_base
+    if codec != "lowrank":
+        pk_buf, pv_buf = refs[pos : pos + 2]
+        pos += 2
+    else:
+        pk_buf = pv_buf = None
+    (
+        uk_buf, uv_buf, vk_buf, vv_buf,
+        m_scr, l_scr, acc_scr, send_sems, recv_sems, fence_sem,
+    ) = refs[pos:]
+    if quantized:
+        kbase_refs, vbase_refs = base_in[0:3], base_in[3:6]
+        kbase_outs, vbase_outs = base_out[0:3], base_out[3:6]
+    else:
+        kbase_refs, vbase_refs = base_in[0:1], base_in[1:2]
+        kbase_outs, vbase_outs = base_out[0:1], base_out[1:2]
 
     sq = q_ref.shape[2]
     sk = k_ref.shape[2]
@@ -486,11 +507,13 @@ def _cring_kernel(
     vk_buf[0] = vk_ref[0]
     vv_buf[0] = vv_ref[0]
 
-    def dequant_update(slot, s, src, packed_buf, u_buf, v_buf, base_ref, base_out):
+    def dequant_update(slot, s, src, packed_buf, u_buf, v_buf, base_refs, base_outs):
         """codes + scales + base[src] -> reconstructed block; EF-update base.
 
         ``slot``: double-buffer slot of the per-head planes (packed codes,
         v columns); ``s``: ring step = persistent slot of the u rows.
+        ``base_refs``/``base_outs``: (base,) fp32, or the int8 cache
+        triplet (codes, scale, min) when ``quantized``.
         """
         if codec == "binary":
             packed = packed_buf[slot].astype(jnp.int32)  # (Sk, D/8)
@@ -513,9 +536,34 @@ def _cring_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Sk, D)
-        base = base_ref[0, 0, src]
+        if quantized:
+            bq_ref, bs_ref, bm_ref = base_refs
+            bq_out, bs_out, bm_out = base_outs
+            # decode_int8: codes * scale + min, bf16 wire scales -> fp32
+            base = (
+                bq_ref[0, 0, src].astype(jnp.float32)
+                * bs_ref[0, 0, src].astype(jnp.float32)
+                + bm_ref[0, 0, src].astype(jnp.float32)
+            )
+        else:
+            base = base_refs[0][0, 0, src]
         blk = base + (s_ if val is None else val * s_)
-        base_out[0, 0, src] = blk
+        if quantized:
+            # encode_int8 (_affine_encode axis=0): per-channel min-max over
+            # the token axis, fp32 scale for the codes, bf16 on the "wire"
+            # (the cache).  The batch grid is restricted to B==1 by the
+            # wrapper so per-(head, channel) stats equal the unfused path's
+            # per-channel-over-N stats.
+            mn = jnp.min(blk, axis=0, keepdims=True)
+            mx = jnp.max(blk, axis=0, keepdims=True)
+            sc = (mx - mn + 1e-6) / 255.0
+            bq_out[0, 0, src] = jnp.clip(
+                jnp.round((blk - mn) / sc), 0, 255
+            ).astype(jnp.uint8)
+            bs_out[0, 0, src] = sc.astype(SCALE_DT)
+            bm_out[0, 0, src] = mn.astype(SCALE_DT)
+        else:
+            base_outs[0][0, 0, src] = blk
         return blk
 
     def flash_block(q0, k_blk, v_blk):
@@ -588,8 +636,8 @@ def _cring_kernel(
 
         # EF base update for slot `src` from the payload in hand (sender at
         # s=0 where src==my, receivers at s>0 — identical bit path)
-        k_rec = dequant_update(slot, s, src, pk_buf, uk_buf, vk_buf, kbase_ref, kbase_out)
-        v_rec = dequant_update(slot, s, src, pv_buf, uv_buf, vv_buf, vbase_ref, vbase_out)
+        k_rec = dequant_update(slot, s, src, pk_buf, uk_buf, vk_buf, kbase_refs, kbase_outs)
+        v_rec = dequant_update(slot, s, src, pv_buf, uv_buf, vv_buf, vbase_refs, vbase_outs)
 
         if s == 0:
             # step 0 attends the local EXACT shard (compact/ring.py:178-180)
@@ -658,6 +706,7 @@ def pack_2bit_per_head(codes: jax.Array) -> jax.Array:
     static_argnames=(
         "axis_name", "ring_size", "mesh_axes", "comp_rank", "scale",
         "block_q", "block_k", "interpret", "collective_id", "codec",
+        "quantized",
     ),
 )
 def compact_binary_ring_flash(
@@ -678,13 +727,20 @@ def compact_binary_ring_flash(
     collective_id: int = 8,
     codec: str = "binary",
     awl_k: Optional[jax.Array] = None,
+    quantized: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused compressed (residual-1, EF) ring flash attention.
 
     Inside shard_map.  q: (B, Sq, H, D); k, v: (B, Sk, H, D) local shard;
     k_base, v_base: (R, B*Sk, H*D) fp32 EF base stacks (the unfused
     ``CompactRingState`` layout — reshaped internally to the per-head kernel
-    layout).  ``codec``: "binary" (1-bit sign, rank-K scale), "int2"
+    layout), or ``codecs.Int8Payload`` triplets with leading ring axis when
+    ``quantized`` (the reference's ``quantized_cache``: int8 bases halve EF
+    cache HBM; the kernel dequantizes each slot on read and requantizes
+    after its EF update with codecs.encode_int8 semantics).  ``quantized``
+    requires B == 1 so the kernel's per-(head, channel) min-max over its
+    token rows equals the unfused path's per-channel-over-N stats (under
+    CFG/dp parallel each device already sees B == 1).  ``codec``: "binary" (1-bit sign, rank-K scale), "int2"
     (sign+magnitude 4-level, mean scale — the reference fuses the same pair,
     fastpath.py:12-120 binary and :485-811 int2), or "lowrank" (the payload
     IS the signed rank-``comp_rank`` (u, v) factor pair — the north-star
@@ -719,8 +775,21 @@ def compact_binary_ring_flash(
     # ---- sender-side compression (outside kernel, like fastpath wrapper)
     k_nc = k.reshape(b * sk, h * d).astype(jnp.float32)
     v_nc = v.reshape(b * sk, h * d).astype(jnp.float32)
-    base_k_my = jnp.take(k_base, my, axis=0).astype(jnp.float32)
-    base_v_my = jnp.take(v_base, my, axis=0).astype(jnp.float32)
+    if quantized:
+        assert b == 1, "quantized fused ring requires B == 1 (see docstring)"
+
+        def _decode_my(p):
+            return (
+                jnp.take(p.q, my, axis=0).astype(jnp.float32)
+                * jnp.take(p.scale, my, axis=0).astype(jnp.float32)
+                + jnp.take(p.minv, my, axis=0).astype(jnp.float32)
+            )
+
+        base_k_my = _decode_my(k_base)
+        base_v_my = _decode_my(v_base)
+    else:
+        base_k_my = jnp.take(k_base, my, axis=0).astype(jnp.float32)
+        base_v_my = jnp.take(v_base, my, axis=0).astype(jnp.float32)
     dk = k_nc - base_k_my
     dv = v_nc - base_v_my
     if codec == "int2":
@@ -772,15 +841,24 @@ def compact_binary_ring_flash(
     vv_r = vv_.reshape(kk, h, d).transpose(1, 0, 2)
 
     # EF bases to kernel layout (B, H, R, Sk, D)
-    def base_to_kernel(x):
+    def base_to_kernel(x, rows=None, dt=jnp.float32):
         return (
-            x.astype(jnp.float32)
-            .reshape(R, b, sk, h, d)
+            x.astype(dt)
+            .reshape(R, b, rows or sk, h, d)
             .transpose(1, 3, 0, 2, 4)
         )
 
-    kb = base_to_kernel(k_base)
-    vb = base_to_kernel(v_base)
+    if quantized:
+        base_inputs = [
+            base_to_kernel(k_base.q, dt=jnp.uint8),
+            base_to_kernel(k_base.scale, rows=1, dt=SCALE_DT),
+            base_to_kernel(k_base.minv, rows=1, dt=SCALE_DT),
+            base_to_kernel(v_base.q, dt=jnp.uint8),
+            base_to_kernel(v_base.scale, rows=1, dt=SCALE_DT),
+            base_to_kernel(v_base.minv, rows=1, dt=SCALE_DT),
+        ]
+    else:
+        base_inputs = [base_to_kernel(k_base), base_to_kernel(v_base)]
 
     qt = jnp.transpose(q, (0, 2, 1, 3))
     kt = jnp.transpose(k, (0, 2, 1, 3))
@@ -815,8 +893,10 @@ def compact_binary_ring_flash(
     # input blocks in VMEM (input_output_aliases alias the HBM buffers, not
     # the VMEM windows); fail loud with the actionable knobs instead of a
     # Mosaic scoped-vmem error
+    base_b = 1 if quantized else 4  # int8 codes vs fp32 bases
     vmem = (
-        2 * 2 * 4 * R * sk * d  # k/v base blocks, input + aliased output
+        2 * 2 * base_b * R * sk * d  # k/v base blocks, input + aliased output
+        + (2 * 2 * 2 * 2 * R * d if quantized else 0)  # scale/min planes
         + 2 * (sq + 2 * sk) * d  # q/k/v inputs (bf16-ish)
         + 2 * sq * d + 4 * sq * 8  # o/lse output blocks
         # payload bufs: packed planes + per-head v cols double-buffered,
@@ -838,6 +918,7 @@ def compact_binary_ring_flash(
         block_q=block_q,
         block_k=block_k,
         codec=codec,
+        quantized=quantized,
     )
 
     cell = lambda bi, hi, ids: (bi, hi, 0, 0)
@@ -853,7 +934,24 @@ def compact_binary_ring_flash(
         pltpu.VMEM((2, sk, pw), jnp.uint8),
     ] if pw else []
     packed_inputs = [pk, pv] if pw else []
-    out, lse8, kb_new, vb_new = pl.pallas_call(
+    if quantized:
+        base_specs = [
+            pl.BlockSpec((1, 1, R, sk, d), cell5),
+            pl.BlockSpec((1, 1, R, 1, d), cell5),
+            pl.BlockSpec((1, 1, R, 1, d), cell5),
+        ] * 2
+        base_shapes = [
+            jax.ShapeDtypeStruct((b, h, R, sk, d), jnp.uint8),
+            jax.ShapeDtypeStruct((b, h, R, 1, d), SCALE_DT),
+            jax.ShapeDtypeStruct((b, h, R, 1, d), SCALE_DT),
+        ] * 2
+    else:
+        base_specs = [pl.BlockSpec((1, 1, R, sk, d), cell5)] * 2
+        base_shapes = [
+            jax.ShapeDtypeStruct((b, h, R, sk, d), jnp.float32)
+        ] * 2
+    base_idx0 = 4 + len(packed_inputs) + 4  # ids + q/k/v + packed + scales
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -867,14 +965,12 @@ def compact_binary_ring_flash(
                 pl.BlockSpec((1, sk, kk), cell3),
                 pl.BlockSpec((1, kk, d), lambda bi, hi, ids: (hi, 0, 0)),
                 pl.BlockSpec((1, kk, d), lambda bi, hi, ids: (hi, 0, 0)),
-                pl.BlockSpec((1, 1, R, sk, d), cell5),
-                pl.BlockSpec((1, 1, R, sk, d), cell5),
+                *base_specs,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, sq, d), cell),
                 pl.BlockSpec((1, 1, sq, 8), cell),
-                pl.BlockSpec((1, 1, R, sk, d), cell5),
-                pl.BlockSpec((1, 1, R, sk, d), cell5),
+                *base_specs,
             ],
             scratch_shapes=[
                 *packed_scratch,
@@ -897,8 +993,7 @@ def compact_binary_ring_flash(
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, sq, 8), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, R, sk, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, R, sk, d), jnp.float32),
+            *base_shapes,
         ],
         # EF base stacks are donated in-place: at production scale they
         # dominate HBM (R x Sk x C fp32 per K and V per layer), and the
@@ -907,8 +1002,7 @@ def compact_binary_ring_flash(
         # scalar-prefetch ids + q/k/v (+ packed planes when present) + the
         # four scale factors; kb/vb are the last two inputs.
         input_output_aliases={
-            (4 + len(packed_inputs) + 4): 2,
-            (4 + len(packed_inputs) + 5): 3,
+            base_idx0 + i: 2 + i for i in range(len(base_shapes))
         },
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -917,13 +1011,31 @@ def compact_binary_ring_flash(
             has_side_effects=True,
         ),
         interpret=interpret,
-    )(ids, qt, kt, vt, *packed_inputs, uk_r, uv_r, vk_r, vv_r, kb, vb)
+    )(ids, qt, kt, vt, *packed_inputs, uk_r, uv_r, vk_r, vv_r, *base_inputs)
+    out, lse8 = outs[0], outs[1]
+    base_outs = outs[2:]
 
     out = jnp.transpose(out, (0, 2, 1, 3))
     lse = lse8[:, :, :, 0]
 
     # kernel layout back to the CompactRingState layout (R, B*Sk, H*D)
-    def base_from_kernel(x):
-        return x.transpose(2, 0, 3, 1, 4).reshape(R, b * sk, h * d)
+    def base_from_kernel(x, rows=None):
+        return x.transpose(2, 0, 3, 1, 4).reshape(
+            R, b * (rows or sk), h * d
+        )
 
-    return out, lse, base_from_kernel(kb_new), base_from_kernel(vb_new)
+    if quantized:
+        kb_new = codecs.Int8Payload(
+            base_from_kernel(base_outs[0]),
+            base_from_kernel(base_outs[1], rows=1),
+            base_from_kernel(base_outs[2], rows=1),
+        )
+        vb_new = codecs.Int8Payload(
+            base_from_kernel(base_outs[3]),
+            base_from_kernel(base_outs[4], rows=1),
+            base_from_kernel(base_outs[5], rows=1),
+        )
+    else:
+        kb_new = base_from_kernel(base_outs[0])
+        vb_new = base_from_kernel(base_outs[1])
+    return out, lse, kb_new, vb_new

@@ -30,8 +30,14 @@ def get_config(model_name: str, method: str) -> CompactConfig:
         return CompactConfig(compress_type=CompressType.LOW_RANK, comp_rank=12, **base)
     if method == "lowrank8":
         return CompactConfig(compress_type=CompressType.LOW_RANK, comp_rank=8, **base)
+    if method == "lowrank4":
+        # the >=100x north-star operating point (109.7x at FLUX-1024
+        # ring-8, BYTES_NORTHSTAR.json).  DELTA_COHERENCE v2 (r5,
+        # trained-from-scratch checkpoint, rank sweep r2-r8): rank 4
+        # MATCHES binary's latent error at 7x fewer wire bytes, while
+        # rank 2 is ~1.7x worse than binary — use r4, not r2, at >=100x.
+        return CompactConfig(compress_type=CompressType.LOW_RANK, comp_rank=4, **base)
     if method == "lowrank2":
-        # the >=100x north-star operating point (BYTES_NORTHSTAR.json)
         return CompactConfig(compress_type=CompressType.LOW_RANK, comp_rank=2, **base)
     if method == "lowrankawl2":
         return CompactConfig(

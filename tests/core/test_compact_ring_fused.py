@@ -366,3 +366,76 @@ def test_fused_compact_ring_converges_with_ef():
     # every step (measured trajectory ~0.47 -> 0.09 over six steps)
     assert errs[-1] < errs[0] * 0.3, errs
     assert errs[-1] < 0.12, errs
+
+
+@pytest.mark.parametrize("ring", [2, 4])
+@pytest.mark.parametrize("codec,comp_rank", [("binary", -1), ("lowrank", 2)])
+def test_fused_compact_ring_quantized_cache(ring, codec, comp_rank):
+    """int8 EF caches ride the fused kernel (VERDICT r4 next #6): with
+    ``quantized_cache=True`` the kernel dequantizes each base slot on read
+    and requantizes after its EF update, matching the jnp path's
+    encode_int8/decode_int8 semantics bit-tightly — so the gate no longer
+    silently drops video-HBM configs to the ppermute path at B == 1."""
+    b, h, d = 1, 2, 16
+    s_local = 32
+    s = s_local * ring
+    n, c = b * s_local, h * d
+    mesh = _mesh(ring)
+    method = (
+        CompressType.BINARY if codec == "binary" else CompressType.LOW_RANK
+    )
+
+    cfg = CompactConfig(
+        enabled=True, compress_type=method,
+        comp_rank=comp_rank, residual=1, error_feedback=True,
+        warmup_steps=0, fastpath=False, quantized_cache=True,
+    )
+
+    spec = P(None, "ring", None, None)
+    state_spec = P("ring")
+
+    def body(fused):
+        def run(q, k, v, state):
+            state = jax.tree_util.tree_map(lambda a: a[0], state)
+            out, new_state = compact_ring_attention(
+                q, k, v, state, cfg=cfg, method=method,
+                axis_name="ring", ring_size=ring, fused=fused,
+            )
+            return out, jax.tree_util.tree_map(lambda a: a[None], new_state)
+
+        return jax.jit(jax.shard_map(
+            run, mesh=mesh, in_specs=(spec, spec, spec, state_spec),
+            out_specs=(spec, state_spec), check_vma=False,
+        ))
+
+    ref_fn = body(False)
+    fused_fn = body("interpret")
+
+    def stack(x):
+        return jnp.broadcast_to(x[None], (ring,) + x.shape)
+
+    state0 = jax.tree_util.tree_map(
+        stack, init_ring_state(ring, n, c, jnp.float32, 1, quantized=True)
+    )
+    ref_state = fused_state = state0
+    engaged = False
+    for step, (q, k, v) in enumerate(_drift(3, b, s, h, d, seed=7)):
+        ref_out, ref_state = ref_fn(q, k, v, ref_state)
+        out, fused_state = fused_fn(q, k, v, fused_state)
+        err = rel_err(out, ref_out)
+        assert err < 5e-5, (step, err)
+        # int8 cache payloads must track the jnp path's bit-for-bit: the
+        # requant arithmetic is the consistency-critical piece
+        for fb, rb in (
+            (fused_state.k.base, ref_state.k.base),
+            (fused_state.v.base, ref_state.v.base),
+        ):
+            np.testing.assert_array_equal(np.asarray(fb.q), np.asarray(rb.q))
+            assert rel_err(fb.scale.astype(np.float32),
+                           rb.scale.astype(np.float32)) < 1e-6
+            assert rel_err(fb.minv.astype(np.float32),
+                           rb.minv.astype(np.float32)) < 1e-6
+        # the caches must actually be int8 (the point of the config)
+        assert np.asarray(fused_state.k.base.q).dtype == np.uint8
+        engaged = True
+    assert engaged
