@@ -81,6 +81,12 @@ class xFuserArgs:
     #: quantization of the T5 encoder here (text_encoders.quantize_t5_int8)
     use_fp8_t5_encoder: bool = False
     use_int8_t5_encoder: bool = False
+    #: TPU extension (no reference analog): int8 weight-quantize the DiT
+    #: BACKBONE block stacks (cm.quantize_params_int8; bf16 MXU compute,
+    #: per-layer dequant inside the block scan).  What fits full-depth
+    #: FLUX (24 GB bf16 -> 12 GB int8) on one 16 GB v5e — measured 561.5
+    #: ms/fwd at 1024px, 85.2% MFU (BENCH_FLUX_FULL.json)
+    quantize_backbone_int8: bool = False
     enable_model_cpu_offload: bool = False
     enable_sequential_cpu_offload: bool = False
     # parallel
@@ -145,6 +151,7 @@ class xFuserArgs:
             "use_onediff",
             "use_fp8_t5_encoder",
             "use_int8_t5_encoder",
+            "quantize_backbone_int8",
             "enable_model_cpu_offload",
             "enable_sequential_cpu_offload",
         ):
@@ -272,6 +279,7 @@ class xFuserArgs:
                 enable_tiling=self.enable_tiling,
                 enable_slicing=self.enable_slicing,
                 quantize_t5=self.use_fp8_t5_encoder or self.use_int8_t5_encoder,
+                quantize_backbone=self.quantize_backbone_int8,
             ),
             parallel_config=parallel,
             fast_attn_config=FastAttnConfig(

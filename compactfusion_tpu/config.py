@@ -212,6 +212,12 @@ class RuntimeConfig:
     #: v5e has no fp8, so the TPU-honest equivalent is int8 — T5-XXL drops
     #: ~9.1 -> ~4.6 GB of HBM; see models/text_encoders.quantize_t5_int8)
     quantize_t5: bool = False
+    #: int8 weight-quantize the DiT backbone block stacks (TPU extension of
+    #: the same idea: cm.quantize_params_int8 over the per-layer stacks,
+    #: transparent bf16 dequant at the matmul operand read inside the block
+    #: scan).  Full-depth FLUX fits one 16 GB v5e this way
+    #: (BENCH_FLUX_FULL.json); parity-bounded by tests/models/test_flux.py
+    quantize_backbone: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -7,6 +7,11 @@
 The compact flags replicate the reference's ``compact_init(CompactConfig(...))``
 setup (``examples/flux_example.py:91``): warmup steps exchange raw K/V, later
 steps exchange 1-bit residuals with error feedback.
+
+Add ``--quantize_backbone_int8`` to run FULL-DEPTH FLUX on a single 16 GB
+v5e (int8 block-stack weights, bf16 MXU compute: 561.5 ms/fwd at 1024px,
+85.2% MFU — BENCH_FLUX_FULL.json; int8-vs-bf16 parity bounded by
+tests/models/test_flux.py).
 """
 
 import os
