@@ -41,7 +41,13 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=4)
     p.add_argument("--ring", type=int, default=8)
-    p.add_argument("--codecs", default="binary,int2,low-rank,low-rank-awl,low-rank-int4")
+    p.add_argument(
+        "--codecs",
+        default="binary,int2,low-rank:2,low-rank:4,low-rank-awl:2,"
+        "low-rank-int4:2",
+        help="comma list of codec[:rank] specs (default rank 2 for rank "
+        "codecs; low-rank:4 is the r5 recommended >=100x operating point)",
+    )
     args = p.parse_args()
 
     import jax
@@ -118,9 +124,10 @@ def main():
     c = mcfg.heads * mcfg.head_dim
 
     results = []
-    for name in args.codecs.split(","):
+    for spec in args.codecs.split(","):
+        name, _, rk = spec.partition(":")
         ctype = CompressType(name)
-        rank = 2 if "rank" in name else -1
+        rank = int(rk) if rk else (2 if "rank" in name else -1)
         compact = CompactConfig(
             enabled=True,
             compress_type=ctype,
@@ -141,7 +148,7 @@ def main():
             np.linalg.norm(lat - lat_ref) / (np.linalg.norm(lat_ref) + 1e-12)
         )
         row = {
-            "codec": name,
+            "codec": spec,
             "comp_rank": rank,
             "latent_rel_err": round(rel, 6),
             "psnr_db": round(float(psnr(img, img_ref)), 2),
