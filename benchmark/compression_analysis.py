@@ -25,11 +25,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# default to CPU (the spectra are platform-independent math); pass --tpu to
+# run on the chip.  The pin must happen after import: the axon plugin
+# force-appends itself to jax_platforms.  NOTE 2026-08-21: --tpu through the
+# axon tunnel currently dies with "TPU backend setup/compile error
+# (Unavailable)" ~20 min into the first compile — the log_stats program
+# embeds an in-jit SVD (compact/stats.spectrum) whose lowering the tunneled
+# toolchain rejects; the committed ANALYSIS_STATS.json predates that
+# regression, and the svcumsum figures in plots/ are rendered from the CPU
+# run (same script, same spice, fp32 trajectories).
+_TPU = "--tpu" in sys.argv
+if not _TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +52,13 @@ def main():
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--codecs", default="binary,int2,low-rank")
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the real chip instead of pinning CPU")
+    p.add_argument(
+        "--plots", default=None, metavar="DIR",
+        help="also render singular-value energy CDFs (activation vs delta, "
+        "per codec) via utils.tensor_viz into DIR",
+    )
     args = p.parse_args()
 
     from compactfusion_tpu.compact.stats import StatsLogger
@@ -130,6 +149,20 @@ def main():
             "delta_top2_energy": round(top2_energy(spectra["k-delta"]), 4),
         }
         print(name, report["codecs"][name], flush=True)
+
+        if args.plots:
+            # the visual form of the delta-vs-activation concentration story
+            # (reference plot_eigenvalue_cumsum, compact/plot.py:85)
+            from compactfusion_tpu.utils import tensor_viz
+
+            for p_ in tensor_viz.plot_eigenvalue_cumsum(
+                {
+                    f"{name}-k-activation": spectra["k-activation"],
+                    f"{name}-k-delta": spectra["k-delta"],
+                },
+                save_dir=args.plots,
+            ):
+                print("wrote", p_, flush=True)
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
