@@ -28,12 +28,15 @@ import json
 # default to CPU (the spectra are platform-independent math); pass --tpu to
 # run on the chip.  The pin must happen after import: the axon plugin
 # force-appends itself to jax_platforms.  NOTE 2026-08-21: --tpu through the
-# axon tunnel currently dies with "TPU backend setup/compile error
-# (Unavailable)" ~20 min into the first compile — the log_stats program
-# embeds an in-jit SVD (compact/stats.spectrum) whose lowering the tunneled
-# toolchain rejects; the committed ANALYSIS_STATS.json predates that
-# regression, and the svcumsum figures in plots/ are rendered from the CPU
-# run (same script, same spice, fp32 trajectories).
+# axon tunnel died with "TPU backend setup/compile error (Unavailable)"
+# ~24 min into the first compile; a bare jit(svd) probe hangs the tunneled
+# compiler indefinitely, so the in-jit SVD was moved host-side
+# (compact/stats._host_spectrum).  A post-fix --tpu retry survived PAST the
+# old failure point but was cut off by a 25-min harness timeout before
+# completing — allow 45+ min if regenerating on hardware.  The committed
+# ANALYSIS_STATS.json is the earlier on-chip artifact; the svcumsum figures
+# in plots/ are rendered from the CPU run (same script, same spice, fp32
+# trajectories).
 _TPU = "--tpu" in sys.argv
 if not _TPU:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")

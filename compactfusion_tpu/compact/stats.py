@@ -208,6 +208,20 @@ def spectrum(x: jax.Array, top_k: int = 64) -> jax.Array:
     return s[..., :k]
 
 
+def _host_spectrum(arr, top_k: int):
+    """Host-side top-k singular values.  The SVD deliberately runs on the
+    HOST, not in-jit: ``jnp.linalg.svd`` inside a TPU program hangs the
+    tunneled compiler indefinitely (observed 2026-08-21 — a bare
+    ``jit(svd)`` probe never returns), and the values only feed host-side
+    StatsLogger callbacks anyway, so shipping the activation and decomposing
+    in numpy costs one transfer that analysis mode is already paying."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float32)
+    s = np.linalg.svd(a, compute_uv=False)
+    return s[..., : min(top_k, s.shape[-1])]
+
+
 def log_spectrum_inside_jit(key: str, x: jax.Array, top_k: int = 64, rank=None):
     """Record the singular-value spectrum of ``x`` under ``key`` (ordered on
     a single device; unordered + rank-tagged key on a multi-device mesh, see
@@ -217,25 +231,25 @@ def log_spectrum_inside_jit(key: str, x: jax.Array, top_k: int = 64, rank=None):
     if ambient_device_count() > 1:
         if rank is None:
 
-            def cb_u(sv):
+            def cb_u(a):
                 StatsLogger.instance().spectra[key].append(
-                    [float(v) for v in sv.ravel()]
+                    [float(v) for v in _host_spectrum(a, top_k).ravel()]
                 )
 
-            jax.debug.callback(cb_u, spectrum(x, top_k))
+            jax.debug.callback(cb_u, x)
         else:
 
-            def cb_r(sv, rank_):
+            def cb_r(a, rank_):
                 StatsLogger.instance().spectra[f"{key}@r{int(rank_)}"].append(
-                    [float(v) for v in sv.ravel()]
+                    [float(v) for v in _host_spectrum(a, top_k).ravel()]
                 )
 
-            jax.debug.callback(cb_r, spectrum(x, top_k), rank)
+            jax.debug.callback(cb_r, x, rank)
         return
 
-    def cb(sv):
+    def cb(a):
         StatsLogger.instance().spectra[key].append(
-            [float(v) for v in sv.ravel()]
+            [float(v) for v in _host_spectrum(a, top_k).ravel()]
         )
 
-    jax.debug.callback(cb, spectrum(x, top_k), ordered=True)
+    jax.debug.callback(cb, x, ordered=True)
